@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle gate (SURVEY.md §5.1).
+
+Usage: preflight.py <verify_outdir> <sfdir> [query ...]
+
+Reads each <outdir>/<name>/ parquet (graft.Verify output), runs the
+matching oracle SQL from <outdir>/oracle_sql.json in DuckDB over views on
+the <sfdir> parquet tables, sorts columns by name on both sides, and
+compares values exactly (cell-by-cell, NaN-safe). Exit 1 on any mismatch.
+"""
+import duckdb, json, sys, glob, math, os
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def cells(table):
+    """pyarrow Table -> list of row tuples with columns sorted by name."""
+    cols = sorted(table.column_names)
+    pydata = [table.column(c).to_pylist() for c in cols]
+    return cols, list(zip(*pydata)) if pydata else (cols, [])
+
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b and math.copysign(1, a) == math.copysign(1, b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails, passed = [], 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            fails.append(f"{name}: no spark output written")
+            print(f"FAIL {name}: no spark output")
+            continue
+        spark_tbl = pq.read_table(files[0] if len(files) == 1 else files)
+        try:
+            duck_tbl = con.execute(sql).arrow()
+        except Exception as e:
+            fails.append(f"{name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            continue
+        scols, srows = cells(spark_tbl)
+        dcols, drows = cells(duck_tbl)
+        if scols != dcols:
+            fails.append(f"{name}: columns {scols} vs {dcols}")
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            continue
+        if len(srows) != len(drows):
+            fails.append(f"{name}: rowcount {len(srows)} vs {len(drows)}")
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            for c, sv, dv in zip(scols, sr, dr):
+                if not eq(sv, dv):
+                    bad = (i, c, sv, dv)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, sv, dv = bad
+            fails.append(f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
+            print(f"FAIL {name}: row {i} col {c}:\n  spark={sv!r}\n  duck ={dv!r}")
+            st = {f.name: str(f.type) for f in spark_tbl.schema}
+            dt = {f.name: str(f.type) for f in duck_tbl.schema}
+            print(f"  types spark={st}\n  types duck ={dt}")
+        else:
+            passed += 1
+            print(f"ok   {name} ({len(srows)} rows)")
+    print(f"\n{passed} passed, {len(fails)} failed")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

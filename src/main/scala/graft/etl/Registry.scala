@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: the Spark builder plus (optionally) the equivalent
+  * DuckDB oracle SQL. Single source of truth behind `graft.SparkEntry`
+  * (SURVEY.md §7.1). Keys follow SURVEY.md §2.2 exactly.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+
+  /** Ordered inventory; order only affects harness iteration, not results. */
+  lazy val all: Seq[QueryDef] =
+    ops.ScanOps.defs ++
+      ops.JoinOps.defs ++
+      ops.AggOps.defs ++
+      ops.WindowOps.defs ++
+      ops.SetOps.defs ++
+      ops.ScalarOps.defs ++
+      ops.LlmOps.defs ++
+      ops.StreamOps.defs ++
+      ops.UdfOps.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
+
+/** Determinism helpers implementing SURVEY.md §2.1 rules D1–D14.
+  *
+  * DECIMAL(12,4) is the canonical pre-aggregation cast for the fixture
+  * money/measure doubles: all carry ≤ 2 decimal digits (verified in
+  * FIXTURES.md), so the cast is exact, and 12-4=8 integer digits cover
+  * every domain. Narrow enough that a three-factor product stays within
+  * DECIMAL(38,12) exactly in both Spark and DuckDB — no overflow, no
+  * rounding, ever.
+  */
+object Dets {
+  import org.apache.spark.sql.functions._
+
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** D2: exact decimal before any aggregation of a double measure. */
+  def d124(c: Column): Column = dec(c, 12, 4)
+
+  def one124: Column = lit(1).cast(DecimalType(12, 4))
+}

@@ -1,0 +1,231 @@
+package graft.etl.ops
+
+import graft.etl.{QueryDef, Tables}
+import graft.etl.Dets._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.C joins.
+  *
+  * Scale notes (100 TB): fact⋈dim joins broadcast the dim side (all dims
+  * here are << 10 MB; `qjoin_broadcast` pins the hint explicitly, the rest
+  * rely on Catalyst's threshold + AQE). Fact⋈fact equi-joins shuffle on the
+  * join key — the partitioning a real deployment would pre-bucket on. The
+  * as-of join is a *window* emulation (shuffle by user, sort by time), not
+  * a theta self-join: per-key windows scale linearly while an inequality
+  * join explodes quadratically on hot keys.
+  */
+object JoinOps {
+
+  private val qjoinInner = QueryDef(
+    "qjoin_inner",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      o.join(c, col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, c_name, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"))
+
+  private val qjoinBroadcast = QueryDef(
+    "qjoin_broadcast",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val p = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#7")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_partkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(d124(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some(
+      "SELECT p_partkey, count(*) AS n_lines, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#7' " +
+        "GROUP BY p_partkey ORDER BY p_partkey"))
+
+  private val qjoinLeft = QueryDef(
+    "qjoin_left",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"))
+
+  private val qjoinFull = QueryDef(
+    "qjoin_full",
+    build = (spark, sfDir) => {
+      val a = Tables.customer(spark, sfDir)
+        .filter(col("c_acctbal") > 8000.0)
+        .select(col("c_custkey").as("a_custkey"), col("c_acctbal").as("acctbal"))
+      val b = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_urgent"))
+        .select(col("o_custkey").as("b_custkey"), col("n_urgent"))
+      a.join(b, col("a_custkey") === col("b_custkey"), "full")
+        .select(
+          coalesce(col("a_custkey"), col("b_custkey")).as("custkey"),
+          when(col("a_custkey").isNull, 0).otherwise(1).as("in_high_bal"),
+          when(col("b_custkey").isNull, 0).otherwise(1).as("in_urgent"),
+          coalesce(col("acctbal"), lit(-1.0)).as("acctbal"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+        .orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT coalesce(a.custkey, b.custkey) AS custkey, " +
+        "CASE WHEN a.custkey IS NULL THEN 0 ELSE 1 END AS in_high_bal, " +
+        "CASE WHEN b.custkey IS NULL THEN 0 ELSE 1 END AS in_urgent, " +
+        "coalesce(a.acctbal, -1.0) AS acctbal, " +
+        "coalesce(b.n_urgent, 0) AS n_urgent FROM " +
+        "(SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer WHERE c_acctbal > 8000.0) a " +
+        "FULL JOIN " +
+        "(SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) b " +
+        "ON a.custkey = b.custkey ORDER BY custkey"))
+
+  private val qjoinSemi = QueryDef(
+    "qjoin_semi",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey"))
+
+  private val qjoinAnti = QueryDef(
+    "qjoin_anti",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey"))
+
+  private val qjoinCross = QueryDef(
+    "qjoin_cross",
+    build = (spark, sfDir) =>
+      Tables.region(spark, sfDir)
+        .crossJoin(Tables.nation(spark, sfDir))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+    oracle = Some(
+      "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_regionkey, n_nationkey"))
+
+  private val qjoinThetaRange = QueryDef(
+    "qjoin_theta_range",
+    build = (spark, sfDir) => {
+      val s = Tables.supplier(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      s.join(c, col("c_nationkey") === col("s_nationkey") && col("c_acctbal") > col("s_acctbal"), "left")
+        .groupBy(col("s_suppkey"))
+        .agg(count(col("c_custkey")).as("n_richer"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some(
+      "SELECT s_suppkey, count(c_custkey) AS n_richer FROM supplier " +
+        "LEFT JOIN customer ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal " +
+        "GROUP BY s_suppkey ORDER BY s_suppkey"))
+
+  /** As-of join: for each purchase event, the most recent click by the same
+    * user at or before the purchase timestamp (inner as-of — purchases with
+    * no prior click are dropped), matching DuckDB `ASOF JOIN ... ON ts >= ts`.
+    *
+    * Emulated with a single per-user time-sorted window over the union of
+    * both event kinds (clicks sort before purchases at equal timestamps so
+    * `>=` semantics hold). Only the click *timestamp* is emitted: if a user
+    * has several clicks at the same instant the joined row choice is
+    * engine-arbitrary but the emitted value is not (D8).
+    */
+  private val qjoinAsof = QueryDef(
+    "qjoin_asof",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val tagged = ev
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1 && col("click_ts").isNotNull)
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "SELECT p.event_id, p.user_id, " +
+        "epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us, " +
+        "epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"))
+
+  private val qjoinStar = QueryDef(
+    "qjoin_star",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val r = Tables.region(spark, sfDir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(
+          sum(d124(col("l_extendedprice")) * (one124 - d124(col("l_discount"))))
+            .cast(DecimalType(38, 8)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("order_year"))
+    },
+    oracle = Some(
+      "SELECT r_name, CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, order_year ORDER BY r_name, order_year"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
+    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinStar)
+}

@@ -1,0 +1,105 @@
+package graft.etl.ops
+
+import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.A scans + §2.B projection/filter.
+  *
+  * Scale notes (100 TB): these shapes exist to prove pushdown — the filter
+  * and the projection must reach `FileSourceScanExec` (`PushedFilters`,
+  * `ReadSchema`) so a petabyte scan reads only the row groups and columns
+  * it needs. Declarative `.select`/`.filter` + Catalyst guarantees that;
+  * nothing here materializes more than the projected columns.
+  */
+object ScanOps {
+
+  private val qscanProject = QueryDef(
+    "qscan_project",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some(
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber"))
+
+  private val qscanPushdown = QueryDef(
+    "qscan_pushdown",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("2000-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast(DateType).as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some(
+      "SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date " +
+        "FROM lineitem WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber"))
+
+  private val qscanUnionFiles = QueryDef(
+    "qscan_union_files",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val f = o.filter(col("o_orderstatus") === "F")
+      val open = o.filter(col("o_orderstatus") === "O")
+      f.unionByName(open)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast(DateType).as("order_date"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some(
+      "SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS order_date FROM " +
+        "(SELECT * FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O') " +
+        "ORDER BY o_orderkey"))
+
+  private val qfilterPredicates = QueryDef(
+    "qfilter_predicates",
+    build = (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .filter(
+          col("p_size").between(10, 40) &&
+            col("p_type").isin("PROMO", "ECONOMY", "SMALL") &&
+            col("p_brand") =!= "Brand#13" &&
+            (col("p_name").like("%bolt%") || col("p_retailprice") < 950.0) &&
+            !(col("p_size") === 25))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey")),
+    oracle = Some(
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part WHERE " +
+        "p_size BETWEEN 10 AND 40 AND p_type IN ('PROMO','ECONOMY','SMALL') " +
+        "AND p_brand <> 'Brand#13' AND (p_name LIKE '%bolt%' OR p_retailprice < 950.0) " +
+        "AND NOT (p_size = 25) ORDER BY p_partkey"))
+
+  private val qprojectExpr = QueryDef(
+    "qproject_expr",
+    build = (spark, sfDir) => {
+      import graft.etl.Dets._
+      Tables.lineitem(spark, sfDir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (d124(col("l_extendedprice")) * (one124 - d124(col("l_discount")))
+            * (one124 + d124(col("l_tax")))).cast(DecimalType(38, 12)).as("gross"),
+          when(col("l_quantity") >= 40, "bulk")
+            .when(col("l_quantity") >= 10, "mid")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag2"),
+          greatest(col("l_tax"), col("l_discount")).as("hi_rate"),
+          least(col("l_tax"), col("l_discount")).as("lo_rate"),
+          col("l_quantity").cast(LongType).as("qty_int"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some(
+      "SELECT l_orderkey, l_linenumber, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)) AS gross, " +
+        "CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS size_class, " +
+        "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag2, " +
+        "greatest(l_tax, l_discount) AS hi_rate, " +
+        "least(l_tax, l_discount) AS lo_rate, " +
+        "CAST(l_quantity AS BIGINT) AS qty_int " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qscanProject, qscanPushdown, qscanUnionFiles, qfilterPredicates, qprojectExpr)
+}

@@ -1,0 +1,113 @@
+package graft.etl.ops
+
+import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.F sorts/limits/top-k and §2.G set operations & exact dedup.
+  *
+  * Determinism: ORDER BY keys are unique (D1) or the tied rows are
+  * byte-identical (bag union on a single column). `qdedup_exact` keeps
+  * `min(doc_id)` per text rather than `dropDuplicates` (arbitrary keeper,
+  * D8). Scale: `orderBy.limit(k)` compiles to `TakeOrderedAndProjectExec`
+  * (per-partition top-k + merge — no global sort); dedup is a hash
+  * aggregation that shuffles once on the dedup key.
+  */
+object SetOps {
+
+  private val qsortMultikey = QueryDef(
+    "qsort_multikey",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(asc("o_orderstatus"), desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100),
+    oracle = Some(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 100"))
+
+  private val qsortNulls = QueryDef(
+    "qsort_nulls",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("o_totalprice"), asc("c_custkey"), asc_nulls_first("o_orderkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, o_orderkey, o_totalprice FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000.0 " +
+        "ORDER BY o_totalprice ASC NULLS FIRST, c_custkey ASC, o_orderkey ASC NULLS FIRST"))
+
+  private val qsetUnion = QueryDef(
+    "qset_union",
+    build = (spark, sfDir) => {
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val rich = Tables.customer(spark, sfDir)
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey").as("custkey"))
+      urgent.unionByName(rich).orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT custkey FROM (" +
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "UNION ALL SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0) " +
+        "ORDER BY custkey"))
+
+  private val qsetIntersect = QueryDef(
+    "qset_intersect",
+    build = (spark, sfDir) => {
+      val withOrders = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+      val positive = Tables.customer(spark, sfDir)
+        .filter(col("c_acctbal") > 0.0)
+        .select(col("c_custkey").as("custkey"))
+      withOrders.intersect(positive).orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT o_custkey AS custkey FROM orders INTERSECT " +
+        "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0.0 " +
+        "ORDER BY custkey"))
+
+  private val qsetExcept = QueryDef(
+    "qset_except",
+    build = (spark, sfDir) => {
+      val all = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+      val open = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      all.except(open).orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey AS custkey FROM customer EXCEPT " +
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "ORDER BY custkey"))
+
+  private val qsetDistinct = QueryDef(
+    "qset_distinct",
+    build = (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    oracle = Some(
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer " +
+        "ORDER BY c_mktsegment, c_nationkey"))
+
+  private val qdedupExact = QueryDef(
+    "qdedup_exact",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("n_copies"))
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_copies " +
+        "FROM documents GROUP BY text ORDER BY doc_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
+    qsetDistinct, qdedupExact)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.etl.Registry
+
+/** Cross-cutting gate invariants (SURVEY §5.5):
+  *   - every declared query runs at sf0.001 and is deterministic
+  *     (two executions produce byte-identical collected rows — catches any
+  *     D1–D14 violation that depends on partition order);
+  *   - every query carries oracle SQL unless it is on the documented
+  *     sketch/stream no-oracle list (SURVEY §2.2).
+  */
+class RegistrySpec extends SparkFixture {
+
+  private val noOracleAllowed = Set("qagg_approxhll", "qllm_minhash", "qllm_simhash")
+
+  test("inventory: every query has oracle SQL or a documented exemption") {
+    val missing = Registry.all.filter(q => q.oracle.isEmpty && !noOracleAllowed(q.name))
+    assert(missing.isEmpty, s"queries without oracle: ${missing.map(_.name)}")
+  }
+
+  test("names are unique and follow the q<category>_<name> convention") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.sizeIs == names.size)
+    assert(names.forall(_.matches("q[a-z]+_[a-z0-9_]+")), names.filterNot(_.matches("q[a-z]+_[a-z0-9_]+")))
+  }
+
+  test("every declared query is deterministic at sf0.001 (run-twice byte equality)") {
+    Registry.all.foreach { q =>
+      val a = q.build(spark, sfTiny).collect().map(_.toString).toSeq
+      val b = q.build(spark, sfTiny).collect().map(_.toString).toSeq
+      assert(a == b, s"${q.name} is nondeterministic across runs")
+    }
+  }
+
+  test("entry() returns the flagship with rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

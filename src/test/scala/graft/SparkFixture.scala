@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites in the forked test JVM.
+  * UTC is mandatory — date assertions lie otherwise (SURVEY §7.6).
+  */
+trait SparkFixture extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkFixture.session
+  val sfTiny = "/root/testdata/sf0.001"
+  val sfSmall = "/root/testdata/sf0.01"
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
