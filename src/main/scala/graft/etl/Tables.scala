@@ -110,6 +110,16 @@ object Tables {
       (System.identityHashCode(spark), sfDir, name),
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet"))
 
+  /** Registers `name` as a temp view (unique per sfDir) and returns the
+    * view name, for queries expressed as SQL text. `events` goes through
+    * [[events]] so the view exposes the converted µs TimestampType `ts`. */
+  def view(s: SparkSession, sfDir: String, name: String): String = {
+    val vname = s"${name}_v${math.abs(sfDir.hashCode)}"
+    val df = if (name == "events") events(s, sfDir) else table(s, sfDir, name)
+    df.createOrReplaceTempView(vname)
+    vname
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -1,7 +1,7 @@
 package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import graft.etl.Dets._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,9 +13,16 @@ import org.apache.spark.sql.types._
   *     so decimal→double conversion is exact in both engines.
   *   - D4: decimal sums pinned to an explicit output type wide enough that
   *     the pin is a non-narrowing (exact) cast on both engines.
+  *   - qagg_stats: variance-family doubles are genuinely order-dependent
+  *     across engines (partial-merge vs single-pass); rounding granularity
+  *     per column is sized so the cross-engine error (~n·eps·magnitude)
+  *     sits far below half an output ulp.
+  *
+  * Scale: groupBy → partial HashAggregate + shuffle + final; COUNT DISTINCT
+  * expands; exact percentile/median is a windowed rank pick (one shuffle +
+  * sort per partition key) — the 100 TB alternative to collecting values.
   */
 object AggOps {
-  import graft.etl.Dets._
 
   private val qaggPricing = QueryDef(
     "qagg_pricing",
@@ -52,5 +59,193 @@ object AggOps {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
 
-  def defs: Seq[QueryDef] = Seq(qaggPricing)
+  private val qaggStats = QueryDef(
+    "qagg_stats",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 0).cast(LongType).as("var_price"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+          round(covar_samp(col("l_extendedprice"), col("l_discount")), 4).as("covar_price_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some(
+      "SELECT l_returnflag, " +
+        "round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
+        "CAST(round(var_samp(l_extendedprice), 0) AS BIGINT) AS var_price, " +
+        "round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc, " +
+        "round(covar_samp(l_extendedprice, l_discount), 4) AS covar_price_disc, " +
+        "count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  private val qaggDistinct = QueryDef(
+    "qagg_distinct",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+    oracle = Some(
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, " +
+        "count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
+  private val qaggHaving = QueryDef(
+    "qagg_having",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+    oracle = Some(
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey " +
+        "HAVING count(*) >= 15 ORDER BY o_custkey"))
+
+  /** Identical SQL text runs on both engines modulo nothing — Spark SQL and
+    * DuckDB share GROUPING SETS + grouping() syntax here. */
+  private def groupingSetsSql(table: String): String =
+    "SELECT o_orderstatus, o_orderpriority, " +
+      "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
+      "CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+      "count(*) AS n " +
+      s"FROM $table " +
+      "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+      "ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+
+  private val qaggGroupingsets = QueryDef(
+    "qagg_groupingsets",
+    build = (spark, sfDir) =>
+      spark.sql(groupingSetsSql(Tables.view(spark, sfDir, "orders"))),
+    oracle = Some(groupingSetsSql("orders")))
+
+  private val qaggRollup = QueryDef(
+    "qagg_rollup",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .rollup(col("order_year"), col("o_orderstatus"))
+        .agg(
+          grouping(col("order_year")).cast(IntegerType).as("g_year"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_year"), col("g_status"),
+          asc_nulls_first("order_year"), asc_nulls_first("o_orderstatus")),
+    oracle = Some(
+      "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, o_orderstatus, " +
+        "CAST(grouping(order_year) AS INTEGER) AS g_year, " +
+        "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "count(*) AS n " +
+        "FROM orders GROUP BY ROLLUP (order_year, o_orderstatus) " +
+        "ORDER BY g_year, g_status, order_year NULLS FIRST, o_orderstatus NULLS FIRST"))
+
+  private val qaggCube = QueryDef(
+    "qagg_cube",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          sum(d124(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    oracle = Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping(l_returnflag) AS INTEGER) AS g_flag, " +
+        "CAST(grouping(l_linestatus) AS INTEGER) AS g_status, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+        "count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
+
+  private val qaggPivot = QueryDef(
+    "qagg_pivot",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .groupBy(col("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(d124(col("o_totalprice"))))
+        .select(
+          col("order_year"),
+          col("F").cast(DecimalType(38, 4)).as("f_total"),
+          col("O").cast(DecimalType(38, 4)).as("o_total"),
+          col("P").cast(DecimalType(38, 4)).as("p_total"))
+        .orderBy(col("order_year")),
+    oracle = Some(
+      "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS f_total, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS o_total, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS p_total " +
+        "FROM orders GROUP BY order_year ORDER BY order_year"))
+
+  /** Exact median/p90 with pure decimal interpolation: index arithmetic is
+    * integer, the fractional weight is an exact one-digit decimal, so both
+    * engines compute identical exact decimals — no quantile_cont/percentile
+    * float parity risk. `div`/`//` is the only dialect difference. */
+  private def percentileSql(table: String, idiv: String): String =
+    "WITH s AS (SELECT o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(12,4)) AS v, " +
+      "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn, " +
+      s"count(*) OVER (PARTITION BY o_orderstatus) AS n FROM $table) " +
+      "SELECT st AS o_orderstatus, " +
+      s"CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN v END) + max(CASE WHEN rn = n $idiv 2 + 1 THEN v END)) " +
+      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,5)) AS median_price, " +
+      s"CAST(max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END) + " +
+      s"(coalesce(max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 2 THEN v END), max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END)) " +
+      s"- max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END)) " +
+      "* (CAST((9*(n-1)) % 10 AS DECIMAL(2,0)) * CAST(0.1 AS DECIMAL(2,1))) AS DECIMAL(18,6)) AS p90_price " +
+      "FROM s GROUP BY st, n ORDER BY st" // n is group-constant; Spark (unlike
+      // DuckDB) insists it be grouped to appear inside the aggregate CASEs
+
+  private val qaggPercentile = QueryDef(
+    "qagg_percentile",
+    build = (spark, sfDir) =>
+      spark.sql(percentileSql(Tables.view(spark, sfDir, "orders"), "div")),
+    oracle = Some(percentileSql("orders", "//")))
+
+  private val qaggCollect = QueryDef(
+    "qagg_collect",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_custs"),
+          concat_ws(",", sort_array(collect_list(col("c_name")))).as("members"))
+        .orderBy(col("n_name"))
+    },
+    oracle = Some(
+      "SELECT n_name, count(*) AS n_custs, " +
+        "string_agg(c_name, ',' ORDER BY c_name) AS members " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"))
+
+  /** No oracle: HLL sketches are engine-specific by construction (SURVEY
+    * §2.2). Bounds-checked against exact counts in AggSpec instead. */
+  private val qaggApproxhll = QueryDef(
+    "qagg_approxhll",
+    build = (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    oracle = None)
+
+  def defs: Seq[QueryDef] = Seq(
+    qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
+    qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
+    qaggApproxhll)
 }

@@ -1,7 +1,416 @@
 package graft.etl.ops
 
-import graft.etl.QueryDef
+import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** §2.I LLM-training-data pipeline operators: dedup (exact-normalized,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+  * search (brute-force top-k + IVF bucketed), text analysis (language-ID,
+  * quality scoring, token counting, fingerprinting), corpus profiling.
+  *
+  * Vector determinism (D12, strengthened): cosine is computed with the SAME
+  * fold shape on both engines — a sequential left fold over per-index
+  * products (Spark `aggregate`/`zip_with`, DuckDB `list_reduce`/`list_zip`)
+  * then dot/(sqrt(n2a)*sqrt(n2b)). IEEE ops on identical operand sequences
+  * → bit-identical doubles → thresholds and ORDER BY sim are exact, no
+  * rounding fallback needed.
+  *
+  * Scale notes (100 TB):
+  *   - near-dup candidate generation is always bucketed (LSH bands /
+  *     shingle inverted index with a frequency cap / IVF cells) — never an
+  *     unbucketed all-pairs join; the bounded slices here (`vec_id < 800`,
+  *     doc-freq cap 20) stand in for per-bucket work.
+  *   - signatures/fingerprints are fixed-width columns so dedup joins
+  *     shuffle small keys, not document bodies.
+  */
 object LlmOps {
-  def defs: Seq[QueryDef] = Seq()
+
+  // ---- shared Spark-side vector kit ----------------------------------
+  private def asD(c: Column): Column = transform(c, _.cast(DoubleType))
+  private def sdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def snorm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  private def scos(a: Column, b: Column): Column = {
+    val ad = asD(a); val bd = asD(b)
+    sdot(ad, bd) / (sqrt(snorm2(ad)) * sqrt(snorm2(bd)))
+  }
+
+  // ---- shared DuckDB-side vector kit (same fold order) ---------------
+  private def ddot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def dnorm2(a: String): String =
+    s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
+  private def dcos(a: String, b: String): String =
+    s"(${ddot(a, b)} / (sqrt(${dnorm2(a)}) * sqrt(${dnorm2(b)})))"
+
+  // ---- shared normalization (qllm_dedup_norm / qllm_fingerprint) -----
+  private def snorm(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+  private val dnormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  // ---- shared word-bigram shingles -----------------------------------
+  private def sparkShingles(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))).as("sh"))
+  }
+
+  private val qllmDedupNorm = QueryDef(
+    "qllm_dedup_norm",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .groupBy(snorm(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("min_doc"), col("max_doc"), col("n_copies"), md5(col("norm")).as("norm_md5"))
+        .orderBy(col("min_doc")),
+    oracle = Some(
+      s"SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc, count(*) AS n_copies, " +
+        s"md5($dnormSql) AS norm_md5 FROM documents GROUP BY $dnormSql " +
+        "HAVING count(*) > 1 ORDER BY min_doc"))
+
+  private val qllmSimsearch = QueryDef(
+    "qllm_simsearch",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), scos(col("embedding"), col("q_emb")).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    oracle = Some(
+      "WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT e.vec_id, ${dcos("e.embedding", "q.q_emb")} AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY sim DESC, e.vec_id LIMIT 10"))
+
+  private val qllmLabelKnn = QueryDef(
+    "qllm_label_knn",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("label"), scos(col("embedding"), col("q_emb")).as("sim"))
+        .groupBy(col("label"))
+        .agg(count(when(col("sim") >= 0.2, 1)).as("n_close"), count(lit(1)).as("n_total"))
+        .orderBy(col("label"))
+    },
+    oracle = Some(
+      "WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), " +
+        s"s AS (SELECT e.label, ${dcos("e.embedding", "q.q_emb")} AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0) " +
+        "SELECT label, count(CASE WHEN sim >= 0.2 THEN 1 END) AS n_close, count(*) AS n_total " +
+        "FROM s GROUP BY label ORDER BY label"))
+
+  /** Embedding near-dup pairs over a bounded slice: the per-bucket shape of
+    * a production LSH/IVF pipeline. Threshold compares bit-identical sims. */
+  private val qllmCosNeardup = QueryDef(
+    "qllm_cos_neardup",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 800)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), scos(col("emb_a"), col("emb_b")).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dcos("a.embedding", "b.embedding")} AS sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3 ORDER BY vec_a, vec_b"))
+
+  /** IVF-style bucketed ANN: vectors 0..7 act as centroids; assign every
+    * vector to its best centroid, then top-3 per cell. */
+  private val qllmIvf = QueryDef(
+    "qllm_ivf",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("cid"))
+      val topW = Window.partitionBy(col("cid")).orderBy(desc("sim"), asc("vec_id"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), scos(col("embedding"), col("c_emb")).as("sim"))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .withColumn("rnk", row_number().over(topW))
+        .filter(col("rnk") <= 3)
+        .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
+        .orderBy(col("cid"), col("rnk"))
+    },
+    oracle = Some(
+      "WITH cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8), " +
+        s"sims AS (SELECT e.vec_id, c.cid, ${dcos("e.embedding", "c.c_emb")} AS sim " +
+        "FROM embeddings e CROSS JOIN cents c), " +
+        "assigned AS (SELECT vec_id, cid, sim, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS arn FROM sims), " +
+        "topk AS (SELECT cid, vec_id, sim, " +
+        "row_number() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id ASC) AS rnk " +
+        "FROM assigned WHERE arn = 1) " +
+        "SELECT cid, rnk, vec_id, sim FROM topk WHERE rnk <= 3 ORDER BY cid, rnk"))
+
+  private val qllmTextstats = QueryDef(
+    "qllm_textstats",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_rows"))
+        .orderBy(col("lang")),
+    oracle = Some(
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "count(*) - count(DISTINCT text) AS n_dup_rows " +
+        "FROM documents GROUP BY lang ORDER BY lang"))
+
+  /** Exact decimal median of n_chars per source (same interpolation scheme
+    * as qagg_percentile). */
+  private def sourceProfileSql(table: String, idiv: String): String =
+    "WITH s AS (SELECT source, lang, n_chars, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+      s"count(*) OVER (PARTITION BY source) AS n FROM $table) " +
+      "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+      s"CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN CAST(n_chars AS DECIMAL(12,1)) END) + " +
+      s"max(CASE WHEN rn = n $idiv 2 + 1 THEN CAST(n_chars AS DECIMAL(12,1)) END)) " +
+      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,2)) AS median_chars " +
+      "FROM s GROUP BY source, n ORDER BY source"
+
+  private val qllmSourceProfile = QueryDef(
+    "qllm_source_profile",
+    build = (spark, sfDir) =>
+      spark.sql(sourceProfileSql(Tables.view(spark, sfDir, "documents"), "div")),
+    oracle = Some(sourceProfileSql("documents", "//")))
+
+  private val stopEn = Seq("the", "and", "of", "to")
+  private val stopDe = Seq("der", "die", "und", "das")
+  private val stopEs = Seq("el", "la", "los", "que")
+  private val stopFr = Seq("le", "les", "des", "une")
+
+  private def hits(words: Column, stop: Seq[String]): Column =
+    size(filter(words, w => w.isin(stop: _*))).cast(LongType)
+  private def dhits(stop: Seq[String]): String =
+    s"len(list_filter(str_split(lower(text), ' '), w -> w IN (${stop.map(s => s"'$s'").mkString(", ")})))"
+
+  /** N-gram-heuristic language ID: stopword votes with a fixed tie-break
+    * chain — a deterministic, oracle-checkable stand-in for real langid. */
+  private val qllmLangid = QueryDef(
+    "qllm_langid",
+    build = (spark, sfDir) => {
+      val words = split(lower(col("text")), " ")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          hits(words, stopEn).as("en_h"), hits(words, stopDe).as("de_h"),
+          hits(words, stopEs).as("es_h"), hits(words, stopFr).as("fr_h"))
+        .withColumn("pred",
+          when(col("en_h") > 0 && col("en_h") >= greatest(col("de_h"), col("es_h"), col("fr_h")), "en")
+            .when(col("de_h") > 0 && col("de_h") >= greatest(col("es_h"), col("fr_h")), "de")
+            .when(col("es_h") > 0 && col("es_h") >= col("fr_h"), "es")
+            .when(col("fr_h") > 0, "fr")
+            .otherwise("und"))
+        .withColumn("is_match", when(col("pred") === col("lang"), 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      s"WITH h AS (SELECT doc_id, lang, ${dhits(stopEn)} AS en_h, ${dhits(stopDe)} AS de_h, " +
+        s"${dhits(stopEs)} AS es_h, ${dhits(stopFr)} AS fr_h FROM documents) " +
+        "SELECT doc_id, lang, en_h, de_h, es_h, fr_h, " +
+        "CASE WHEN en_h > 0 AND en_h >= greatest(de_h, es_h, fr_h) THEN 'en' " +
+        "WHEN de_h > 0 AND de_h >= greatest(es_h, fr_h) THEN 'de' " +
+        "WHEN es_h > 0 AND es_h >= fr_h THEN 'es' " +
+        "WHEN fr_h > 0 THEN 'fr' ELSE 'und' END AS pred, " +
+        "CASE WHEN (CASE WHEN en_h > 0 AND en_h >= greatest(de_h, es_h, fr_h) THEN 'en' " +
+        "WHEN de_h > 0 AND de_h >= greatest(es_h, fr_h) THEN 'de' " +
+        "WHEN es_h > 0 AND es_h >= fr_h THEN 'es' " +
+        "WHEN fr_h > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS is_match " +
+        "FROM h ORDER BY doc_id"))
+
+  private val qllmQuality = QueryDef(
+    "qllm_quality",
+    build = (spark, sfDir) => {
+      val words = split(col("text"), " ")
+      val wordsLower = split(lower(col("text")), " ")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          size(words).cast(LongType).as("n_words"),
+          size(array_distinct(words)).cast(LongType).as("n_uniq"),
+          hits(wordsLower, stopEn).as("n_stop"))
+        .withColumn("avg_wlen",
+          (col("n_chars") - (col("n_words") - 1)).cast(DoubleType) / col("n_words").cast(DoubleType))
+        .withColumn("score",
+          when(col("n_words").between(20, 200), 1).otherwise(0) +
+            when(col("avg_wlen").between(3.0, 12.0), 1).otherwise(0) +
+            when(col("n_uniq") * 2 > col("n_words"), 1).otherwise(0))
+        .select(col("doc_id"), col("n_words"), col("n_uniq"), col("n_stop"),
+          col("avg_wlen"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, n_chars, " +
+        "len(str_split(text, ' ')) AS n_words, " +
+        "len(list_distinct(str_split(text, ' '))) AS n_uniq, " +
+        s"${dhits(stopEn)} AS n_stop FROM documents) " +
+        "SELECT doc_id, n_words, n_uniq, n_stop, " +
+        "CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_wlen, " +
+        "(CASE WHEN n_words BETWEEN 20 AND 200 THEN 1 ELSE 0 END + " +
+        "CASE WHEN (CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_uniq * 2 > n_words THEN 1 ELSE 0 END) AS score " +
+        "FROM w ORDER BY doc_id"))
+
+  private val qllmTokcount = QueryDef(
+    "qllm_tokcount",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_words"),
+          ceil(col("n_chars").cast(DoubleType) / 4.0).cast(LongType).as("bpe_est"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast(LongType).as("sum_ws_tokens"),
+          sum(col("bpe_est")).cast(LongType).as("sum_bpe_est"))
+        .orderBy(col("source")),
+    oracle = Some(
+      "WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_words, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est FROM documents) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_ws_tokens, " +
+        "CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est " +
+        "FROM d GROUP BY source ORDER BY source"))
+
+  /** MD5-prefix document fingerprint over normalized text: constant-width
+    * dedup key (the join key a 100 TB dedup shuffles instead of bodies). */
+  private val qllmFingerprint = QueryDef(
+    "qllm_fingerprint",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), substring(md5(snorm(col("text"))), 1, 16).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("fp")),
+    oracle = Some(
+      s"SELECT substring(md5($dnormSql), 1, 16) AS fp, count(*) AS n_docs, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM documents GROUP BY fp ORDER BY fp"))
+
+  /** Exact n-gram (word-bigram) Jaccard over a shingle inverted index with
+    * a doc-frequency cap — candidate generation never goes all-pairs. The
+    * jaccard >= 0.25 cut is the integer inequality 4·common >= union. */
+  private val qllmNgramJaccard = QueryDef(
+    "qllm_ngram_jaccard",
+    build = (spark, sfDir) => {
+      val sh = sparkShingles(Tables.documents(spark, sfDir))
+      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+      val shf = sh.join(keep.select("sh"), "sh")
+      val cnt = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = shf.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = shf.select(col("doc_id").as("doc_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .filter(col("n_common") * 4 >= col("n_a") + col("n_b") - col("n_common"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+          (col("n_common").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b, " +
+        "CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jaccard " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 4 >= ca.n_sh + cb.n_sh - n_common " +
+        "ORDER BY doc_a, doc_b"))
+
+  /** No oracle (xxhash64 is Spark-specific): MinHash k=16 over word-bigram
+    * shingles, LSH-banded (4 bands × 4 rows) candidate pairs, signature-
+    * match Jaccard estimate. Property-tested in LlmSpec (estimate vs exact
+    * Jaccard; identical texts → estimate 1.0). */
+  private val qllmMinhash = QueryDef(
+    "qllm_minhash",
+    build = (spark, sfDir) => {
+      val sh = sparkShingles(Tables.documents(spark, sfDir))
+      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until 16).map(i => col(s"h$i")): _*))
+        .select("doc_id", "sig")
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            xxhash64((bnd * 4 until bnd * 4 + 4).map(i => col("sig")(i)): _*).as("bh"))): _*)).as("b"))
+        .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x).as("matches"))
+        .distinct()
+        .withColumn("est_jaccard", col("matches").cast(DoubleType) / 16.0)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = None)
+
+  /** No oracle (xxhash64): 64-bit SimHash over distinct words; near-dup
+    * candidates via 4×16-bit bands; exact Hamming distance on candidates. */
+  private val qllmSimhash = QueryDef(
+    "qllm_simhash",
+    build = (spark, sfDir) => {
+      val words = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitCols = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val fp = words.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .withColumn("fp", (0 until 64)
+          .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ + _))
+        .select("doc_id", "fp")
+      val banded = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("fp"), j * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("fp"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val l = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val r = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      l.join(r, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(fp_a ^ fp_b)").cast(IntegerType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = None)
+
+  def defs: Seq[QueryDef] = Seq(
+    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmIvf,
+    qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
+    qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash)
 }

@@ -1,7 +1,244 @@
 package graft.etl.ops
 
-import graft.etl.QueryDef
+import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** §2.H scalar function packs: string / regex / fuzzy / hash / date / math
+  * / json / array / map / explode.
+  *
+  * Dialect parity notes (SURVEY D10–D13):
+  *   - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *     replace-all semantics.
+  *   - DuckDB instr/length/levenshtein/len return BIGINT where Spark
+  *     returns INT — everything is pinned to BIGINT (or INT on both) here.
+  *   - ln/log10/exp are libm-dependent; ROUND(,6) gives margin ~5e-7
+  *     against cross-engine ulp noise (inputs are 50 distinct small ints —
+  *     verified exhaustively by the oracle gate).
+  *   - the array self-dot is a sequential left fold on BOTH engines
+  *     (Spark `aggregate`, DuckDB `list_reduce`), so the result is
+  *     bit-identical without rounding.
+  *   - initcap does not exist in DuckDB 1.0 → exercised in unit tests only.
+  */
 object ScalarOps {
-  def defs: Seq[QueryDef] = Seq()
+
+  private val qstrFuncs = QueryDef(
+    "qstr_funcs",
+    build = (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(
+          col("p_partkey"),
+          concat(col("p_name"), lit("|"), col("p_brand")).as("name_brand"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name_5"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          expr("replace(p_name, ' ', '_')").as("name_snake"),
+          instr(col("p_name"), "a").cast(LongType).as("pos_a"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"),
+          reverse(col("p_name")).as("name_rev"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"))
+        .orderBy(col("p_partkey")),
+    oracle = Some(
+      "SELECT p_partkey, " +
+        "concat(p_name, '|', p_brand) AS name_brand, " +
+        "upper(p_name) AS name_upper, " +
+        "lower(p_brand) AS brand_lower, " +
+        "substring(p_name, 1, 5) AS name_5, " +
+        "trim(concat('  ', p_name, '  ')) AS name_trim, " +
+        "length(p_name) AS name_len, " +
+        "replace(p_name, ' ', '_') AS name_snake, " +
+        "instr(p_name, 'a') AS pos_a, " +
+        "translate(p_name, 'aeiou', 'AEIOU') AS name_vowels, " +
+        "reverse(p_name) AS name_rev, " +
+        "lpad(p_brand, 12, '*') AS brand_pad " +
+        "FROM part ORDER BY p_partkey"))
+
+  private val qstrRegex = QueryDef(
+    "qstr_regex",
+    build = (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .filter(col("p_name").rlike("bolt|ring|screw"))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast(IntegerType).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"))
+        .orderBy(col("p_partkey")),
+    oracle = Some(
+      "SELECT p_partkey, " +
+        "CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled " +
+        "FROM part WHERE regexp_matches(p_name, 'bolt|ring|screw') " +
+        "ORDER BY p_partkey"))
+
+  private val qstrFuzzy = QueryDef(
+    "qstr_fuzzy",
+    build = (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir).filter(col("c_custkey") < 200)
+      val n = Tables.nation(spark, sfDir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey"),
+          levenshtein(lower(col("c_name")), lower(col("n_name"))).cast(LongType).as("lev_name"),
+          levenshtein(col("c_mktsegment"), col("n_name")).cast(LongType).as("lev_seg"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, " +
+        "levenshtein(lower(c_name), lower(n_name)) AS lev_name, " +
+        "levenshtein(c_mktsegment, n_name) AS lev_seg " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE c_custkey < 200 ORDER BY c_custkey"))
+
+  private val qstrHashes = QueryDef(
+    "qstr_hashes",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          sha2(col("text"), 256).as("text_sha256"))
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256 " +
+        "FROM documents GROUP BY text ORDER BY doc_id"))
+
+  private val qdateFuncs = QueryDef(
+    "qdate_funcs",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          expr("weekday(o_orderdate)").as("wd"), // 0=Monday (D11)
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus_30d"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+            .as("days_since_95"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some(
+      "SELECT o_orderkey, " +
+        "CAST(date_part('year', o_orderdate) AS INTEGER) AS yr, " +
+        "CAST(date_part('quarter', o_orderdate) AS INTEGER) AS qtr, " +
+        "CAST(date_part('month', o_orderdate) AS INTEGER) AS mo, " +
+        "CAST(date_part('day', o_orderdate) AS INTEGER) AS dy, " +
+        "CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(o_orderdate AS DATE) + 30 AS plus_30d, " +
+        "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS eom " +
+        "FROM orders ORDER BY o_orderkey"))
+
+  private val qmathFuncs = QueryDef(
+    "qmath_funcs",
+    build = (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - 950.0).as("abs_diff"),
+          ceil(col("p_retailprice")).cast(LongType).as("price_ceil"),
+          floor(col("p_retailprice")).cast(LongType).as("price_floor"),
+          sqrt(col("p_size").cast(DoubleType)).as("size_sqrt"),
+          pow(col("p_size").cast(DoubleType), 2.0).cast(LongType).as("size_sq"),
+          (col("p_size") % 7).as("size_mod7"),
+          signum(col("p_retailprice") - 950.0).cast(IntegerType).as("price_sign"),
+          round(log(col("p_size").cast(DoubleType)), 6).as("size_ln"),
+          round(log10(col("p_size").cast(DoubleType)), 6).as("size_log10"),
+          round(exp(col("p_size").cast(DoubleType) / 50.0), 6).as("size_exp"))
+        .orderBy(col("p_partkey")),
+    oracle = Some(
+      "SELECT p_partkey, " +
+        "abs(p_retailprice - 950.0) AS abs_diff, " +
+        "CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil, " +
+        "CAST(floor(p_retailprice) AS BIGINT) AS price_floor, " +
+        "sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt, " +
+        "CAST(pow(CAST(p_size AS DOUBLE), 2.0) AS BIGINT) AS size_sq, " +
+        "p_size % 7 AS size_mod7, " +
+        "CAST(sign(p_retailprice - 950.0) AS INTEGER) AS price_sign, " +
+        "round(ln(CAST(p_size AS DOUBLE)), 6) AS size_ln, " +
+        "round(log10(CAST(p_size AS DOUBLE)), 6) AS size_log10, " +
+        "round(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_exp " +
+        "FROM part ORDER BY p_partkey"))
+
+  private val qjsonFuncs = QueryDef(
+    "qjson_funcs",
+    build = (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("bucket", expr("CAST(k div 10 AS INT)"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("bucket")),
+    oracle = Some(
+      "WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) " +
+        "SELECT CAST(k // 10 AS INTEGER) AS bucket, count(*) AS n, " +
+        "min(k) AS min_k, max(k) AS max_k " +
+        "FROM e GROUP BY bucket ORDER BY bucket"))
+
+  private val qarrayFuncs = QueryDef(
+    "qarray_funcs",
+    build = (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
+          element_at(col("embedding"), 64).cast(DoubleType).as("last_elem"),
+          slice(col("embedding"), 1, 8).as("head8"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("dot_self"))
+        .orderBy(col("vec_id")),
+    oracle = Some(
+      "SELECT vec_id, " +
+        "len(embedding) AS n_dims, " +
+        "CAST(embedding[1] AS DOUBLE) AS first_elem, " +
+        "CAST(embedding[64] AS DOUBLE) AS last_elem, " +
+        "embedding[1:8] AS head8, " +
+        "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS dot_self " +
+        "FROM embeddings ORDER BY vec_id"))
+
+  private val qmapFuncs = QueryDef(
+    "qmap_funcs",
+    build = (spark, sfDir) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(spark, sfDir)
+        .select(
+          col("event_id"),
+          element_at(m, "k").as("k_val"),
+          size(map_keys(m)).cast(LongType).as("n_keys"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "SELECT event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, " +
+        "len(json_keys(props)) AS n_keys " +
+        "FROM events ORDER BY event_id"))
+
+  private val qexplodeWords = QueryDef(
+    "qexplode_words",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(20),
+    oracle = Some(
+      "SELECT word, count(*) AS n FROM " +
+        "(SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents) " +
+        "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qstrFuncs, qstrRegex, qstrFuzzy, qstrHashes, qdateFuncs, qmathFuncs,
+    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords)
 }

@@ -1,7 +1,117 @@
 package graft.etl.ops
 
-import graft.etl.QueryDef
+import graft.etl.{QueryDef, Tables}
+import graft.etl.Dets._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** §2.J streaming operators, declared in batch-equivalent form (Verify
+  * writes Parquet). The aggregation cores (`tumblingAgg`/`slidingAgg`/
+  * `sessionAgg`) are shared verbatim with the Structured Streaming suite
+  * (StreamingSpec) which runs them under MemoryStream + watermark — the
+  * same code, micro-batched, proving watermark/state semantics.
+  *
+  * D6: window bounds are emitted as epoch seconds/micros BIGINT, never raw
+  * timestamps (events.ts is ns in Parquet, µs in Spark, ns in DuckDB).
+  * Spark tumbling/sliding windows align to the epoch origin — the DuckDB
+  * oracle replicates alignment with time_bucket / double-bucket unnest,
+  * and session bounds with a gaps-and-islands rewrite (a gap STRICTLY
+  * greater than 30 min opens a new session — Spark's session_window merges
+  * an event landing exactly on the previous session's end).
+  */
 object StreamOps {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** Shared with StreamingSpec: count/sum per (1h tumbling window, type). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(d124(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+
+  private val qstreamTumbling = QueryDef(
+    "qstream_tumbling",
+    build = (spark, sfDir) =>
+      tumblingAgg(Tables.events(spark, sfDir))
+        .select(col("window.start").cast(LongType).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type")),
+    oracle = Some(
+      "WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, " +
+        "event_type, CAST(value AS DECIMAL(12,4)) AS v FROM events) " +
+        "SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, event_type, " +
+        "count(*) AS n, CAST(sum(v) AS DECIMAL(38,4)) AS sum_value " +
+        "FROM e GROUP BY w, event_type ORDER BY ws, event_type"))
+
+  /** Shared with StreamingSpec: 1h windows sliding 30min (2 per event). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(d124(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+
+  private val qstreamSliding = QueryDef(
+    "qstream_sliding",
+    build = (spark, sfDir) =>
+      slidingAgg(Tables.events(spark, sfDir))
+        .select(col("window.start").cast(LongType).as("ws"), col("n"), col("sum_value"))
+        .orderBy(col("ws")),
+    oracle = Some(
+      "WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, " +
+        "CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
+        "x AS (SELECT unnest([b, b - INTERVAL '30 minutes']) AS w, v FROM e) " +
+        "SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, count(*) AS n, " +
+        "CAST(sum(v) AS DECIMAL(38,4)) AS sum_value " +
+        "FROM x GROUP BY w ORDER BY ws"))
+
+  /** Shared with StreamingSpec: per-user 30-min-gap session windows. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  private val qstreamSession = QueryDef(
+    "qstream_session",
+    build = (spark, sfDir) =>
+      sessionAgg(Tables.events(spark, sfDir))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"),
+          (unix_micros(col("session_window.end")) - unix_micros(col("session_window.start"))
+            - lit(30L * 60 * 1000000)).as("dur_us"))
+        .orderBy(col("user_id"), col("start_us")),
+    oracle = Some(
+      "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        // strictly greater: Spark merges an event at exactly last+gap
+        // (verified in StreamingSpec "session gap semantics")
+        "g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events, " +
+        "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"))
+
+  /** Batch analogue of streaming dropDuplicatesWithinWatermark: exact dedup
+    * on (user_id, event_type, ts) keeping min event_id (D8 — never an
+    * arbitrary keeper). */
+  private val qstreamDedup = QueryDef(
+    "qstream_dedup",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("event_id"))
+      Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT event_id, user_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn " +
+        "FROM events) " +
+        "SELECT event_id, user_id, event_type, ts_us FROM d WHERE rn = 1 ORDER BY event_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup)
 }

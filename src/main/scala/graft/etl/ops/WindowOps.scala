@@ -1,7 +1,159 @@
 package graft.etl.ops
 
-import graft.etl.QueryDef
+import graft.etl.{QueryDef, Tables}
+import graft.etl.Dets._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** §2.E window functions. Every window ORDER BY carries a unique tiebreak
+  * (D9); rank/dense_rank windows order by the value only (their *values*
+  * are tie-stable) while row_number gets the tiebreak.
+  *
+  * Scale: one `Window.partitionBy` spec per query = one shuffle + one sort.
+  * `qwin_ntile_dist` is a deliberately global (unpartitioned) window —
+  * fine for a dimension table, a documented anti-pattern for facts.
+  */
 object WindowOps {
-  def defs: Seq[QueryDef] = Seq()
+
+  private val qwinRank = QueryDef(
+    "qwin_rank",
+    build = (spark, sfDir) => {
+      val byPrice = Window.partitionBy(col("o_orderpriority")).orderBy(desc("o_totalprice"))
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(total).as("rn"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    oracle = Some(
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn, " +
+        "rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk " +
+        "FROM orders ORDER BY o_orderpriority, rn"))
+
+  private val qwinTopkGroup = QueryDef(
+    "qwin_topk_group",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    oracle = Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"))
+
+  private val qwinLagLead = QueryDef(
+    "qwin_lag_lead",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_prev_us"),
+          (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("gap_next_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events) " +
+        "SELECT user_id, event_id, ts_us, " +
+        "ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_prev_us, " +
+        "lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS gap_next_us " +
+        "FROM e ORDER BY event_id"))
+
+  private val qwinRunning = QueryDef(
+    "qwin_running",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          sum(d124(col("o_totalprice"))).over(w).cast(DecimalType(38, 4)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some(
+      "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_total " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"))
+
+  /** Fractional RANGE frames need SQL text in Spark (the Scala
+    * Window.rangeBetween API is Long-only); the identical frame runs on
+    * both engines. Peers at equal `value` are frame-included, so counts
+    * are tie-stable (D9). */
+  private def rangeFrameSql(table: String): String =
+    "SELECT event_id, event_type, value, " +
+      "count(*) OVER (PARTITION BY event_type ORDER BY value " +
+      "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range " +
+      s"FROM $table ORDER BY event_id"
+
+  private val qwinRangeFrame = QueryDef(
+    "qwin_range_frame",
+    build = (spark, sfDir) =>
+      spark.sql(rangeFrameSql(Tables.view(spark, sfDir, "events"))),
+    oracle = Some(rangeFrameSql("events")))
+
+  /** percent_rank/cume_dist are integer-ratio doubles — bit-identical
+    * across engines given the same unique ordering; no rounding needed. */
+  private val qwinNtileDist = QueryDef(
+    "qwin_ntile_dist",
+    build = (spark, sfDir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(spark, sfDir)
+        .select(
+          col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some(
+      "SELECT c_custkey, c_acctbal, " +
+        "ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile, " +
+        "percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr, " +
+        "cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd " +
+        "FROM customer ORDER BY c_custkey"))
+
+  private val qwinFirstLast = QueryDef(
+    "qwin_first_last",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          first_value(col("o_totalprice")).over(w).as("first_price"),
+          last_value(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some(
+      "SELECT o_orderkey, o_custkey, " +
+        "first_value(o_totalprice) OVER w AS first_price, " +
+        "last_value(o_totalprice) OVER w AS last_price, " +
+        "nth_value(o_totalprice, 2) OVER w AS second_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_orderkey"))
+
+  def defs: Seq[QueryDef] = Seq(
+    qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
+    qwinNtileDist, qwinFirstLast)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.etl.Registry
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3 property checks for the no-oracle sketch operators and the
+  * vector kit (these have no DuckDB gate, so their correctness evidence
+  * lives here).
+  */
+class LlmSpec extends SparkFixture {
+
+  private def run(name: String) = Registry.byName(name).build(spark, sfTiny)
+
+  // documents only contain duplicate texts at sf0.1 (FIXTURES.md)
+  private val sfBench = "/root/testdata/sf0.1"
+  private def textDupPairs(sfDir: String): Set[(Long, Long)] = {
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+    docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash: duplicate texts are found by LSH banding with estimate 1.0") {
+    val dups = textDupPairs(sfBench)
+    assert(dups.nonEmpty, "fixture should contain duplicate texts at sf0.1")
+    val est = Registry.byName("qllm_minhash").build(spark, sfBench)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty, "banding produced no candidate pairs")
+    dups.foreach { p =>
+      assert(est.get(p).contains(1.0), s"dup pair $p missing or est != 1.0: ${est.get(p)}")
+    }
+  }
+
+  test("minhash estimates stay in [0,1]; pairs are canonical (a < b)") {
+    run("qllm_minhash").collect().foreach { r =>
+      val (a, b, e) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(a < b)
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
+  test("simhash: exact duplicate texts collide at hamming distance 0") {
+    val dupPairs = textDupPairs(sfBench)
+    assert(dupPairs.nonEmpty, "fixture should contain duplicate texts at sf0.1")
+    val ham = Registry.byName("qllm_simhash").build(spark, sfBench).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    dupPairs.foreach { p =>
+      assert(ham.get(p).contains(0), s"dup pair $p not found at hamming 0: ${ham.get(p)}")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val approx = run("qagg_approxhll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.etl.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k approx=$a exact=$n")
+    }
+  }
+
+  test("cosine similarity is in [-1, 1] and self-similarity is 1") {
+    val top = run("qllm_simsearch").collect()
+    assert(top.length == 10)
+    top.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
+    // dot_self from qarray_funcs vs norms: cos(v, v) == 1 within fp noise
+    val e = Registry.byName("qarray_funcs").build(spark, sfTiny).limit(5).collect()
+    e.foreach(r => assert(r.getDouble(5) > 0.0)) // dot_self positive
+  }
+
+  test("dedup is idempotent: re-deduplicating the dedup output is a no-op") {
+    val once = run("qdedup_exact")
+    assert(once.count() == once.dropDuplicates("text_md5").count())
+    val norm = run("qllm_dedup_norm")
+    assert(norm.count() == norm.dropDuplicates("norm_md5").count())
+  }
+}

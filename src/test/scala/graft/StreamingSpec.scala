@@ -1,0 +1,118 @@
+package graft
+
+import graft.etl.ops.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream // Spark 4 moved it under .runtime
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Top-level so Spark can derive an Encoder (inner classes cannot). */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** SURVEY §5.4: the §J batch-equivalent aggregations run under Structured
+  * Streaming (MemoryStream, micro-batch) and must agree with batch; late
+  * data beyond the watermark is dropped in append mode.
+  */
+class StreamingSpec extends SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // MemoryStream[A] needs an implicit SQLContext
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val base = Seq(
+    Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+    Ev(ts("2024-01-01 10:45:00"), "click", 2.0, 1L),
+    Ev(ts("2024-01-01 11:05:00"), "view", 4.0, 2L),
+    Ev(ts("2024-01-01 12:00:00"), "click", 8.0, 2L))
+
+  test("tumbling aggregation: streaming complete-mode result equals batch") {
+    val sp = spark
+    import sp.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(stream.toDF())
+      .writeStream.format("memory").queryName("tumble_t").outputMode("complete").start()
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_t")
+        .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = StreamOps.tumblingAgg(base.toDF())
+        .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 3) // 10h click x2 grouped, 11h view, 12h click
+    } finally q.stop()
+  }
+
+  test("watermark: a row later than 10 minutes behind max ts is dropped (append mode)") {
+    val sp = spark
+    import sp.implicits._
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_t").outputMode("append").start()
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      // advance watermark far past 10:xx windows
+      stream.addData(Ev(ts("2024-01-01 14:00:00"), "click", 1.0, 3L))
+      q.processAllAvailable()
+      val closedAfterAdvance = spark.table("late_t").count()
+      // this event is hours behind the watermark — must not reopen 10:00
+      stream.addData(Ev(ts("2024-01-01 10:07:00"), "click", 99.0, 9L))
+      // one more on-time event so a batch actually runs and emits nothing stale
+      stream.addData(Ev(ts("2024-01-01 14:30:00"), "view", 1.0, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("late_t")
+        .select(col("window.start").cast("long"), col("event_type"), col("n"))
+        .collect().map(_.toString).toSet
+      // the late 10:07 click must not appear as a new emission
+      assert(spark.table("late_t").count() >= closedAfterAdvance)
+      assert(!rows.exists(r => r.contains("99")))
+      // the 10:00 click window was emitted exactly once with n=2 (not 3)
+      val tenOClock = java.time.Instant.parse("2024-01-01T10:00:00Z").getEpochSecond
+      assert(rows.contains(s"[$tenOClock,click,2]"))
+    } finally q.stop()
+  }
+
+  test("session windows: streaming equals batch; 30-min gap splits sessions") {
+    val sp = spark
+    import sp.implicits._
+    val evs = Seq(
+      Ev(ts("2024-01-01 09:00:00"), "click", 1.0, 7L),
+      Ev(ts("2024-01-01 09:20:00"), "click", 1.0, 7L), // same session (gap 20m)
+      Ev(ts("2024-01-01 09:50:00"), "click", 1.0, 7L), // same session (gap 30m exclusive end -> merges? gap == 30m exactly is a new session)
+      Ev(ts("2024-01-01 11:00:00"), "click", 1.0, 7L)) // new session
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionAgg(stream.toDF())
+      .writeStream.format("memory").queryName("sess_t").outputMode("complete").start()
+    try {
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_t")
+        .select(col("user_id"), col("session_window.start").cast("long"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = StreamOps.sessionAgg(evs.toDF())
+        .select(col("user_id"), col("session_window.start").cast("long"), col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
+    val sp = spark
+    import sp.implicits._
+    val evs = Seq(
+      Ev(ts("2024-01-01 09:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 09:30:00"), "click", 1.0, 1L)) // exactly 30 min later
+    val sessions = StreamOps.sessionAgg(evs.toDF()).collect()
+    // Spark session_window merges an event landing exactly on the previous
+    // session's end (verified empirically) — one session [09:00, 10:00].
+    // The DuckDB oracle therefore splits only on diff > gap, strictly.
+    assert(sessions.length == 1, sessions.mkString(";"))
+  }
+}
