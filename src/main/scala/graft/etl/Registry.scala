@@ -24,7 +24,8 @@ object Registry {
       ops.ScalarOps.defs ++
       ops.LlmOps.defs ++
       ops.StreamOps.defs ++
-      ops.UdfOps.defs
+      ops.UdfOps.defs ++
+      graft.multimodal.Multimodal.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

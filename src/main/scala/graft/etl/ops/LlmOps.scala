@@ -29,15 +29,11 @@ import org.apache.spark.sql.types._
 object LlmOps {
 
   // ---- shared Spark-side vector kit ----------------------------------
-  private def asD(c: Column): Column = transform(c, _.cast(DoubleType))
-  private def sdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  private def snorm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
-  private def scos(a: Column, b: Column): Column = {
-    val ad = asD(a); val bd = asD(b)
-    sdot(ad, bd) / (sqrt(snorm2(ad)) * sqrt(snorm2(bd)))
-  }
+  // Native codegen'd Catalyst expression; accumulates in the same index
+  // order as the DuckDB oracle's list_reduce fold → bit-identical doubles
+  // (see graft.functions.CosineSimilarity).
+  private def scos(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   // ---- shared DuckDB-side vector kit (same fold order) ---------------
   private def ddot(a: String, b: String): String =
@@ -317,12 +313,22 @@ object LlmOps {
     "qllm_ngram_jaccard",
     build = (spark, sfDir) => {
       val sh = sparkShingles(Tables.documents(spark, sfDir))
-      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 20)
-      val shf = sh.join(keep.select("sh"), "sh")
-      val cnt = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = shf.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = shf.select(col("doc_id").as("doc_b"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      // Posting-list pair generation: one groupBy per shingle, then ordered
+      // pairs exploded from each (≤20-doc) posting list — O(Σ df²) bounded
+      // by the cap, instead of a full inverted-index self-join. This is the
+      // shape that survives 100 TB: no shingle-keyed row×row join, and the
+      // frequency cap kills the quadratic head of the distribution.
+      val posts = sh.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) <= 20)
+      val cnt = posts.select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = posts
+        .select(explode(expr(
+          "flatten(transform(docs, (a, i) -> " +
+            "transform(slice(docs, i + 2, size(docs) - i - 1), b -> struct(a AS doc_a, b AS doc_b))))"))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
       pairs
         .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -356,8 +362,19 @@ object LlmOps {
   private val qllmMinhash = QueryDef(
     "qllm_minhash",
     build = (spark, sfDir) => {
+      // One 64-bit hash per shingle, then 16 XOR-and-rehash mixes over the
+      // long as the permutation family — string bytes are hashed once, not
+      // 16 times (ANSI mode forbids wrapping multiplies, so no mul-mix).
+      val mixA = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL, 0x165667B19E3779F9L,
+        0x27D4EB2F165667C5L, 0x85EBCA77C2B2AE63L, 0xFF51AFD7ED558CCDL,
+        0xC4CEB9FE1A85EC53L, 0x2545F4914F6CDD1DL, 0x5851F42D4C957F2DL,
+        0x14057B7EF767814FL, 0xB5297A4D3A2D851BL, 0x68E31DA4C9F0E857L,
+        0x7FEB352D7FEB352DL, 0x846CA68B846CA68BL, 0x9E3779B97F4A7C55L,
+        0xD6E8FEB86659FD93L)
       val sh = sparkShingles(Tables.documents(spark, sfDir))
-      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+        .withColumn("h64", xxhash64(col("sh")))
+      val sigCols = (0 until 16).map(i =>
+        min(xxhash64(col("h64").bitwiseXOR(lit(mixA(i))))).as(s"h$i"))
       val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until 16).map(i => col(s"h$i")): _*))
         .select("doc_id", "sig")

@@ -11,7 +11,8 @@ import graft.etl.Registry
   */
 class RegistrySpec extends SparkFixture {
 
-  private val noOracleAllowed = Set("qagg_approxhll", "qllm_minhash", "qllm_simhash")
+  private val noOracleAllowed =
+    Set("qagg_approxhll", "qllm_minhash", "qllm_simhash", "qmm_features")
 
   test("inventory: every query has oracle SQL or a documented exemption") {
     val missing = Registry.all.filter(q => q.oracle.isEmpty && !noOracleAllowed(q.name))
