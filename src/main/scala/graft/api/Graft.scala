@@ -1,0 +1,162 @@
+package graft.api
+
+import graft.functions.VectorFunctions.cosine_similarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's reusable, table-agnostic operator surface. The declared
+  * SURVEY §2 queries are fixture-bound instantiations of these; a user
+  * brings their own DataFrames and calls these directly.
+  *
+  * Design rules carried over from the query layer:
+  *   - deterministic keepers everywhere (never an arbitrary-row winner);
+  *   - candidate generation is always bucketed (LSH bands / capped posting
+  *     lists), never an unbounded all-pairs join;
+  *   - shuffles carry fixed-width keys (hashes, signatures), not payloads.
+  */
+object Graft {
+
+  // ------------------------------------------------------------------
+  // Dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: keep the row with the smallest `keeper` per key. */
+  def dedupExact(df: DataFrame, key: Column, keeper: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(keeper)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Text normalization used by normalized dedup / fingerprinting:
+    * lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Constant-width dedup key: md5 prefix of the normalized text. */
+  def fingerprint(c: Column, hexLen: Int = 16): Column =
+    substring(md5(normalizeText(c)), 1, hexLen)
+
+  /** Distinct word-bigram shingles per document. */
+  def shingles(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = split(lower(text), " ")
+    df.select(id.as("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))).as("sh"))
+  }
+
+  /** MinHash signatures (k mixes of one xxhash64 per shingle) as an array
+    * column, one row per document. */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val mix = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL, 0x165667B19E3779F9L,
+      0x27D4EB2F165667C5L, 0x85EBCA77C2B2AE63L, 0xFF51AFD7ED558CCDL,
+      0xC4CEB9FE1A85EC53L, 0x2545F4914F6CDD1DL, 0x5851F42D4C957F2DL,
+      0x14057B7EF767814FL, 0xB5297A4D3A2D851BL, 0x68E31DA4C9F0E857L,
+      0x7FEB352D7FEB352DL, 0x846CA68B846CA68BL, 0x9E3779B97F4A7C55L,
+      0xD6E8FEB86659FD93L)
+    require(k <= mix.length, s"k <= ${mix.length}")
+    val hashed = sh.withColumn("__h64", xxhash64(col("sh")))
+    val sigCols = (0 until k).map(i =>
+      min(xxhash64(col("__h64").bitwiseXOR(lit(mix(i))))).as(s"h$i"))
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+  }
+
+  /** LSH-banded near-duplicate candidates from MinHash signatures:
+    * (doc_a < doc_b, matches, est_jaccard). */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x).as("matches"))
+      .distinct()
+      .withColumn("est_jaccard", col("matches").cast(DoubleType) / k.toDouble)
+  }
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  /** Brute-force top-k by cosine against one broadcast query vector.
+    * `queryRow` must be a 1-row frame with an `embedding` column. */
+  def topKByCosine(vectors: DataFrame, id: Column, vec: Column,
+      queryRow: DataFrame, k: Int): DataFrame =
+    vectors.crossJoin(broadcast(queryRow.select(col("embedding").as("__q"))))
+      .select(id.as("vec_id"), cosine_similarity(vec, col("__q")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+
+  /** IVF-style bucketed top-k: assign each vector to its best centroid
+    * (broadcast), then the top-k per cell. Centroids: (cid, c_emb). */
+  def ivfTopK(vectors: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, k: Int): DataFrame = {
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("cid"))
+    val topW = Window.partitionBy(col("cid")).orderBy(desc("sim"), asc("vec_id"))
+    vectors.select(id.as("vec_id"), vec.as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), cosine_similarity(col("__v"), col("c_emb")).as("sim"))
+      .withColumn("__arn", row_number().over(assignW))
+      .filter(col("__arn") === 1)
+      .withColumn("rnk", row_number().over(topW))
+      .filter(col("rnk") <= k)
+      .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
+  }
+
+  // ------------------------------------------------------------------
+  // Time series
+  // ------------------------------------------------------------------
+
+  /** Inner as-of join via a single per-key time-sorted window: for each
+    * `right` row, the greatest left `ts` at or before it. Left rows sort
+    * before right rows at equal timestamps (`>=` semantics). Emits the
+    * right frame plus `asof_ts` (the matched left timestamp).
+    *
+    * Scales linearly per key — never the quadratic theta-join shape.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val tagged = left.select(col(key), col(ts), lit(0).as("__kind"))
+      .unionByName(right.select(col(key), col(ts), lit(1).as("__kind")))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // asof_ts is functionally determined by (key, ts): collapse to one row
+    // per pair so the join-back preserves right's row multiplicity exactly
+    // even when right contains duplicate timestamps (caught by PropertySpec).
+    val matched = tagged
+      .withColumn("__asof", max(when(col("__kind") === 0, col(ts))).over(w))
+      .filter(col("__kind") === 1 && col("__asof").isNotNull)
+      .select(col(key), col(ts), col("__asof").as("asof_ts"))
+      .distinct()
+    right.join(matched, Seq(key, ts))
+  }
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  /** Per-row text quality metrics (word/unique/stopword counts, average
+    * word length) appended as columns. */
+  def textQuality(df: DataFrame, text: Column,
+      stopwords: Seq[String] = Seq("the", "and", "of", "to")): DataFrame = {
+    val words = split(text, " ")
+    val wordsLower = split(lower(text), " ")
+    df.withColumn("n_words", size(words).cast(LongType))
+      .withColumn("n_uniq", size(array_distinct(words)).cast(LongType))
+      .withColumn("n_stop",
+        size(filter(wordsLower, w => w.isin(stopwords: _*))).cast(LongType))
+      .withColumn("avg_wlen",
+        (length(text) - (col("n_words") - 1)).cast(DoubleType) / col("n_words").cast(DoubleType))
+  }
+}

@@ -362,35 +362,13 @@ object LlmOps {
   private val qllmMinhash = QueryDef(
     "qllm_minhash",
     build = (spark, sfDir) => {
-      // One 64-bit hash per shingle, then 16 XOR-and-rehash mixes over the
-      // long as the permutation family — string bytes are hashed once, not
-      // 16 times (ANSI mode forbids wrapping multiplies, so no mul-mix).
-      val mixA = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL, 0x165667B19E3779F9L,
-        0x27D4EB2F165667C5L, 0x85EBCA77C2B2AE63L, 0xFF51AFD7ED558CCDL,
-        0xC4CEB9FE1A85EC53L, 0x2545F4914F6CDD1DL, 0x5851F42D4C957F2DL,
-        0x14057B7EF767814FL, 0xB5297A4D3A2D851BL, 0x68E31DA4C9F0E857L,
-        0x7FEB352D7FEB352DL, 0x846CA68B846CA68BL, 0x9E3779B97F4A7C55L,
-        0xD6E8FEB86659FD93L)
-      val sh = sparkShingles(Tables.documents(spark, sfDir))
-        .withColumn("h64", xxhash64(col("sh")))
-      val sigCols = (0 until 16).map(i =>
-        min(xxhash64(col("h64").bitwiseXOR(lit(mixA(i))))).as(s"h$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        .withColumn("sig", array((0 until 16).map(i => col(s"h$i")): _*))
-        .select("doc_id", "sig")
-      val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(bnd =>
-          struct(lit(bnd).as("band"),
-            xxhash64((bnd * 4 until bnd * 4 + 4).map(i => col("sig")(i)): _*).as("bh"))): _*)).as("b"))
-        .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-      val l = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val r = bands.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x).as("matches"))
-        .distinct()
-        .withColumn("est_jaccard", col("matches").cast(DoubleType) / 16.0)
+      // Thin instantiation of the reusable API: shingle → MinHash
+      // signatures (one xxhash64 per shingle + 16 XOR-rehash mixes; ANSI
+      // mode forbids wrapping-multiply mixes) → LSH-banded candidates.
+      val docs = Tables.documents(spark, sfDir)
+      val sigs = graft.api.Graft.minhashSignatures(
+        graft.api.Graft.shingles(docs, col("doc_id"), col("text")))
+      graft.api.Graft.minhashCandidates(sigs)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     oracle = None)

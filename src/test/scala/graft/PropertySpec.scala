@@ -1,0 +1,116 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5.3 algebraic invariants over scalacheck-generated inputs.
+  * Generators are driven manually (fixed seed → reproducible failures)
+  * rather than via scalatestplus, which is not on the offline classpath.
+  */
+class PropertySpec extends SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def intDf(xs: Seq[Int]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    xs.toDF("x")
+  }
+
+  private val smallLists = Gen.listOfN(40, Gen.chooseNum(-50, 50))
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    samples(smallLists, 8).foreach { xs =>
+      val df = intDf(xs)
+      val a = df.filter(col("x") > 0).filter(col("x") % 2 === 0)
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val b = df.filter(col("x") > 0 && col("x") % 2 === 0)
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(a == b)
+    }
+  }
+
+  test("union additivity: count(a union b) == count(a) + count(b)") {
+    samples(Gen.zip(smallLists, smallLists), 8).foreach { case (xs, ys) =>
+      assert(intDf(xs).unionByName(intDf(ys)).count() == xs.size + ys.size)
+    }
+  }
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x); keeps one row per key") {
+    samples(smallLists, 8).foreach { xs =>
+      val df = intDf(xs).withColumn("id", monotonically_increasing_id())
+      val once = Graft.dedupExact(df, col("x"), col("id"))
+      val twice = Graft.dedupExact(once, col("x"), col("id"))
+      assert(once.collect().map(_.toString).sorted.toSeq ==
+        twice.collect().map(_.toString).sorted.toSeq)
+      assert(once.count() == xs.distinct.size)
+    }
+  }
+
+  test("rank values lie in [1, group size]") {
+    samples(smallLists.suchThat(_.nonEmpty), 8).foreach { xs =>
+      val df = intDf(xs).withColumn("g", pmod(col("x"), lit(3)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("x"))
+      val ranked = df.withColumn("r", rank().over(w))
+        .groupBy(col("g"))
+        .agg(max(col("r")).as("max_r"), count(lit(1)).as("n"))
+        .collect()
+      ranked.foreach(r => assert(r.getAs[Int]("max_r") <= r.getAs[Long]("n")))
+    }
+  }
+
+  test("cosine similarity stays in [-1, 1] and is symmetric") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    samples(Gen.zip(vecGen, vecGen), 10).foreach { case (a, b) =>
+      val sp = spark
+      import sp.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val row = df.select(
+        graft.functions.VectorFunctions.cosine_similarity(col("a"), col("b")).as("ab"),
+        graft.functions.VectorFunctions.cosine_similarity(col("b"), col("a")).as("ba"))
+        .collect()(0)
+      val (ab, ba) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(ab) <= 1.0 + 1e-9)
+      assert(ab == ba) // per-index op sequence is symmetric in a/b
+    }
+  }
+
+  test("asof join: matched timestamp is the greatest left ts <= right ts") {
+    val tsGen = Gen.listOfN(20, Gen.chooseNum(0L, 1000L))
+    samples(Gen.zip(tsGen, tsGen), 8).foreach { case (ls, rs) =>
+      val sp = spark
+      import sp.implicits._
+      val left = ls.map(t => (1L, t)).toDF("k", "t")
+      val right = rs.map(t => (1L, t)).toDF("k", "t")
+      val out = Graft.asofJoin(left, right, "k", "t").collect()
+      val sortedLeft = ls.sorted
+      out.foreach { r =>
+        val (t, asof) = (r.getAs[Long]("t"), r.getAs[Long]("asof_ts"))
+        val expected = sortedLeft.filter(_ <= t).lastOption
+        assert(expected.contains(asof), s"t=$t asof=$asof expected=$expected")
+      }
+      // rows with no prior-or-equal left event are dropped (inner as-of)
+      val unmatched = rs.count(t => !ls.exists(_ <= t))
+      assert(out.length == rs.size - unmatched)
+    }
+  }
+
+  test("minhash API: identical texts collide with estimate 1.0") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val sigs = Graft.minhashSignatures(Graft.shingles(docs, col("doc_id"), col("text")))
+    val cands = Graft.minhashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cands.get((0L, 1L)).contains(1.0))
+  }
+}
