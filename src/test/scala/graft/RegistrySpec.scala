@@ -25,6 +25,20 @@ class RegistrySpec extends SparkFixture {
     assert(names.forall(_.matches("q[a-z]+_[a-z0-9_]+")), names.filterNot(_.matches("q[a-z]+_[a-z0-9_]+")))
   }
 
+  test("SURVEY §2.2 and the Registry agree exactly (no inventory drift)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val surveyKeys =
+      ("`(q(?:scan|filter|project|join|agg|win|sort|set|dedup|str|date|math|json|array|map" +
+        "|explode|llm|stream|udf|udaf|udtf|mm)_[a-z0-9_]+)`").r
+        .findAllMatchIn(survey).map(_.group(1)).toSet
+    val registryKeys = Registry.all.map(_.name).toSet
+    assert(registryKeys.subsetOf(surveyKeys),
+      s"in Registry but not SURVEY: ${registryKeys -- surveyKeys}")
+    assert(surveyKeys.subsetOf(registryKeys),
+      s"in SURVEY but not Registry: ${surveyKeys -- registryKeys}")
+  }
+
   test("every declared query is deterministic at sf0.001 (run-twice byte equality)") {
     Registry.all.foreach { q =>
       val a = q.build(spark, sfTiny).collect().map(_.toString).toSeq
