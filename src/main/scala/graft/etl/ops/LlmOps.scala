@@ -378,16 +378,14 @@ object LlmOps {
   private val qllmSimhash = QueryDef(
     "qllm_simhash",
     build = (spark, sfDir) => {
+      // Native TypedImperativeAggregate: one 64-counter vote buffer per doc
+      // instead of 64 sum(CASE ...) columns — same fingerprints (votes are
+      // commutative), a fraction of the aggregation state.
       val words = Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
         .withColumn("h", xxhash64(col("w")))
-      val bitCols = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val fp = words.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .withColumn("fp", (0 until 64)
-          .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_ + _))
-        .select("doc_id", "fp")
+      val fp = words.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhash(col("h")).as("fp"))
       val banded = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
