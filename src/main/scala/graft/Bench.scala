@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the executor pool + codegen pipeline so one-time session cost
-    // is not attributed to whichever query the Map yields first.
+    // Warm up the executor pool, codegen pipeline AND the parquet reader
+    // stack so one-time session cost is not attributed to whichever query
+    // the Map yields first.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

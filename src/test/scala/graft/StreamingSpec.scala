@@ -103,6 +103,32 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over a parquet directory equals batch") {
+    // the §J aggregations must also run against a real file stream, not
+    // just MemoryStream: copy the sf0.001 events into a stream directory
+    // and micro-batch it one file at a time.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = graft.etl.Tables.events(spark, sfTiny)
+    events.repartition(3).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.tumblingAgg(streamed)
+      .writeStream.format("memory").queryName("file_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_t")
+        .select(col("window.start").cast("long"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      val want = StreamOps.tumblingAgg(events)
+        .select(col("window.start").cast("long"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
