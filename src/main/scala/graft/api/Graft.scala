@@ -48,23 +48,13 @@ object Graft {
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))).as("sh"))
   }
 
-  /** MinHash signatures (k mixes of one xxhash64 per shingle) as an array
-    * column, one row per document. */
-  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
-    val mix = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL, 0x165667B19E3779F9L,
-      0x27D4EB2F165667C5L, 0x85EBCA77C2B2AE63L, 0xFF51AFD7ED558CCDL,
-      0xC4CEB9FE1A85EC53L, 0x2545F4914F6CDD1DL, 0x5851F42D4C957F2DL,
-      0x14057B7EF767814FL, 0xB5297A4D3A2D851BL, 0x68E31DA4C9F0E857L,
-      0x7FEB352D7FEB352DL, 0x846CA68B846CA68BL, 0x9E3779B97F4A7C55L,
-      0xD6E8FEB86659FD93L)
-    require(k <= mix.length, s"k <= ${mix.length}")
-    val hashed = sh.withColumn("__h64", xxhash64(col("sh")))
-    val sigCols = (0 until k).map(i =>
-      min(xxhash64(col("__h64").bitwiseXOR(lit(mix(i))))).as(s"h$i"))
-    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
-      .select("doc_id", "sig")
-  }
+  /** MinHash signatures (k XOR-rehash permutations of one xxhash64 per
+    * shingle) as an array column, one row per document — computed by the
+    * native [[graft.functions.MinHashAgg]] (single k-minima buffer). */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
+    sh.withColumn("__h64", xxhash64(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_signature(col("__h64"), k).as("sig"))
 
   /** LSH-banded near-duplicate candidates from MinHash signatures:
     * (doc_a < doc_b, matches, est_jaccard). */
@@ -83,6 +73,31 @@ object Graft {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x).as("matches"))
       .distinct()
       .withColumn("est_jaccard", col("matches").cast(DoubleType) / k.toDouble)
+  }
+
+  /** 64-bit SimHash fingerprints over distinct lowercase whitespace tokens
+    * (native [[graft.functions.SimHashAgg]] vote-buffer aggregate). */
+  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(array_distinct(split(lower(text), " "))).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash(col("__h")).as("fp"))
+
+  /** Near-duplicate candidates from SimHash fingerprints: pairs sharing any
+    * 16-bit band, with exact Hamming distance ≤ maxHamming. */
+  def simhashCandidates(fp: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("fp"), j * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val l = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------------------

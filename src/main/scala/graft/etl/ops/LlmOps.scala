@@ -378,26 +378,12 @@ object LlmOps {
   private val qllmSimhash = QueryDef(
     "qllm_simhash",
     build = (spark, sfDir) => {
-      // Native TypedImperativeAggregate: one 64-counter vote buffer per doc
-      // instead of 64 sum(CASE ...) columns — same fingerprints (votes are
-      // commutative), a fraction of the aggregation state.
-      val words = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-      val fp = words.groupBy(col("doc_id"))
-        .agg(graft.functions.SimHashAgg.simhash(col("h")).as("fp"))
-      val banded = fp.select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            shiftright(col("fp"), j * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("b"))
-        .select(col("doc_id"), col("fp"), col("b.band").as("band"), col("b.bv").as("bv"))
-      val l = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val r = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      l.join(r, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(fp_a ^ fp_b)").cast(IntegerType).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 16)
+      // Thin instantiation of the reusable API (native SimHashAgg vote
+      // buffer + 16-bit banding + exact Hamming cut).
+      val docs = Tables.documents(spark, sfDir)
+      graft.api.Graft.simhashCandidates(
+          graft.api.Graft.simhashFingerprints(docs, col("doc_id"), col("text")),
+          maxHamming = 16)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     oracle = None)
