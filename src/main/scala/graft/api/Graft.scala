@@ -39,13 +39,31 @@ object Graft {
   def fingerprint(c: Column, hexLen: Int = 16): Column =
     substring(md5(normalizeText(c)), 1, hexLen)
 
-  /** Distinct word-bigram shingles per document. */
+  /** Distinct word-bigram shingles per document (as strings — needed when
+    * an oracle must reproduce the shingle universe exactly). */
   def shingles(df: DataFrame, id: Column, text: Column): DataFrame = {
     val words = split(lower(text), " ")
     df.select(id.as("doc_id"),
       explode(array_distinct(transform(
         sequence(lit(1), size(words) - 1),
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))).as("sh"))
+  }
+
+  /** Distinct word-bigram shingle HASHES per document: hash each word once,
+    * then hash adjacent word-hash pairs — no bigram string is ever built.
+    * The 100 TB shape for sketching: the only per-token cost is one hash,
+    * and everything downstream (signatures, bands) carries longs. */
+  def shingleHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = split(lower(text), " ")
+    // Materialize the word-hash array in its own projection: referenced
+    // twice below, so CollapseProject keeps it a single evaluation — inline
+    // it and Catalyst re-expands the whole array per index (O(n²) hashing,
+    // observed as a 6× regression before this split).
+    df.select(id.as("doc_id"), transform(words, w => xxhash64(w)).as("__wh"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__wh")) - 1),
+          i => xxhash64(element_at(col("__wh"), i), element_at(col("__wh"), i + 1))))).as("h64"))
   }
 
   /** MinHash signatures (k XOR-rehash permutations of one xxhash64 per
@@ -55,6 +73,11 @@ object Graft {
     sh.withColumn("__h64", xxhash64(col("sh")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash_signature(col("__h64"), k).as("sig"))
+
+  /** Same, over pre-hashed shingles from [[shingleHashes]]. */
+  def minhashSignaturesFromHashes(sh: DataFrame, k: Int = 16): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_signature(col("h64"), k).as("sig"))
 
   /** LSH-banded near-duplicate candidates from MinHash signatures:
     * (doc_a < doc_b, matches, est_jaccard). */

@@ -362,12 +362,12 @@ object LlmOps {
   private val qllmMinhash = QueryDef(
     "qllm_minhash",
     build = (spark, sfDir) => {
-      // Thin instantiation of the reusable API: shingle → MinHash
-      // signatures (one xxhash64 per shingle + 16 XOR-rehash mixes; ANSI
-      // mode forbids wrapping-multiply mixes) → LSH-banded candidates.
+      // Thin instantiation of the reusable API: hashed shingles (no bigram
+      // strings built — one word hash + one pair hash per token) → native
+      // MinHashAgg signatures → LSH-banded candidates.
       val docs = Tables.documents(spark, sfDir)
-      val sigs = graft.api.Graft.minhashSignatures(
-        graft.api.Graft.shingles(docs, col("doc_id"), col("text")))
+      val sigs = graft.api.Graft.minhashSignaturesFromHashes(
+        graft.api.Graft.shingleHashes(docs, col("doc_id"), col("text")))
       graft.api.Graft.minhashCandidates(sigs)
         .orderBy(col("doc_a"), col("doc_b"))
     },
