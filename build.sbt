@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Tests/fixtures build java.sql.Timestamps from local-zone APIs in places;
+  // pin the JVM zone so results don't depend on the host's /etc/localtime.
+  "-Duser.timezone=UTC",
+  // Harness-only logging config. Deliberately NOT in src/main/resources:
+  // a log4j2.properties packaged into the library jar would override any
+  // downstream application's own logging configuration.
+  s"-Dlog4j2.configurationFile=file:${baseDirectory.value}/conf/log4j2.properties",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -63,6 +63,30 @@ def main():
             fails.append(f"{name}: oracle SQL error: {e}")
             print(f"FAIL {name}: oracle SQL error: {e}")
             continue
+        # Driver-compat lint: the driver compares via pandas (sort_values +
+        # value hashing). Decimal columns surface as Decimal objects from
+        # Spark parquet but float64 from DuckDB => guaranteed hash mismatch;
+        # list columns crash its lexsort (unhashable ndarray); tz-aware
+        # timestamps differ from DuckDB's naive ones. Ban them all outright.
+        bad_types = [f"{f.name}:{f.type}" for f in spark_tbl.schema
+                     if str(f.type).startswith(("decimal", "list", "large_list"))
+                     or "tz=" in str(f.type)]
+        if bad_types:
+            fails.append(f"{name}: driver-hostile column types {bad_types}")
+            print(f"FAIL {name}: driver-hostile column types {bad_types}")
+            continue
+        # int width differences hash-match in the driver (pandas integer
+        # hashing is value-based — verified round 1: qwin_rank et al. passed
+        # with int32 vs int64), so normalize widths; same for string repr.
+        norm = lambda t: (str(t).replace("large_string", "string")
+                          .replace("int8", "int64").replace("int16", "int64")
+                          .replace("int32", "int64"))
+        stypes = {f.name: norm(f.type) for f in spark_tbl.schema}
+        dtypes = {f.name: norm(f.type) for f in duck_tbl.schema}
+        if stypes != dtypes:
+            fails.append(f"{name}: arrow types differ {stypes} vs {dtypes}")
+            print(f"FAIL {name}: arrow types spark={stypes} duck={dtypes}")
+            continue
         scols, srows = cells(spark_tbl)
         dcols, drows = cells(duck_tbl)
         if scols != dcols:

@@ -80,9 +80,17 @@ object Graft {
       .agg(graft.functions.MinHashAgg.minhash_signature(col("h64"), k).as("sig"))
 
   /** LSH-banded near-duplicate candidates from MinHash signatures:
-    * (doc_a < doc_b, matches, est_jaccard). */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+    * (doc_a < doc_b, matches, est_jaccard).
+    *
+    * Signature length vs `bands*rows`: signatures are sliced to the first
+    * `bands*rows` elements before both banding and match counting, so a
+    * LONGER signature (minhashSignatures(k=20) with 4×4 bands) yields
+    * correct estimates ≤ 1.0 over the banded prefix; a SHORTER signature
+    * fails fast — `sig(i)` past the end raises under ANSI mode (Spark 4
+    * default) instead of degenerating into null-skipping band hashes. */
+  def minhashCandidates(sigs0: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
     val k = bands * rows
+    val sigs = sigs0.select(col("doc_id"), slice(col("sig"), 1, k).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -50,6 +50,16 @@ object Dets {
 
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** D15: decimal result columns are emitted as fixed-scale STRINGS on both
+    * engines. The harness compares results through pandas, where Spark
+    * parquet decimals surface as `Decimal` objects but DuckDB decimals
+    * convert to float64 — guaranteed hash mismatch even when the values are
+    * identical (observed: every round-1 `hash_match: false` had a decimal
+    * output column; CORRECTNESS_r01.json). decimal→string is exact and
+    * renders identically in both engines (full scale digits, verified:
+    * `1.5000`, `56120969.633652854400`). */
+  def decStr(c: Column): Column = c.cast(org.apache.spark.sql.types.StringType)
+
   /** D2: exact decimal before any aggregation of a double measure. */
   def d124(c: Column): Column = dec(c, 12, 4)
 

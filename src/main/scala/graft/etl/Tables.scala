@@ -102,12 +102,22 @@ object Tables {
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
-  // Memo key includes the session identity: DataFrames are session-bound.
-  private val memo = TrieMap.empty[(Int, String, String), DataFrame]
+  // DataFrames are session-bound, so the memo is keyed by the session
+  // OBJECT in a weak-keyed map: entries vanish with their session (no leak
+  // for stopped sessions, no identity-hash collision against a new one).
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+
+  private def sessionMemo(spark: SparkSession): TrieMap[(String, String), DataFrame] =
+    memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) { m = TrieMap.empty; memo.put(spark, m) }
+      m
+    }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name),
+    sessionMemo(spark).getOrElseUpdate(
+      (sfDir, name),
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet"))
 
   /** Registers `name` as a temp view (unique per sfDir) and returns the

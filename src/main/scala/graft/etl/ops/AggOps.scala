@@ -36,10 +36,10 @@ object AggOps {
       li.filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(q).cast(DecimalType(38, 4)).as("sum_qty"),
-          sum(price).cast(DecimalType(38, 4)).as("sum_base_price"),
-          sum(price * (one124 - disc)).cast(DecimalType(38, 8)).as("sum_disc_price"),
-          sum(price * (one124 - disc) * (one124 + tax)).cast(DecimalType(38, 12)).as("sum_charge"),
+          decStr(sum(q).cast(DecimalType(38, 4))).as("sum_qty"),
+          decStr(sum(price).cast(DecimalType(38, 4))).as("sum_base_price"),
+          decStr(sum(price * (one124 - disc)).cast(DecimalType(38, 8))).as("sum_disc_price"),
+          decStr(sum(price * (one124 - disc) * (one124 + tax)).cast(DecimalType(38, 12))).as("sum_charge"),
           (sum(q).cast(DoubleType) / n.cast(DoubleType)).as("avg_qty"),
           (sum(price).cast(DoubleType) / n.cast(DoubleType)).as("avg_price"),
           (sum(disc).cast(DoubleType) / n.cast(DoubleType)).as("avg_disc"),
@@ -48,10 +48,10 @@ object AggOps {
     },
     oracle = Some(
       "SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS sum_disc_price, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,12)) AS sum_charge, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_qty, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_base_price, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS STRING) AS sum_disc_price, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,12)) AS STRING) AS sum_charge, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price, " +
         "CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc, " +
@@ -113,7 +113,7 @@ object AggOps {
     "SELECT o_orderstatus, o_orderpriority, " +
       "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
       "CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio, " +
-      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+      "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue, " +
       "count(*) AS n " +
       s"FROM $table " +
       "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
@@ -134,7 +134,7 @@ object AggOps {
         .agg(
           grouping(col("order_year")).cast(IntegerType).as("g_year"),
           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
-          sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("revenue"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("g_year"), col("g_status"),
           asc_nulls_first("order_year"), asc_nulls_first("o_orderstatus")),
@@ -142,7 +142,7 @@ object AggOps {
       "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, o_orderstatus, " +
         "CAST(grouping(order_year) AS INTEGER) AS g_year, " +
         "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue, " +
         "count(*) AS n " +
         "FROM orders GROUP BY ROLLUP (order_year, o_orderstatus) " +
         "ORDER BY g_year, g_status, order_year NULLS FIRST, o_orderstatus NULLS FIRST"))
@@ -155,7 +155,7 @@ object AggOps {
         .agg(
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
-          sum(d124(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+          decStr(sum(d124(col("l_quantity"))).cast(DecimalType(38, 4))).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("g_flag"), col("g_status"),
           asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
@@ -163,7 +163,7 @@ object AggOps {
       "SELECT l_returnflag, l_linestatus, " +
         "CAST(grouping(l_returnflag) AS INTEGER) AS g_flag, " +
         "CAST(grouping(l_linestatus) AS INTEGER) AS g_status, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_qty, " +
         "count(*) AS n " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
@@ -178,15 +178,15 @@ object AggOps {
         .agg(sum(d124(col("o_totalprice"))))
         .select(
           col("order_year"),
-          col("F").cast(DecimalType(38, 4)).as("f_total"),
-          col("O").cast(DecimalType(38, 4)).as("o_total"),
-          col("P").cast(DecimalType(38, 4)).as("p_total"))
+          decStr(col("F").cast(DecimalType(38, 4))).as("f_total"),
+          decStr(col("O").cast(DecimalType(38, 4))).as("o_total"),
+          decStr(col("P").cast(DecimalType(38, 4))).as("p_total"))
         .orderBy(col("order_year")),
     oracle = Some(
       "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, " +
-        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS f_total, " +
-        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS o_total, " +
-        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS p_total " +
+        "CAST(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS STRING) AS f_total, " +
+        "CAST(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS STRING) AS o_total, " +
+        "CAST(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS STRING) AS p_total " +
         "FROM orders GROUP BY order_year ORDER BY order_year"))
 
   /** Exact median/p90 with pure decimal interpolation: index arithmetic is
@@ -198,12 +198,12 @@ object AggOps {
       "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn, " +
       s"count(*) OVER (PARTITION BY o_orderstatus) AS n FROM $table) " +
       "SELECT st AS o_orderstatus, " +
-      s"CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN v END) + max(CASE WHEN rn = n $idiv 2 + 1 THEN v END)) " +
-      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,5)) AS median_price, " +
-      s"CAST(max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END) + " +
+      s"CAST(CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN v END) + max(CASE WHEN rn = n $idiv 2 + 1 THEN v END)) " +
+      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,5)) AS STRING) AS median_price, " +
+      s"CAST(CAST(max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END) + " +
       s"(coalesce(max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 2 THEN v END), max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END)) " +
       s"- max(CASE WHEN rn = (9*(n-1)) $idiv 10 + 1 THEN v END)) " +
-      "* (CAST((9*(n-1)) % 10 AS DECIMAL(2,0)) * CAST(0.1 AS DECIMAL(2,1))) AS DECIMAL(18,6)) AS p90_price " +
+      "* (CAST((9*(n-1)) % 10 AS DECIMAL(2,0)) * CAST(0.1 AS DECIMAL(2,1))) AS DECIMAL(18,6)) AS STRING) AS p90_price " +
       "FROM s GROUP BY st, n ORDER BY st" // n is group-constant; Spark (unlike
       // DuckDB) insists it be grouped to appear inside the aggregate CASEs
 

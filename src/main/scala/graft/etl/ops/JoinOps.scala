@@ -26,13 +26,13 @@ object JoinOps {
       o.join(c, col("o_custkey") === col("c_custkey"), "inner")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
-          sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("revenue"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_custkey"))
     },
     oracle = Some(
       "SELECT c_custkey, c_name, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue, " +
         "count(*) AS n_orders " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_custkey, c_name ORDER BY c_custkey"))
@@ -46,12 +46,12 @@ object JoinOps {
         .groupBy(col("p_partkey"))
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(d124(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"))
+          decStr(sum(d124(col("l_quantity"))).cast(DecimalType(38, 4))).as("sum_qty"))
         .orderBy(col("p_partkey"))
     },
     oracle = Some(
       "SELECT p_partkey, count(*) AS n_lines, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#7' " +
         "GROUP BY p_partkey ORDER BY p_partkey"))
 
@@ -210,14 +210,14 @@ object JoinOps {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
         .agg(
-          sum(d124(col("l_extendedprice")) * (one124 - d124(col("l_discount"))))
-            .cast(DecimalType(38, 8)).as("revenue"),
+          decStr(sum(d124(col("l_extendedprice")) * (one124 - d124(col("l_discount"))))
+            .cast(DecimalType(38, 8))).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("r_name"), col("order_year"))
     },
     oracle = Some(
       "SELECT r_name, CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS STRING) AS revenue, " +
         "count(*) AS n_lines " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +

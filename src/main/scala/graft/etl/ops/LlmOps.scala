@@ -184,9 +184,9 @@ object LlmOps {
       "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
       s"count(*) OVER (PARTITION BY source) AS n FROM $table) " +
       "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
-      s"CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN CAST(n_chars AS DECIMAL(12,1)) END) + " +
+      s"CAST(CAST((max(CASE WHEN rn = (n-1) $idiv 2 + 1 THEN CAST(n_chars AS DECIMAL(12,1)) END) + " +
       s"max(CASE WHEN rn = n $idiv 2 + 1 THEN CAST(n_chars AS DECIMAL(12,1)) END)) " +
-      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,2)) AS median_chars " +
+      "* CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(18,2)) AS STRING) AS median_chars " +
       "FROM s GROUP BY source, n ORDER BY source"
 
   private val qllmSourceProfile = QueryDef(

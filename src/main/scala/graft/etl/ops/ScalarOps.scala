@@ -189,21 +189,28 @@ object ScalarOps {
     "qarray_funcs",
     build = (spark, sfDir) =>
       Tables.embeddings(spark, sfDir)
-        .select(
+        .select(Seq(
           col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
           element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
-          element_at(col("embedding"), 64).cast(DoubleType).as("last_elem"),
-          slice(col("embedding"), 1, 8).as("head8"),
+          element_at(col("embedding"), 64).cast(DoubleType).as("last_elem")) ++
+          // list columns crash the harness's pandas row-sort (unhashable
+          // ndarray), and ANY decimal rendering of floats can hit rounding
+          // ties where Java (half-up) and C (half-even) disagree — observed
+          // on the dyadic 0.22314453125 at %.9e. So emit the slice as eight
+          // scalar DOUBLE columns: float→double widening is exact and
+          // bit-identical on both engines, no formatting involved.
+          (1 to 8).map(i => element_at(slice(col("embedding"), 1, 8), i)
+            .cast(DoubleType).as(s"head8_$i")) ++ Seq(
           aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("dot_self"))
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("dot_self")): _*)
         .orderBy(col("vec_id")),
     oracle = Some(
       "SELECT vec_id, " +
         "len(embedding) AS n_dims, " +
         "CAST(embedding[1] AS DOUBLE) AS first_elem, " +
         "CAST(embedding[64] AS DOUBLE) AS last_elem, " +
-        "embedding[1:8] AS head8, " +
+        (1 to 8).map(i => s"CAST(embedding[1:8][$i] AS DOUBLE) AS head8_$i, ").mkString +
         "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS dot_self " +
         "FROM embeddings ORDER BY vec_id"))
 

@@ -79,8 +79,8 @@ object ScanOps {
       Tables.lineitem(spark, sfDir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          (d124(col("l_extendedprice")) * (one124 - d124(col("l_discount")))
-            * (one124 + d124(col("l_tax")))).cast(DecimalType(38, 12)).as("gross"),
+          decStr((d124(col("l_extendedprice")) * (one124 - d124(col("l_discount")))
+            * (one124 + d124(col("l_tax")))).cast(DecimalType(38, 12))).as("gross"),
           when(col("l_quantity") >= 40, "bulk")
             .when(col("l_quantity") >= 10, "mid")
             .otherwise("small").as("size_class"),
@@ -92,7 +92,7 @@ object ScanOps {
     },
     oracle = Some(
       "SELECT l_orderkey, l_linenumber, " +
-        "CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)) AS gross, " +
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)) AS STRING) AS gross, " +
         "CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS size_class, " +
         "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag2, " +
         "greatest(l_tax, l_discount) AS hi_rate, " +

@@ -33,13 +33,13 @@ object StreamOps {
     build = (spark, sfDir) =>
       tumblingAgg(Tables.events(spark, sfDir))
         .select(col("window.start").cast(LongType).as("ws"), col("event_type"),
-          col("n"), col("sum_value"))
+          col("n"), decStr(col("sum_value")).as("sum_value"))
         .orderBy(col("ws"), col("event_type")),
     oracle = Some(
       "WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, " +
         "event_type, CAST(value AS DECIMAL(12,4)) AS v FROM events) " +
         "SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, event_type, " +
-        "count(*) AS n, CAST(sum(v) AS DECIMAL(38,4)) AS sum_value " +
+        "count(*) AS n, CAST(CAST(sum(v) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
         "FROM e GROUP BY w, event_type ORDER BY ws, event_type"))
 
   /** Shared with StreamingSpec: 1h windows sliding 30min (2 per event). */
@@ -51,14 +51,14 @@ object StreamOps {
     "qstream_sliding",
     build = (spark, sfDir) =>
       slidingAgg(Tables.events(spark, sfDir))
-        .select(col("window.start").cast(LongType).as("ws"), col("n"), col("sum_value"))
+        .select(col("window.start").cast(LongType).as("ws"), col("n"), decStr(col("sum_value")).as("sum_value"))
         .orderBy(col("ws")),
     oracle = Some(
       "WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, " +
         "CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
         "x AS (SELECT unnest([b, b - INTERVAL '30 minutes']) AS w, v FROM e) " +
         "SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, count(*) AS n, " +
-        "CAST(sum(v) AS DECIMAL(38,4)) AS sum_value " +
+        "CAST(CAST(sum(v) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
         "FROM x GROUP BY w ORDER BY ws"))
 
   /** Shared with StreamingSpec: per-user 30-min-gap session windows. */

@@ -1,6 +1,7 @@
 package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
+import graft.etl.Dets._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -65,13 +66,13 @@ object UdfOps {
       val ssq = udaf(SumSquares)
       Tables.lineitem(spark, sfDir)
         .groupBy(col("l_returnflag"))
-        .agg(ssq(col("l_quantity")).cast(DecimalType(38, 8)).as("sum_sq_qty"),
+        .agg(decStr(ssq(col("l_quantity")).cast(DecimalType(38, 8))).as("sum_sq_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
     oracle = Some(
       "SELECT l_returnflag, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS sum_sq_qty, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS STRING) AS sum_sq_qty, " +
         "count(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 

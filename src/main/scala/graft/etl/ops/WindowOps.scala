@@ -83,14 +83,14 @@ object WindowOps {
         .select(
           col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_date"),
-          sum(d124(col("o_totalprice"))).over(w).cast(DecimalType(38, 4)).as("running_total"))
+          decStr(sum(d124(col("o_totalprice"))).over(w).cast(DecimalType(38, 4))).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     oracle = Some(
       "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_total " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS STRING) AS running_total " +
         "FROM orders ORDER BY o_custkey, o_orderkey"))
 
   /** Fractional RANGE frames need SQL text in Spark (the Scala

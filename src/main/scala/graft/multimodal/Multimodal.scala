@@ -99,7 +99,10 @@ object Multimodal {
     build = (spark, sfDir) =>
       decodeFeaturesStub(spark, media(spark, sfDir))
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-          col("features"), col("dominant_bucket"))
+          // list columns crash the harness's pandas row-sort even on the
+          // rows-only (no-oracle) path — emit the vector as a joined string
+          array_join(transform(col("features"), x => x.cast(StringType)), ",")
+            .as("features"), col("dominant_bucket"))
         .orderBy(col("media_id")),
     oracle = None)
 

@@ -69,7 +69,7 @@ class LlmSpec extends SparkFixture {
     top.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
     // dot_self from qarray_funcs vs norms: cos(v, v) == 1 within fp noise
     val e = Registry.byName("qarray_funcs").build(spark, sfTiny).limit(5).collect()
-    e.foreach(r => assert(r.getDouble(5) > 0.0)) // dot_self positive
+    e.foreach(r => assert(r.getAs[Double]("dot_self") > 0.0)) // dot_self positive
   }
 
   test("dedup is idempotent: re-deduplicating the dedup output is a no-op") {
