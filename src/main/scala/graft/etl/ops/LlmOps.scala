@@ -49,14 +49,8 @@ object LlmOps {
   private val dnormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  // ---- shared word-bigram shingles -----------------------------------
-  private def sparkShingles(docs: DataFrame): DataFrame = {
-    val words = split(lower(col("text")), " ")
-    docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(words) - 1),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))).as("sh"))
-  }
+  // (word-bigram shingles as strings live in graft.api.Graft.shingles;
+  // every declared query now uses the hashed variant, shingleHashes)
 
   private val qllmDedupNorm = QueryDef(
     "qllm_dedup_norm",
@@ -308,11 +302,19 @@ object LlmOps {
 
   /** Exact n-gram (word-bigram) Jaccard over a shingle inverted index with
     * a doc-frequency cap — candidate generation never goes all-pairs. The
-    * jaccard >= 0.25 cut is the integer inequality 4·common >= union. */
+    * jaccard >= 0.25 cut is the integer inequality 4·common >= union.
+    *
+    * Shingles are carried as 64-bit hashes ([[graft.api.Graft.shingleHashes]]
+    * — one word hash + one pair hash, no bigram string ever built), so the
+    * groupBy shuffles fixed-width longs instead of strings. Set counts are
+    * identical to the string-shingle oracle modulo xxhash64 collisions
+    * (p ≈ n²/2⁶⁵ ≈ 1e-8 at sf0.1 — verified hash-identical at all gate SFs). */
   private val qllmNgramJaccard = QueryDef(
     "qllm_ngram_jaccard",
     build = (spark, sfDir) => {
-      val sh = sparkShingles(Tables.documents(spark, sfDir))
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
       // Posting-list pair generation: one groupBy per shingle, then ordered
       // pairs exploded from each (≤20-doc) posting list — O(Σ df²) bounded
       // by the cap, instead of a full inverted-index self-join. This is the
