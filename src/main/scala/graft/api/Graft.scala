@@ -161,6 +161,30 @@ object Graft {
   }
 
   // ------------------------------------------------------------------
+  // Skew handling
+  // ------------------------------------------------------------------
+
+  /** Skew-resistant equi-join for a hot-keyed fact side: each fact row is
+    * deterministically salted into one of `salt` shards (hash of the whole
+    * row — no RNG, so re-runs produce identical plans and placements) and
+    * the dim side is replicated `salt` times, turning one hot reduce
+    * partition into `salt` even ones. Result rows equal the plain
+    * `fact.join(dim, key)` exactly; only the shuffle layout changes.
+    *
+    * This is the manual fallback for skew AQE cannot fix (e.g. a hot key
+    * inside a single unsplittable shuffle block at 100 TB); prefer AQE
+    * skew-join first. Dim must be small enough to replicate `salt`×.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val f = fact.withColumn("__shard",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+    val d = dim.withColumn("__shard",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    f.join(d, Seq(key, "__shard")).drop("__shard")
+  }
+
+  // ------------------------------------------------------------------
   // Time series
   // ------------------------------------------------------------------
 

@@ -2,7 +2,7 @@ package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
 import graft.etl.Dets._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -112,6 +112,78 @@ object StreamOps {
         "FROM events) " +
         "SELECT event_id, user_id, event_type, ts_us FROM d WHERE rn = 1 ORDER BY event_id"))
 
+  /** Per-user click→purchase funnel over a typed per-key scan — the
+    * batch form of arbitrary-stateful streaming (flatMapGroupsWithState;
+    * StreamingSpec runs [[FunnelState.update]] incrementally under
+    * MemoryStream and asserts parity with this).
+    *
+    * For each user with at least one purchase: the first purchase
+    * timestamp and the number of clicks STRICTLY before it (strict
+    * inequality makes the result independent of same-timestamp ordering,
+    * D8). groupByKey shuffles only the typed 4-field projection; the
+    * per-user scan is O(events-per-user) with a sort of the group —
+    * at 100 TB the same shape holds (hot users bound the group size;
+    * a secondary-sort repartition variant drops the in-memory sort).
+    */
+  def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val st = it.foldLeft(FunnelState.empty)(FunnelState.update)
+        st.result(uid).iterator
+      }
+      .toDF()
+  }
+
+  private val qstreamFunnel = QueryDef(
+    "qstream_funnel",
+    build = (spark, sfDir) =>
+      funnel(spark, Tables.events(spark, sfDir))
+        .orderBy(col("user_id")),
+    oracle = Some(
+      "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "p AS (SELECT user_id, min(us) AS fp FROM e WHERE event_type = 'purchase' GROUP BY user_id) " +
+        "SELECT p.user_id, p.fp AS first_purchase_us, " +
+        "count(CASE WHEN e.event_type = 'click' AND e.us < p.fp THEN 1 END) AS n_clicks_before " +
+        "FROM p JOIN e ON e.user_id = p.user_id " +
+        "GROUP BY p.user_id, p.fp ORDER BY p.user_id"))
+
   def defs: Seq[QueryDef] = Seq(
-    qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup)
+    qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
+    qstreamFunnel)
+}
+
+/** Typed event row for [[StreamOps.funnel]] (top-level — Spark Encoders
+  * cannot derive nested case classes). */
+case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+/** Funnel result row: users with ≥1 purchase only. */
+case class FunnelResult(user_id: Long, first_purchase_us: Long, n_clicks_before: Long)
+
+/** Order-insensitive funnel state — the SAME transition function serves
+  * the batch fold (flatMapGroups) and incremental micro-batch updates
+  * (flatMapGroupsWithState in StreamingSpec): min purchase timestamp plus
+  * all click timestamps (clicks before an as-yet-unseen earlier purchase
+  * cannot be discarded until the stream closes; a production deployment
+  * bounds this with a watermark + state timeout).
+  */
+case class FunnelState(firstPurchaseUs: Option[Long], clickTs: Vector[Long]) {
+  def result(uid: Long): Option[FunnelResult] =
+    firstPurchaseUs.map(fp =>
+      FunnelResult(uid, fp, clickTs.count(_ < fp).toLong))
+}
+
+object FunnelState {
+  val empty: FunnelState = FunnelState(None, Vector.empty)
+
+  def update(st: FunnelState, e: FunnelEvent): FunnelState =
+    if (e.event_type == "purchase")
+      st.copy(firstPurchaseUs = Some(st.firstPurchaseUs.fold(e.ts_us)(math.min(_, e.ts_us))))
+    else st.copy(clickTs = st.clickTs :+ e.ts_us)
 }

@@ -79,4 +79,18 @@ class ApiSpec extends SparkFixture {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(cands.get((0L, 1L)).contains(0))
   }
+
+  test("saltedJoin returns exactly the plain join's rows on a skewed key") {
+    val sp = spark
+    import sp.implicits._
+    // 10% of fact rows pile onto key 0 — the hot-key shape salting targets
+    val fact = (0 until 5000)
+      .map(i => (if (i % 10 == 0) 0L else (i % 97).toLong, i.toLong)).toDF("k", "v")
+    val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Graft.saltedJoin(fact, dim, "k", salt = 8).select("k", "v", "name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
 }

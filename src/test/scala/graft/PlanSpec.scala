@@ -1,0 +1,82 @@
+package graft
+
+import graft.etl.Registry
+
+/** Plan-shape assertions: the scale claims in PERF.md (pushdown, pruning,
+  * broadcast choice, partial aggregation, bucket co-location) are read off
+  * actual physical plans here, not asserted in prose. A regression that
+  * silently drops a pushed filter or adds a shuffle fails the suite.
+  */
+class PlanSpec extends SparkFixture {
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("qscan_pushdown: predicates reach the parquet scan") {
+    val p = plan("qscan_pushdown")
+    assert(raw"PushedFilters: \[[^\]]*\w".r.findFirstIn(p).isDefined,
+      s"no pushed filters in scan:\n$p")
+  }
+
+  test("qscan_project: the scan reads only the projected columns") {
+    val p = plan("qscan_project")
+    val read = raw"ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    val cols = read.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+    // lineitem has 11 columns; a projection query must not scan them all
+    assert(cols.size < 11 && cols.nonEmpty, s"scan not pruned: $cols")
+  }
+
+  test("qjoin_broadcast: the pinned dim side broadcasts (no shuffle join)") {
+    val p = plan("qjoin_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("qagg_pricing: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("qagg_pricing")
+    // partial + final HashAggregate pair around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("qllm_simsearch: cosine runs inside whole-stage codegen") {
+    // AQE wraps the plan and defers codegen, so the adaptive explain shows
+    // zero subtrees pre-execution — inspect the static plan instead
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qllm_simsearch").build(spark, sfTiny)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(raw"Found \d+ WholeStageCodegen subtrees".r.findFirstIn(p)
+        .exists(s => !s.contains("Found 0")), s"no codegen span:\n${p.take(2000)}")
+      assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity"),
+        "cosine not in the codegen'd subtree")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bucketed co-located join: no shuffle exchange, results exact") {
+    val sp = spark
+    import sp.implicits._
+    val left = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "v")
+    val right = (0L until 500L).map(i => (i % 100, i * 2)).toDF("k", "w")
+    spark.sql("DROP TABLE IF EXISTS graft_bleft")
+    spark.sql("DROP TABLE IF EXISTS graft_bright")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bleft")
+      right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bright")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bleft").join(spark.table("graft_bright"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle — both sides are already hash-distributed by k:\n$p")
+      // 100 keys × 10 left dups × 5 right dups
+      assert(j.count() == 100L * 10 * 5)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bleft")
+      spark.sql("DROP TABLE IF EXISTS graft_bright")
+    }
+  }
+}

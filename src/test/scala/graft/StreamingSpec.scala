@@ -129,6 +129,50 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("funnel: incremental flatMapGroupsWithState equals the batch fold") {
+    import graft.etl.ops.{FunnelEvent, FunnelState, StreamOps}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = spark
+    import sp.implicits._
+    val batch1 = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:30:00"), "purchase", 1.0, 1L),
+      Ev(ts("2024-01-01 10:10:00"), "click", 1.0, 2L))
+    val batch2 = Seq(
+      Ev(ts("2024-01-01 09:50:00"), "click", 1.0, 1L), // late click, still before fp
+      Ev(ts("2024-01-01 11:00:00"), "purchase", 1.0, 2L),
+      Ev(ts("2024-01-01 09:00:00"), "purchase", 1.0, 2L)) // earlier purchase arrives late
+    val stream = MemoryStream[Ev]
+    val typed = stream.toDF()
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+    val out = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          // the SAME transition function as the batch flatMapGroups fold
+          val st = it.foldLeft(state.getOption.getOrElse(FunnelState.empty))(FunnelState.update)
+          state.update(st)
+          st.result(uid).iterator
+      }
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_t")
+      .outputMode("update").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("funnel_t").collect().map(_.toString).toSet
+      val want = StreamOps.funnel(spark, (batch1 ++ batch2).toDF())
+        .collect().map(_.toString).toSet
+      // update mode re-emits per batch; the final (all-events) state rows
+      // must be present and equal the batch fold over the same events
+      assert(want.subsetOf(emitted), s"want $want within $emitted")
+      // user 2's late earlier purchase moved fp back and zeroed the count
+      assert(want.exists(_.startsWith("[2,")), want.mkString(";"))
+    } finally q.stop()
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
