@@ -145,16 +145,24 @@ object Graft {
       .limit(k)
 
   /** IVF-style bucketed top-k: assign each vector to its best centroid
-    * (broadcast), then the top-k per cell. Centroids: (cid, c_emb). */
+    * (broadcast), then the top-k per cell. Centroids: (cid, c_emb).
+    *
+    * Assignment is an aggregation (`max` over a (sim, -cid) struct —
+    * highest similarity, ties to the lowest cid), not a window: a
+    * vector's centroid rows are produced together by the broadcast cross
+    * join, so partial aggregation resolves the argmax map-side and the
+    * assignment shuffles ~one row per vector instead of sorting
+    * |vectors|×|centroids| rows. Only the per-cell rank keeps a window.
+    */
   def ivfTopK(vectors: DataFrame, id: Column, vec: Column,
       centroids: DataFrame, k: Int): DataFrame = {
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("cid"))
     val topW = Window.partitionBy(col("cid")).orderBy(desc("sim"), asc("vec_id"))
     vectors.select(id.as("vec_id"), vec.as("__v"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cid"), cosine_similarity(col("__v"), col("c_emb")).as("sim"))
-      .withColumn("__arn", row_number().over(assignW))
-      .filter(col("__arn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("__negcid"), col("cid"))).as("__b"))
+      .select(col("vec_id"), col("__b.cid").as("cid"), col("__b.sim").as("sim"))
       .withColumn("rnk", row_number().over(topW))
       .filter(col("rnk") <= k)
       .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))

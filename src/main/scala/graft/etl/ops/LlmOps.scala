@@ -124,22 +124,15 @@ object LlmOps {
         "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3 ORDER BY vec_a, vec_b"))
 
   /** IVF-style bucketed ANN: vectors 0..7 act as centroids; assign every
-    * vector to its best centroid, then top-3 per cell. */
+    * vector to its best centroid (map-side argmax aggregation — see
+    * [[graft.api.Graft.ivfTopK]]), then top-3 per cell. */
   private val qllmIvf = QueryDef(
     "qllm_ivf",
     build = (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-      val assignW = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("cid"))
-      val topW = Window.partitionBy(col("cid")).orderBy(desc("sim"), asc("vec_id"))
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), scos(col("embedding"), col("c_emb")).as("sim"))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") === 1)
-        .withColumn("rnk", row_number().over(topW))
-        .filter(col("rnk") <= 3)
-        .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
+      graft.api.Graft.ivfTopK(e, col("vec_id"), col("embedding"), cents, k = 3)
         .orderBy(col("cid"), col("rnk"))
     },
     oracle = Some(
