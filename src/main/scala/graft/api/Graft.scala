@@ -168,6 +168,38 @@ object Graft {
       .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
   }
 
+  /** Sign-random-projection (SRP) LSH over embeddings: bit i of a
+    * vector's bucket id is `sign(dot(vec, plane_i))`, so vectors within a
+    * small angle land in the same bucket and candidate generation joins
+    * per-bucket instead of all-pairs. `planes`: (pid: 0-based int,
+    * p_emb: the hyperplane normal). The sign is taken off the SAME
+    * cosine expression the exact rescoring uses, so an oracle recomputing
+    * the identical double gets identical signs.
+    *
+    * Returns (bucket, vec_a < vec_b, sim) pairs with exact cosine ≥
+    * `threshold`. 100 TB shape: one broadcast dot per (vector, plane),
+    * bucket resolved in a partial aggregate, and the only join key is a
+    * fixed-width long bucket id.
+    */
+  def srpCandidates(vectors: DataFrame, id: Column, vec: Column,
+      planes: DataFrame, threshold: Double): DataFrame = {
+    val v = vectors.select(id.as("vec_id"), vec.as("__v"))
+    val bits = v.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        when(cosine_similarity(col("__v"), col("p_emb")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))"))
+          .otherwise(lit(0L)).as("__bv"))
+    val bk = bits.groupBy(col("vec_id"))
+      .agg(sum(col("__bv")).cast(LongType).as("bucket"))
+    val withEmb = v.join(bk, "vec_id")
+    val l = withEmb.select(col("bucket"), col("vec_id").as("vec_a"), col("__v").as("__va"))
+    val r = withEmb.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"))
+    l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("bucket"), col("vec_a"), col("vec_b"),
+        cosine_similarity(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // Skew handling
   // ------------------------------------------------------------------

@@ -123,6 +123,35 @@ object LlmOps {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.3 ORDER BY vec_a, vec_b"))
 
+  /** SRP-LSH near-dup: vectors 0..7 act as hyperplanes; 8 sign bits form
+    * the bucket, exact cosine ≥ 0.3 rescoring within buckets only. The
+    * DuckDB oracle recomputes the identical cosine doubles, so the sign
+    * bits — and therefore the buckets — agree exactly. */
+  private val qllmSrpLsh = QueryDef(
+    "qllm_srp_lsh",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val planes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
+      graft.api.Graft
+        .srpCandidates(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    oracle = Some(
+      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
+        "FROM embeddings e CROSS JOIN pl p), " +
+        "bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id), " +
+        "cand AS (SELECT x.bucket, x.vec_id AS vec_a, y.vec_id AS vec_b " +
+        "FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id), " +
+        s"scored AS (SELECT c.bucket, c.vec_a, c.vec_b, ${dcos("a.embedding", "b.embedding")} AS sim " +
+        "FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a " +
+        "JOIN embeddings b ON b.vec_id = c.vec_b) " +
+        "SELECT bucket, vec_a, vec_b, sim FROM scored WHERE sim >= 0.3 " +
+        "ORDER BY vec_a, vec_b"))
+
   /** IVF-style bucketed ANN: vectors 0..7 act as centroids; assign every
     * vector to its best centroid (map-side argmax aggregation — see
     * [[graft.api.Graft.ivfTopK]]), then top-3 per cell. */
@@ -384,7 +413,7 @@ object LlmOps {
     oracle = None)
 
   def defs: Seq[QueryDef] = Seq(
-    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmIvf,
+    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash)
 }
