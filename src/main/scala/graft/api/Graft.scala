@@ -218,7 +218,7 @@ object Graft {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     val f = fact.withColumn("__shard",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)))
     val d = dim.withColumn("__shard",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     f.join(d, Seq(key, "__shard")).drop("__shard")
