@@ -33,6 +33,15 @@ class SinkSpec extends SparkFixture {
       df.orderBy("r_regionkey").collect().map(_.toString).toSeq)
   }
 
+  test("orc round-trip preserves rows and values") {
+    val out = tmp("graft_orc")
+    val df = Tables.supplier(spark, sfTiny)
+    df.write.mode("overwrite").orc(out)
+    val back = spark.read.schema(Tables.supplierSchema).orc(out)
+    assert(back.orderBy("s_suppkey").collect().map(_.toString).toSeq ==
+      df.orderBy("s_suppkey").collect().map(_.toString).toSeq)
+  }
+
   test("partitioned parquet write creates lang= directories and prunes on read") {
     val out = tmp("graft_part")
     Tables.documents(spark, sfTiny)
