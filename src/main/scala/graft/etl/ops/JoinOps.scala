@@ -196,6 +196,37 @@ object JoinOps {
         "ON p.user_id = c.user_id AND p.ts >= c.ts " +
         "ORDER BY p.event_id"))
 
+  /** The SAME as-of semantics as [[qjoinAsof]], but through the custom
+    * whole-operator plan ([[graft.plans.AsofJoin]] → AsofJoinExec): a
+    * first-class Catalyst node with a streaming two-pointer merge over
+    * key-clustered, (key, ts)-sorted children — O(1) state per partition
+    * instead of the window emulation's per-key window. Shares qjoin_asof's
+    * DuckDB `ASOF JOIN` oracle, so the custom exec is hash-checked
+    * end-to-end. */
+  private val qjoinAsofNative = QueryDef(
+    "qjoin_asof_native",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsofJoinNative(spark, clicks, purchases, key = "user_id", ts = "ts")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("asof_ts")).as("click_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "SELECT p.event_id, p.user_id, " +
+        "epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us, " +
+        "epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"))
+
   private val qjoinStar = QueryDef(
     "qjoin_star",
     build = (spark, sfDir) => {
@@ -227,5 +258,5 @@ object JoinOps {
 
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
-    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinStar)
+    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinAsofNative, qjoinStar)
 }

@@ -54,6 +54,17 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qjoin_asof_native: planned by the custom AsofJoinExec, no window") {
+    // physical nodes print without the Exec suffix; a bare logical AsofJoin
+    // could not appear here (planning would have failed instead)
+    val p = plan("qjoin_asof_native")
+    assert(raw"\bAsofJoin\b".r.findFirstIn(p).isDefined, s"custom exec not planned:\n$p")
+    assert(!p.contains("!AsofJoin"), s"exec reports missing input:\n$p")
+    assert(!p.contains("Window"), s"native as-of must not fall back to a window:\n$p")
+    // both children arrive key-clustered and (key, ts)-sorted
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2, p)
+  }
+
   test("bucketed co-located join: no shuffle exchange, results exact") {
     val sp = spark
     import sp.implicits._
