@@ -101,6 +101,27 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("native as-of join agrees with the window emulation on random data") {
+    // multi-key, duplicate timestamps, keys missing on either side — the
+    // custom AsofJoinExec and Graft.asofJoin must produce identical
+    // (key, t, asof_ts) multisets
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 200L)))
+    samples(Gen.zip(evGen, evGen), 6).foreach { case (ls, rs) =>
+      val sp = spark
+      import sp.implicits._
+      val left = ls.toDF("k", "t")
+      val right = rs.toDF("k", "t")
+      val emulated = Graft.asofJoin(left, right, "k", "t")
+        .select("k", "t", "asof_ts")
+        .collect().map(_.toString).sorted.toSeq
+      val native = graft.plans.AsofJoinNative(spark, left, right, "k", "t")
+        .select("k", "t", "asof_ts")
+        .collect().map(_.toString).sorted.toSeq
+      assert(native == emulated,
+        s"native=$native\nemulated=$emulated\nleft=$ls\nright=$rs")
+    }
+  }
+
   test("minhash API: identical texts collide with estimate 1.0") {
     val sp = spark
     import sp.implicits._
