@@ -66,6 +66,9 @@ class EdgeCaseSpec extends SparkFixture {
     val some = df(Seq(Row(1, 5)), kv).select(col("k").cast(LongType).as("k"), col("v").cast(LongType).as("t"))
     assert(Graft.asofJoin(emptyTs, some, "k", "t").count() == 0) // no left events
     assert(Graft.asofJoin(some, emptyTs, "k", "t").count() == 0) // no right events
+    // the custom merge-scan exec handles the same degenerate shapes
+    assert(graft.plans.AsofJoinNative(spark, emptyTs, some, "k", "t").count() == 0)
+    assert(graft.plans.AsofJoinNative(spark, some, emptyTs, "k", "t").count() == 0)
   }
 
   test("cosine of a zero vector is NaN (documented, not a crash); empty arrays too") {
