@@ -286,24 +286,34 @@ object LlmOps {
         "CASE WHEN n_uniq * 2 > n_words THEN 1 ELSE 0 END) AS score " +
         "FROM w ORDER BY doc_id"))
 
+  /** Token counting three ways: whitespace tokens, the chars/4 estimate,
+    * and a BPE-ish regex tokenizer — letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the GPT-2 pretokenizer shape,
+    * restricted to a regex subset Java and RE2 interpret identically, D13). */
+  private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val qllmTokcount = QueryDef(
     "qllm_tokcount",
     build = (spark, sfDir) =>
       Tables.documents(spark, sfDir)
         .select(col("source"),
           size(split(col("text"), " ")).cast(LongType).as("n_words"),
-          ceil(col("n_chars").cast(DoubleType) / 4.0).cast(LongType).as("bpe_est"))
+          ceil(col("n_chars").cast(DoubleType) / 4.0).cast(LongType).as("bpe_est"),
+          size(regexp_extract_all(lower(col("text")), lit(bpeRegex), lit(0)))
+            .cast(LongType).as("bpe_tokens"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_words")).cast(LongType).as("sum_ws_tokens"),
-          sum(col("bpe_est")).cast(LongType).as("sum_bpe_est"))
+          sum(col("bpe_est")).cast(LongType).as("sum_bpe_est"),
+          sum(col("bpe_tokens")).cast(LongType).as("sum_bpe_tokens"))
         .orderBy(col("source")),
     oracle = Some(
       "WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_words, " +
-        "CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est FROM documents) " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est, " +
+        s"len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_tokens FROM documents) " +
         "SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_ws_tokens, " +
-        "CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est " +
+        "CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est, " +
+        "CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens " +
         "FROM d GROUP BY source ORDER BY source"))
 
   /** MD5-prefix document fingerprint over normalized text: constant-width
