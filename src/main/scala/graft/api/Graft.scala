@@ -131,6 +131,83 @@ object Graft {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact n-gram Jaccard candidate pairs over a shingle frame
+    * `(doc_id, sh)` (hashed or string shingles) via a doc-frequency-capped
+    * inverted index — candidate generation never goes all-pairs. Pairs are
+    * exploded from each (≤ `dfCap`-doc) posting list, O(Σ df²) bounded by
+    * the cap, instead of a shingle-keyed row×row self-join: the shape that
+    * survives 100 TB (the frequency cap kills the quadratic head of the
+    * shingle distribution). Keeps pairs with jaccard ≥ `minNum/minDen`,
+    * tested as the exact integer inequality
+    * `n_common·minDen ≥ union·minNum`. */
+  def jaccardCandidates(sh: DataFrame, dfCap: Int = 20,
+      minNum: Int = 1, minDen: Int = 4): DataFrame = {
+    val posts = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= dfCap)
+    val cnt = posts.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = posts
+      .select(explode(expr(
+        "flatten(transform(docs, (a, i) -> " +
+          "transform(slice(docs, i + 2, size(docs) - i - 1), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("n_common") * minDen >=
+        (col("n_a") + col("n_b") - col("n_common")) * minNum)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+  }
+
+  /** Near-duplicate candidate pairs → duplicate CLUSTERS: connected
+    * components over the pair graph by iterative min-label propagation,
+    * the step a training-data pipeline runs between "pairs found" and
+    * "rows dropped". Returns `(id, cluster)` where `cluster` is the
+    * smallest member id of the component — so the keeper per cluster is
+    * `id == cluster` (deterministic, D8).
+    *
+    * Each round every node takes the min of its own label and its
+    * neighbours' labels; convergence needs O(component diameter) rounds
+    * (near-dup components are shallow — similarity edges are dense
+    * within a cluster), and the loop stops early on a fixed point. All
+    * per-round state is edge/label DataFrames keyed by fixed-width ids:
+    * no driver-side graph, no per-key adjacency in executor memory.
+    * `localCheckpoint` cuts the growing lineage each round (at real
+    * cluster scale: `checkpoint` to reliable storage instead).
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbour = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbour)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -198,6 +275,70 @@ object Graft {
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         cosine_similarity(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed ranking
+  // ------------------------------------------------------------------
+
+  /** Exact global 1-based rank over `(orderCol, tiebreaks…)` WITHOUT a
+    * single-partition window — the two-pass shape that survives a fact
+    * table: (1) one aggregate computes `[min, max]` of `orderCol`,
+    * broadcast back to bucket every row into one of `buckets` fixed-width
+    * value ranges (order-preserving, so global order ≡ (bucket, local
+    * order)); (2) per-bucket counts (a `buckets`-row aggregate) turn into
+    * cumulative offsets via a broadcast triangular self-join, and the
+    * rank is `offset + row_number` under a window PARTITIONED by bucket.
+    * No operator ever sees more than one bucket's rows in one partition.
+    *
+    * Appends `__rank` (global 1-based) and `__n` (total row count).
+    * `orderCol` must be numeric and non-null; `tiebreaks` must make the
+    * total order unique for `__rank` to be deterministic (D9).
+    * Fixed-width buckets keep the pass count at two; a skewed `orderCol`
+    * wants sampled-quantile boundaries instead (same plan shape, one
+    * extra sampling read).
+    */
+  def globalRanks(df: DataFrame, orderCol: Column,
+      tiebreaks: Seq[Column], buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bounds = df.agg(min(orderCol).cast(DoubleType).as("__lo"),
+      max(orderCol).cast(DoubleType).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(buckets - 1L),
+            floor((orderCol.cast(DoubleType) - col("__lo")) * buckets /
+              (col("__hi") - col("__lo"))).cast(LongType))))
+      .drop("__lo", "__hi")
+    val counts = bucketed.groupBy(col("__bucket")).agg(count(lit(1)).as("__c"))
+    // cumulative offset per bucket + grand total: a triangular self-join
+    // over ≤`buckets` rows — never a single-partition window over data
+    val offsets = counts.select(col("__bucket"), col("__c"))
+      .join(broadcast(counts.select(col("__bucket").as("__b2"), col("__c").as("__c2"))),
+        col("__b2") <= col("__bucket"))
+      .groupBy(col("__bucket"))
+      .agg((sum(col("__c2")) - first(col("__c"))).as("__off"))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("__c")).cast(LongType).as("__n"))))
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(orderCol +: tiebreaks: _*)
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("__rank", (col("__off") + row_number().over(w)).cast(LongType))
+      .drop("__bucket", "__off")
+  }
+
+  /** `ntile(k)` computed from an exact global rank (SQL-standard sizing:
+    * the first `n mod k` tiles get one extra row) — integer arithmetic
+    * only (floor of a double ratio is exact below 2⁵³ rows), so it agrees
+    * bit-for-bit with any engine's `ntile`. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast(LongType)
+    val base = idiv(n, lit(k.toLong))
+    val rem = n % k
+    val bigCut = (base + 1) * rem
+    when(rank <= bigCut, idiv(rank + base, base + 1))
+      .otherwise(rem + idiv(rank - bigCut + base - 1, base))
+      .cast(IntegerType)
   }
 
   // ------------------------------------------------------------------

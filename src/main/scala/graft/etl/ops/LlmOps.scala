@@ -347,30 +347,10 @@ object LlmOps {
       val sh = graft.api.Graft
         .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
         .select(col("doc_id"), col("h64").as("sh"))
-      // Posting-list pair generation: one groupBy per shingle, then ordered
-      // pairs exploded from each (≤20-doc) posting list — O(Σ df²) bounded
-      // by the cap, instead of a full inverted-index self-join. This is the
-      // shape that survives 100 TB: no shingle-keyed row×row join, and the
-      // frequency cap kills the quadratic head of the distribution.
-      val posts = sh.groupBy(col("sh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) <= 20)
-      val cnt = posts.select(explode(col("docs")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = posts
-        .select(explode(expr(
-          "flatten(transform(docs, (a, i) -> " +
-            "transform(slice(docs, i + 2, size(docs) - i - 1), b -> struct(a AS doc_a, b AS doc_b))))"))
-          .as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      pairs
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-        .filter(col("n_common") * 4 >= col("n_a") + col("n_b") - col("n_common"))
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
-          (col("n_common").cast(DoubleType) /
-            (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+      // Posting-list pair generation via the reusable inverted index
+      // ([[graft.api.Graft.jaccardCandidates]]): pairs exploded from
+      // capped posting lists — O(Σ df²), never a row×row self-join.
+      graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     oracle = Some(

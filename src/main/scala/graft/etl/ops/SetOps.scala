@@ -107,7 +107,48 @@ object SetOps {
       "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_copies " +
         "FROM documents GROUP BY text ORDER BY doc_id"))
 
+  /** Pair→cluster resolution: connected components over the n-gram
+    * Jaccard near-dup candidate graph ([[graft.api.Graft.dedupClusters]],
+    * iterative min-label propagation) — the step between "pairs found"
+    * and "duplicates dropped". `cluster` = smallest doc_id of the
+    * component, so the deterministic keeper is `doc_id == cluster` (D8).
+    * Similarity is not transitive, so components genuinely chain beyond
+    * the pair list (A~B, B~C without A~C) — the oracle replicates the
+    * closure with a recursive CTE over the same pair SQL. */
+  private val qdedupClusters = QueryDef(
+    "qdedup_clusters",
+    build = (spark, sfDir) => {
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      // jaccard ≥ 1/2: tighter than the qllm_ngram_jaccard 1/4 cut so the
+      // component structure is non-trivial (≈20 clusters at sf0.01, sizes
+      // 2..206 — verified), not one hairball
+      val pairs = graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 2)
+      graft.api.Graft.dedupClusters(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH RECURSIVE toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cand AS (SELECT doc_a, doc_b FROM pairs " +
+        "JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 2 >= ca.n_sh + cb.n_sh - n_common), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+        "UNION SELECT doc_b, doc_a FROM cand), " +
+        "walk AS (SELECT src AS id, src AS lbl FROM e " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
-    qsetDistinct, qdedupExact)
+    qsetDistinct, qdedupExact, qdedupClusters)
 }

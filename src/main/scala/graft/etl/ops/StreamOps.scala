@@ -112,38 +112,88 @@ object StreamOps {
         "FROM events) " +
         "SELECT event_id, user_id, event_type, ts_us FROM d WHERE rn = 1 ORDER BY event_id"))
 
-  /** Per-user click→purchase funnel over a typed per-key scan — the
-    * batch form of arbitrary-stateful streaming (flatMapGroupsWithState;
-    * StreamingSpec runs [[FunnelState.update]] incrementally under
-    * MemoryStream and asserts parity with this).
+  /** Per-user click→purchase funnel in pure relational shape: for each
+    * user with at least one purchase, the first purchase timestamp and the
+    * number of clicks STRICTLY before it (strict inequality makes the
+    * result independent of same-timestamp ordering, D8).
     *
-    * For each user with at least one purchase: the first purchase
-    * timestamp and the number of clicks STRICTLY before it (strict
-    * inequality makes the result independent of same-timestamp ordering,
-    * D8). groupByKey shuffles only the typed 4-field projection; the
-    * per-user scan is O(events-per-user) with a sort of the group —
-    * at 100 TB the same shape holds (hot users bound the group size;
-    * a secondary-sort repartition variant drops the in-memory sort).
+    * Deliberately NOT a per-key stateful fold: a min-aggregate plus one
+    * equi-join plus a conditional count keeps executor memory O(1) per
+    * key — a bot-grade user with 10⁸ clicks costs rows, never a buffered
+    * per-key vector. The stateful form (bounded, watermark-compacted)
+    * lives in [[funnelStream]] where incremental emission actually
+    * requires state. Both shuffles key on `user_id`, so at 100 TB this is
+    * two key-partitioned passes over the (click, purchase) projection. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_purchase_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    firstPurchase.join(clicks, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_purchase_us"))
+      .agg(count(when(col("ts_us") < col("first_purchase_us"), 1)).as("n_clicks_before"))
+  }
+
+  /** Incremental funnel under Structured Streaming with BOUNDED per-key
+    * state. Events later than the watermark are ignored (the same contract
+    * watermarked aggregations give), which makes the state compactable:
+    * [[FunnelState.compact]] folds every click that can no longer change
+    * classification into a plain counter, so the retained vector holds
+    * only clicks inside the watermark horizon — O(arrival rate × delay),
+    * not O(events-per-key). Idle keys are evicted by an event-time
+    * timeout: after `idleEvict` of watermark progress with no traffic the
+    * state is emitted (if a purchase exists) and removed.
     */
-  def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
-    val sp = spark
+  def funnelStream(events: DataFrame, watermarkDelay: String,
+      idleEvict: java.time.Duration): org.apache.spark.sql.Dataset[FunnelResult] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = events.sparkSession
     import sp.implicits._
     events
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      .as[FunnelEvent]
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked `ts` must survive into the stateful operator's
+      // input (the analyzer rejects event-time timeout otherwise), so the
+      // typed row carries both it and the µs long the state machine uses
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[FunnelStreamEvent]
       .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val st = it.foldLeft(FunnelState.empty)(FunnelState.update)
-        st.result(uid).iterator
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FunnelStreamEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val res = state.get.result(uid)
+            state.remove() // evict: no-purchase keys leave nothing behind
+            res.iterator
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val evs = it.filter(_.ts_us >= wmUs).toVector // late beyond watermark: dropped
+            val st = FunnelState.compact(
+              evs.map(e => FunnelEvent(e.user_id, e.ts_us, e.event_type))
+                .foldLeft(state.getOption.getOrElse(FunnelState.empty))(FunnelState.update),
+              wmUs)
+            state.update(st)
+            // idle timeout anchored to the newest EVENT time for this key
+            // (never the bare watermark: pre-first-watermark that is 0 and
+            // the timeout would land decades in the past, evicting the key
+            // the moment the watermark first advances)
+            val lastSeenMs = math.max(
+              state.getCurrentWatermarkMs(),
+              if (evs.isEmpty) 0L else evs.map(_.ts_us).max / 1000L)
+            state.setTimeoutTimestamp(lastSeenMs + idleEvict.toMillis)
+            st.result(uid).iterator
+          }
       }
-      .toDF()
   }
 
   private val qstreamFunnel = QueryDef(
     "qstream_funnel",
     build = (spark, sfDir) =>
-      funnel(spark, Tables.events(spark, sfDir))
+      funnel(Tables.events(spark, sfDir))
         .orderBy(col("user_id")),
     oracle = Some(
       "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type " +
@@ -159,31 +209,55 @@ object StreamOps {
     qstreamFunnel)
 }
 
-/** Typed event row for [[StreamOps.funnel]] (top-level — Spark Encoders
+/** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders
   * cannot derive nested case classes). */
 case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+/** Streaming variant that also carries the watermarked TimestampType
+  * column (the analyzer requires it in the stateful operator's input). */
+case class FunnelStreamEvent(
+    user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_type: String)
 
 /** Funnel result row: users with ≥1 purchase only. */
 case class FunnelResult(user_id: Long, first_purchase_us: Long, n_clicks_before: Long)
 
-/** Order-insensitive funnel state — the SAME transition function serves
-  * the batch fold (flatMapGroups) and incremental micro-batch updates
-  * (flatMapGroupsWithState in StreamingSpec): min purchase timestamp plus
-  * all click timestamps (clicks before an as-yet-unseen earlier purchase
-  * cannot be discarded until the stream closes; a production deployment
-  * bounds this with a watermark + state timeout).
+/** Bounded, order-insensitive funnel state for [[StreamOps.funnelStream]].
+  *
+  * Invariant the bound rests on: events with `ts_us` below the watermark
+  * are rejected before [[FunnelState.update]], so any future purchase has
+  * `ts ≥ watermark`. [[FunnelState.compact]] then classifies clicks
+  * definitively:
+  *   - a click `< min(firstPurchaseUs, watermark)` stays before the first
+  *     purchase no matter what arrives later → fold into `confirmed`;
+  *   - a click `≥ firstPurchaseUs` can never move before it (the first
+  *     purchase timestamp only decreases) → drop;
+  *   - only clicks in `[watermark, firstPurchaseUs)` stay pending — a
+  *     later purchase could still land under them. That window is bounded
+  *     by arrival rate × watermark delay, independent of key history.
   */
-case class FunnelState(firstPurchaseUs: Option[Long], clickTs: Vector[Long]) {
+case class FunnelState(
+    firstPurchaseUs: Option[Long], confirmed: Long, pending: Vector[Long]) {
   def result(uid: Long): Option[FunnelResult] =
     firstPurchaseUs.map(fp =>
-      FunnelResult(uid, fp, clickTs.count(_ < fp).toLong))
+      FunnelResult(uid, fp, confirmed + pending.count(_ < fp)))
 }
 
 object FunnelState {
-  val empty: FunnelState = FunnelState(None, Vector.empty)
+  val empty: FunnelState = FunnelState(None, 0L, Vector.empty)
 
   def update(st: FunnelState, e: FunnelEvent): FunnelState =
     if (e.event_type == "purchase")
       st.copy(firstPurchaseUs = Some(st.firstPurchaseUs.fold(e.ts_us)(math.min(_, e.ts_us))))
-    else st.copy(clickTs = st.clickTs :+ e.ts_us)
+    else st.copy(pending = st.pending :+ e.ts_us)
+
+  /** Fold definitively-classified clicks out of the pending vector; see
+    * the class invariant. Clicks with no purchase seen yet but below the
+    * watermark are also confirmable: any future purchase arrives at
+    * `ts ≥ watermark`, which is already greater. */
+  def compact(st: FunnelState, watermarkUs: Long): FunnelState = {
+    val horizon = st.firstPurchaseUs.fold(watermarkUs)(math.min(_, watermarkUs))
+    val (done, keep) = st.pending.partition(_ < horizon)
+    val stillPossible = st.firstPurchaseUs.fold(keep)(fp => keep.filter(_ < fp))
+    st.copy(confirmed = st.confirmed + done.size, pending = stillPossible)
+  }
 }

@@ -110,17 +110,29 @@ object WindowOps {
     oracle = Some(rangeFrameSql("events")))
 
   /** percent_rank/cume_dist are integer-ratio doubles — bit-identical
-    * across engines given the same unique ordering; no rounding needed. */
+    * across engines given the same unique ordering; no rounding needed.
+    *
+    * Deliberately NOT `Window.orderBy` with no partition (that funnels
+    * every row through one partition's sort — the round-2 scale-killer):
+    * [[graft.api.Graft.globalRanks]] computes the exact global rank in
+    * two passes (value-range bucketing + broadcast cumulative offsets),
+    * and ntile/percent_rank/cume_dist over a UNIQUE ordering are pure
+    * functions of (rank, n): ntile via integer sizing, pr = (r-1)/(n-1),
+    * cd = r/n — single integer-ratio double divisions, so the values are
+    * bit-identical to the oracle's own window functions. PlanSpec pins
+    * the executed plan to partitioned windows only. */
   private val qwinNtileDist = QueryDef(
     "qwin_ntile_dist",
     build = (spark, sfDir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(spark, sfDir)
-        .select(
-          col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+      val ranked = graft.api.Graft.globalRanks(
+        Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_acctbal")),
+        col("c_acctbal"), Seq(col("c_custkey")), buckets = 64)
+      ranked.select(
+        col("c_custkey"), col("c_acctbal"),
+        graft.api.Graft.ntileFromRank(col("__rank"), col("__n"), 4).as("quartile"),
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__rank") - 1).cast(DoubleType) / (col("__n") - 1).cast(DoubleType)).as("pr"),
+        (col("__rank").cast(DoubleType) / col("__n").cast(DoubleType)).as("cd"))
         .orderBy(col("c_custkey"))
     },
     oracle = Some(

@@ -80,6 +80,44 @@ class ApiSpec extends SparkFixture {
     assert(cands.get((0L, 1L)).contains(0))
   }
 
+  test("dedupClusters resolves chained pairs into min-id components, pair-order invariant") {
+    val sp = spark
+    import sp.implicits._
+    // two chains (1-2-3-4 via non-transitive edges, 10-11) + a self-contained pair
+    val pairs = Seq((2L, 1L), (3L, 2L), (3L, 4L), (11L, 10L), (20L, 21L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    for (perm <- Seq(pairs, pairs.reverse, pairs.sortBy(_._2))) {
+      val got = Graft.dedupClusters(perm.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"for edge order $perm")
+    }
+    // a long path needs diameter rounds — exercises the iteration + early stop
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Graft.dedupClusters(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 13 && labels.values.forall(_ == 0L), labels)
+  }
+
+  test("globalRanks matches a reference sort; ntileFromRank matches SQL ntile sizing") {
+    val sp = spark
+    import sp.implicits._
+    // duplicate order values force the tiebreak; 103 % 4 != 0 exercises sizing
+    val df = (0 until 103).map(i => ((i * 37 % 50).toDouble, i.toLong)).toDF("v", "id")
+    val ranked = Graft.globalRanks(df, col("v"), Seq(col("id")), buckets = 7)
+      .withColumn("q", Graft.ntileFromRank(col("__rank"), col("__n"), 4))
+      .collect().map(r => (r.getAs[Double]("v"), r.getAs[Long]("id"),
+        r.getAs[Long]("__rank"), r.getAs[Long]("__n"), r.getAs[Int]("q")))
+    val byRank = ranked.sortBy(_._3)
+    val refOrder = ranked.map(t => (t._1, t._2)).sorted
+    assert(byRank.map(t => (t._1, t._2)).toSeq == refOrder.toSeq, "rank order != sort order")
+    assert(byRank.map(_._3).toSeq == (1L to 103L), "ranks must be exactly 1..n")
+    assert(ranked.forall(_._4 == 103L))
+    // SQL ntile(4) of 103 rows: sizes 26,26,26,25
+    val sizes = ranked.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(sizes == Map(1 -> 26, 2 -> 26, 3 -> 26, 4 -> 25), sizes)
+  }
+
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
     val sp = spark
     import sp.implicits._

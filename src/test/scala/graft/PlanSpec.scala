@@ -65,6 +65,22 @@ class PlanSpec extends SparkFixture {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2, p)
   }
 
+  test("qwin_ntile_dist: no un-partitioned window — every WindowExec has a partition spec") {
+    // AQE hides the inner plan pre-execution; build the static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qwin_ntile_dist").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the per-bucket row_number window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"global (single-partition) window in plan:\n$exec"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed co-located join: no shuffle exchange, results exact") {
     val sp = spark
     import sp.implicits._

@@ -129,9 +129,7 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
-  test("funnel: incremental flatMapGroupsWithState equals the batch fold") {
-    import graft.etl.ops.{FunnelEvent, FunnelState, StreamOps}
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  test("funnel: incremental bounded-state stream equals the batch join shape") {
     val sp = spark
     import sp.implicits._
     val batch1 = Seq(
@@ -139,22 +137,14 @@ class StreamingSpec extends SparkFixture {
       Ev(ts("2024-01-01 10:30:00"), "purchase", 1.0, 1L),
       Ev(ts("2024-01-01 10:10:00"), "click", 1.0, 2L))
     val batch2 = Seq(
-      Ev(ts("2024-01-01 09:50:00"), "click", 1.0, 1L), // late click, still before fp
+      Ev(ts("2024-01-01 09:50:00"), "click", 1.0, 1L), // earlier click, still before fp
       Ev(ts("2024-01-01 11:00:00"), "purchase", 1.0, 2L),
-      Ev(ts("2024-01-01 09:00:00"), "purchase", 1.0, 2L)) // earlier purchase arrives late
+      Ev(ts("2024-01-01 09:00:00"), "purchase", 1.0, 2L)) // earlier purchase arrives later
     val stream = MemoryStream[Ev]
-    val typed = stream.toDF()
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      .as[FunnelEvent]
-    val out = typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          // the SAME transition function as the batch flatMapGroups fold
-          val st = it.foldLeft(state.getOption.getOrElse(FunnelState.empty))(FunnelState.update)
-          state.update(st)
-          st.result(uid).iterator
-      }
+    // generous watermark: nothing in batch2 is late, so streaming must
+    // agree with batch exactly (the bound kicks in only for truly late data)
+    val out = StreamOps.funnelStream(stream.toDF(), "6 hours",
+      java.time.Duration.ofHours(24))
     val q = out.toDF().writeStream.format("memory").queryName("funnel_t")
       .outputMode("update").start()
     try {
@@ -163,14 +153,61 @@ class StreamingSpec extends SparkFixture {
       stream.addData(batch2: _*)
       q.processAllAvailable()
       val emitted = spark.table("funnel_t").collect().map(_.toString).toSet
-      val want = StreamOps.funnel(spark, (batch1 ++ batch2).toDF())
+      val want = StreamOps.funnel((batch1 ++ batch2).toDF())
         .collect().map(_.toString).toSet
       // update mode re-emits per batch; the final (all-events) state rows
-      // must be present and equal the batch fold over the same events
+      // must be present and equal the batch join shape over the same events
       assert(want.subsetOf(emitted), s"want $want within $emitted")
-      // user 2's late earlier purchase moved fp back and zeroed the count
+      // user 2's later-arriving earlier purchase moved fp back, zeroing the count
       assert(want.exists(_.startsWith("[2,")), want.mkString(";"))
     } finally q.stop()
+  }
+
+  test("funnel: watermark compaction bounds pending clicks; idle keys evict") {
+    import graft.etl.ops.{FunnelEvent, FunnelState}
+    val sp = spark
+    import sp.implicits._
+    val stream = MemoryStream[Ev]
+    val out = StreamOps.funnelStream(stream.toDF(), "10 minutes",
+      java.time.Duration.ofMinutes(30))
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_evict_t")
+      .outputMode("update").start()
+    try {
+      // user 9 clicks and never purchases — the unbounded-state hazard
+      stream.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 9L),
+        Ev(ts("2024-01-01 10:01:00"), "click", 1.0, 9L))
+      q.processAllAvailable()
+      // advance the watermark hours past user 9's traffic + idle gap
+      stream.addData(Ev(ts("2024-01-01 15:00:00"), "click", 1.0, 8L))
+      q.processAllAvailable()
+      // one more batch so the timeout fires (timeouts run on batch boundaries)
+      stream.addData(Ev(ts("2024-01-01 15:05:00"), "click", 1.0, 8L))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .lastOption.map(_.numRowsTotal)
+      // user 9's state is gone; only user 8 (recent traffic) remains
+      assert(stateRows.contains(1L), s"state not evicted: $stateRows")
+      // no-purchase eviction emits nothing
+      assert(!spark.table("funnel_evict_t").collect().exists(_.getLong(0) == 9L))
+    } finally q.stop()
+
+    // the compaction invariant directly: clicks below min(fp, watermark)
+    // fold into the confirmed counter, clicks >= fp drop, result unchanged
+    val st0 = Seq(
+      FunnelEvent(1L, 100L, "click"), FunnelEvent(1L, 200L, "click"),
+      FunnelEvent(1L, 500L, "purchase"), FunnelEvent(1L, 900L, "click"))
+      .foldLeft(FunnelState.empty)(FunnelState.update)
+    val compacted = FunnelState.compact(st0, 300L)
+    assert(compacted.confirmed == 2L && compacted.pending.isEmpty, compacted)
+    assert(compacted.result(1L) == st0.result(1L))
+    // fp not yet final (watermark below it): a click in [wm, fp) stays pending
+    val st1 = Seq(
+      FunnelEvent(2L, 400L, "click"), FunnelEvent(2L, 500L, "purchase"))
+      .foldLeft(FunnelState.empty)(FunnelState.update)
+    val c1 = FunnelState.compact(st1, 300L)
+    assert(c1.pending == Vector(400L) && c1.confirmed == 0L, c1)
   }
 
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
