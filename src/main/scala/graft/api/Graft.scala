@@ -355,6 +355,15 @@ object Graft {
     * This is the manual fallback for skew AQE cannot fix (e.g. a hot key
     * inside a single unsplittable shuffle block at 100 TB); prefer AQE
     * skew-join first. Dim must be small enough to replicate `salt`×.
+    *
+    * Limitation: the shard comes from a hash of the WHOLE fact row, so
+    * fully IDENTICAL repeated rows (one real shape of hot-key skew —
+    * duplicated events) all land in one shard and are not split. When rows
+    * can be byte-identical, pre-attach a disambiguating column (an
+    * ingest-file offset, a `spark_partition_id`-derived ordinal) and
+    * include it in the row before salting — a deterministic per-row
+    * ordinal inside the operator would cost exactly the per-key sort this
+    * operator exists to avoid.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")

@@ -57,8 +57,19 @@ object Dets {
     * identical (observed: every round-1 `hash_match: false` had a decimal
     * output column; CORRECTNESS_r01.json). decimal→string is exact and
     * renders identically in both engines (full scale digits, verified:
-    * `1.5000`, `56120969.633652854400`). */
-  def decStr(c: Column): Column = c.cast(org.apache.spark.sql.types.StringType)
+    * `1.5000`, `56120969.633652854400`) — EXCEPT that Spark's cast goes
+    * through `BigDecimal.toString`, which switches to scientific notation
+    * for nonzero values below 1e-7 in magnitude, while DuckDB always
+    * renders plain digits. No gate measure can get there (sums of ≥0.01
+    * money values), so that band fails fast via `raise_error` instead of
+    * latently hash-mismatching. */
+  def decStr(c: Column): Column = {
+    import org.apache.spark.sql.types.StringType
+    when(c.isNull || c === 0 || abs(c) >= 0.000001, c.cast(StringType))
+      .otherwise(raise_error(concat(
+        lit("decStr: |value| < 1e-6 renders scientifically in Spark but plainly in DuckDB: "),
+        c.cast(StringType))))
+  }
 
   /** D2: exact decimal before any aggregation of a double measure. */
   def d124(c: Column): Column = dec(c, 12, 4)

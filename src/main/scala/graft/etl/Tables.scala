@@ -103,15 +103,27 @@ object Tables {
     "embeddings" -> embeddingsSchema)
 
   // DataFrames are session-bound, so the memo is keyed by the session
-  // OBJECT in a weak-keyed map: entries vanish with their session (no leak
-  // for stopped sessions, no identity-hash collision against a new one).
+  // OBJECT (no identity-hash collision against a new session). Weak keys
+  // alone can NOT collect stopped sessions here — the cached Datasets
+  // strongly reference their session through queryExecution, the exact
+  // value→key strong reference the WeakHashMap javadoc warns about — so
+  // eviction is explicit: a listener registered per session clears its
+  // entry when the application ends.
   private val memo =
     new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
 
   private def sessionMemo(spark: SparkSession): TrieMap[(String, String), DataFrame] =
     memo.synchronized {
       var m = memo.get(spark)
-      if (m == null) { m = TrieMap.empty; memo.put(spark, m) }
+      if (m == null) {
+        m = TrieMap.empty
+        memo.put(spark, m)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            memo.synchronized { memo.remove(spark) }
+        })
+      }
       m
     }
 

@@ -109,15 +109,24 @@ case class AsofJoinExec(
       val tsRow = new GenericInternalRow(1)
       val joined = new JoinedRow
 
-      // one-row lookahead over the left side, reduced to two scalars
+      // one-row lookahead over the left side, reduced to two scalars.
+      // Null keys/timestamps are skipped outright: an UnsafeRow getLong on
+      // a null slot reads 0, which would silently alias null to key 0 AND
+      // (nulls sort first) break the merge's monotonic-key invariant — the
+      // window emulation and DuckDB ASOF JOIN both drop null keys, so the
+      // native operator matches them.
       var lHas = false
       var lKey = 0L
       var lTs = 0L
-      def lAdvance(): Unit =
-        if (lRaw.hasNext) {
+      def lAdvance(): Unit = {
+        lHas = false
+        while (!lHas && lRaw.hasNext) {
           val p = lSide(lRaw.next())
-          lKey = lKeyGet(p, 0); lTs = lTsGet(p, 1); lHas = true
-        } else lHas = false
+          if (!p.isNullAt(0) && !p.isNullAt(1)) {
+            lKey = lKeyGet(p, 0); lTs = lTsGet(p, 1); lHas = true
+          }
+        }
+      }
       lAdvance()
 
       var lastKey = 0L
@@ -126,17 +135,20 @@ case class AsofJoinExec(
 
       rRaw.flatMap { rRow =>
         val p = rSide(rRow)
-        val rKey = rKeyGet(p, 0)
-        val rTs = rTsGet(p, 1)
-        if (hasLast && lastKey != rKey) hasLast = false
-        while (lHas && lKey < rKey) lAdvance()
-        while (lHas && lKey == rKey && lTs <= rTs) {
-          lastKey = rKey; lastTs = lTs; hasLast = true; lAdvance()
+        if (p.isNullAt(0) || p.isNullAt(1)) Iterator.empty // inner semantics: null never matches
+        else {
+          val rKey = rKeyGet(p, 0)
+          val rTs = rTsGet(p, 1)
+          if (hasLast && lastKey != rKey) hasLast = false
+          while (lHas && lKey < rKey) lAdvance()
+          while (lHas && lKey == rKey && lTs <= rTs) {
+            lastKey = rKey; lastTs = lTs; hasLast = true; lAdvance()
+          }
+          if (hasLast && lastKey == rKey) {
+            tsRow.update(0, lastTs)
+            Iterator.single(outProj(joined(rRow, tsRow)))
+          } else Iterator.empty
         }
-        if (hasLast && lastKey == rKey) {
-          tsRow.update(0, lastTs)
-          Iterator.single(outProj(joined(rRow, tsRow)))
-        } else Iterator.empty
       }
     }
   }

@@ -71,6 +71,22 @@ class EdgeCaseSpec extends SparkFixture {
     assert(graft.plans.AsofJoinNative(spark, some, emptyTs, "k", "t").count() == 0)
   }
 
+  test("native as-of join drops null keys/timestamps like the window emulation") {
+    val ts = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("t", LongType, nullable = true)))
+    // null key and null ts rows on BOTH sides; a null-key left row must not
+    // alias to key 0 (UnsafeRow reads a null slot as 0)
+    val left = df(Seq(Row(0L, 5L), Row(null, 1L), Row(7L, null), Row(7L, 3L)), ts)
+    val right = df(Seq(Row(0L, 9L), Row(null, 9L), Row(7L, null), Row(7L, 8L)), ts)
+    val native = graft.plans.AsofJoinNative(spark, left, right, "k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val emulated = Graft.asofJoin(left, right, "k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(native == emulated, s"native $native vs emulated $emulated")
+    assert(native == Seq((0L, 9L, 5L), (7L, 8L, 3L)))
+  }
+
   test("cosine of a zero vector is NaN (documented, not a crash); empty arrays too") {
     val sp = spark
     import sp.implicits._

@@ -81,6 +81,48 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("partitioned layout: static partition pruning and dynamic partition pruning") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, year}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    // the 100 TB layout: facts partitioned by a derived date bucket
+    val orders = graft.etl.Tables.orders(spark, sfTiny)
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val years = fact.select("o_year").distinct().as[Int].collect().sorted
+    assert(years.length > 1, s"fixture must span years for pruning to mean anything: ${years.toSeq}")
+
+    // static: a literal filter on the partition column reaches PartitionFilters
+    val staticPlan = fact.filter(col("o_year") === years.head)
+      .queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*o_year[^\]]*\]".r.findFirstIn(staticPlan).isDefined,
+      s"partition filter not pushed to the scan:\n$staticPlan")
+
+    // dynamic: joining through a filtered dim on the partition column plants
+    // a dynamicpruning subquery in the fact scan (broadcast side reused).
+    // Fixture tables are KBs, so the size-based benefit heuristic is forced
+    // to the fallback ratio — at real scale stats make this decision.
+    val prevStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // the dim must be a real source (a local relation constant-folds its
+      // filter away and DPP then sees no selective predicate)
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+      years.map(y => (y, if (y == years.head) "keep" else "drop"))
+        .toSeq.toDF("o_year", "tag")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      val joined = fact.join(dim.filter(col("tag") === "keep"), "o_year")
+      val dynPlan = joined.queryExecution.executedPlan.toString
+      assert(dynPlan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning subquery in:\n$dynPlan")
+      // and it actually computes the right thing
+      assert(joined.count() == fact.filter(col("o_year") === years.head).count())
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+  }
+
   test("bucketed co-located join: no shuffle exchange, results exact") {
     val sp = spark
     import sp.implicits._
