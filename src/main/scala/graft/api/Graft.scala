@@ -222,7 +222,8 @@ object Graft {
       .limit(k)
 
   /** IVF-style bucketed top-k: assign each vector to its best centroid
-    * (broadcast), then the top-k per cell. Centroids: (cid, c_emb).
+    * (broadcast), then the top-k per cell. Centroids: (cid, c_emb) —
+    * typically trained by [[kmeansCentroids]].
     *
     * Assignment is an aggregation (`max` over a (sim, -cid) struct —
     * highest similarity, ties to the lowest cid), not a window: a
@@ -243,6 +244,66 @@ object Graft {
       .withColumn("rnk", row_number().over(topW))
       .filter(col("rnk") <= k)
       .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
+  }
+
+  /** Centroid training for [[ivfTopK]]: spherical k-means (Lloyd under
+    * cosine) with deterministic initialization — the `k` lowest-id
+    * vectors seed cells 0..k-1, so retraining on the same data yields the
+    * same centroids (no RNG). Each iteration: (1) assign every vector to
+    * its max-cosine centroid via the same broadcast-crossJoin + map-side
+    * argmax aggregate [[ivfTopK]] plans (ties to the lowest cid); (2) new
+    * centroid = per-dimension mean of the assigned UNIT vectors (mean of
+    * normalized inputs — the update that makes the spherical k-means
+    * objective Σ cos(v, c_assigned) non-decreasing; cosine is
+    * scale-invariant, so the un-renormalized mean is equivalent). Cells
+    * that lose all members keep their previous centroid. Zero-norm
+    * vectors are excluded (cosine undefined).
+    *
+    * Returns `(cid, c_emb: array<double>)` ready for [[ivfTopK]]'s
+    * `centroids` input. 100 TB shape: per iteration one broadcast of k
+    * centroids, one map-side argmax, one (cid, dim)-keyed mean — no
+    * driver-side vectors, state bounded by k×dim. Means of doubles merge
+    * in shuffle-arrival order, so centroids are deterministic only to
+    * float addition order — fine for training, which is why this stays a
+    * library operator + property test rather than a hash-gated query.
+    */
+  def kmeansCentroids(vectors: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val raw = vectors.select(id.as("vec_id"),
+      vec.cast(ArrayType(DoubleType)).as("__v"))
+    val norm = sqrt(aggregate(
+      transform(col("__v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val v = raw.withColumn("__norm", norm)
+      .filter(col("__norm") > 0)
+      .select(col("vec_id"), transform(col("__v"), x => x / col("__norm")).as("__v"))
+    var centroids = v.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
+      .select(col("cid"), col("__v").as("c_emb"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = v.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("__v"), col("cid"),
+          cosine_similarity(col("__v"), col("c_emb")).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("__negcid"), col("cid"))).as("__b"),
+          first(col("__v")).as("__v")) // __v is group-constant: one row per centroid
+        .select(col("__b.cid").as("cid"), col("__v"))
+      val dimMeans = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+      val updated = dimMeans.groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("__pm"))
+        .select(col("cid"), expr("transform(__pm, s -> s.m)").as("__new"))
+      centroids = centroids.withColumnRenamed("c_emb", "__prev")
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__new"), col("__prev")).as("c_emb"))
+        .localCheckpoint()
+    }
+    centroids
   }
 
   /** Sign-random-projection (SRP) LSH over embeddings: bit i of a

@@ -5,69 +5,177 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Decoded image: header fields plus the pixel array in top-down row
+  * order (top-level — Spark Encoders cannot derive nested case classes). */
+case class BmpImage(width: Int, height: Int, bitsPerPixel: Int, pixels: Array[Byte])
+
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed by batch-shaped partition functions — the Spark-side
   * skeleton of an image/audio/video pipeline.
   *
-  * The actual decoders (JPEG/PNG decode, resampling, frame sampling) are
-  * STUBS: no media codec libraries exist in this environment, so
-  * [[decodeFeaturesStub]] computes a deterministic byte-histogram "feature
-  * vector" in their place. Everything around the stub is real and tested:
-  * the binary column schema, the metadata struct, the mapPartitions batch
-  * shape (iterator-in/iterator-out, no per-row session objects), and the
-  * partition-parallel execution — swap `histogram` for an actual decoder
-  * and the pipeline is production-shaped.
+  * The decode step is a REAL format parse: payloads are valid 8-bit
+  * grayscale BMP images (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry
+  * palette + bottom-up, 4-byte-aligned pixel rows), built by
+  * [[Multimodal.encodeBmpGray]] with document bytes as pixel data, and
+  * [[Multimodal.decodeBmpGray]] validates the magic/compression/bpp and
+  * extracts dimensions + pixels exactly as an image library would read the
+  * header. Heavier codecs (JPEG, audio resampling, video frame sampling)
+  * would slot into the same seam: no codec libraries exist in this
+  * environment, but the decode contract, the mapPartitions batch shape
+  * (iterator-in/iterator-out, per-partition setup amortization), and the
+  * failure mode (malformed payload → IllegalArgumentException) are real
+  * and tested.
   *
-  * Scale notes (100 TB): payloads never enter a shuffle — feature
-  * extraction is a narrow mapPartitions over the scan, and downstream
-  * joins/groupBys carry only the fixed-width feature vector + metadata.
+  * Scale notes (100 TB): payloads never enter a shuffle — decode +
+  * feature extraction is a narrow mapPartitions over the scan, and
+  * downstream joins/groupBys carry only the fixed-width feature vector +
+  * metadata.
   */
 object Multimodal {
 
   val FeatureDim = 16
 
-  /** Media table derived from documents: payload = UTF-8 bytes of `text`
-    * standing in for an encoded image/audio blob, plus typed metadata. */
+  /** Fixed image width for the synthetic BMP payloads (a multiple of 4, so
+    * rows need no padding on encode; decode still honors the general
+    * 4-byte stride). */
+  val BmpWidth = 64
+
+  private val HeaderSize = 14 + 40 + 256 * 4 // file header + info header + palette
+
+  /** Build a REAL 8-bit grayscale BMP whose pixel data is `data` (padded
+    * with zeros to fill the last row), rows stored bottom-up per the spec. */
+  def encodeBmpGray(data: Array[Byte]): Array[Byte] = {
+    val w = BmpWidth
+    val h = math.max(1, (data.length + w - 1) / w)
+    val out = new Array[Byte](HeaderSize + w * h)
+    def putI16(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
+    }
+    def putI32(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
+      out(p + 2) = (v >>> 16).toByte; out(p + 3) = (v >>> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putI32(2, out.length) // file size
+    putI32(10, HeaderSize) // pixel array offset
+    putI32(14, 40) // BITMAPINFOHEADER size
+    putI32(18, w)
+    putI32(22, h)
+    putI16(26, 1) // planes
+    putI16(28, 8) // bits per pixel
+    putI32(30, 0) // BI_RGB, uncompressed
+    putI32(34, w * h) // image size
+    putI32(46, 256) // palette entries
+    var i = 0
+    while (i < 256) { // grayscale palette: entry i = (B=i, G=i, R=i, 0)
+      val p = 54 + i * 4
+      out(p) = i.toByte; out(p + 1) = i.toByte; out(p + 2) = i.toByte
+      i += 1
+    }
+    var row = 0
+    while (row < h) {
+      val src = row * w
+      val n = math.min(w, data.length - src)
+      if (n > 0) System.arraycopy(data, src, out, HeaderSize + (h - 1 - row) * w, n)
+      row += 1
+    }
+    out
+  }
+
+  /** Parse an 8-bit uncompressed BMP: validate magic/bpp/compression, read
+    * the little-endian header fields, and return dimensions + pixels in
+    * top-down order (rows re-flipped, stride padding dropped). Malformed
+    * payloads raise IllegalArgumentException — the per-record failure a
+    * production decode stage routes to a quarantine sink. */
+  def decodeBmpGray(bmp: Array[Byte]): BmpImage = {
+    def u16(p: Int): Int = (bmp(p) & 0xFF) | ((bmp(p + 1) & 0xFF) << 8)
+    def i32(p: Int): Int = (bmp(p) & 0xFF) | ((bmp(p + 1) & 0xFF) << 8) |
+      ((bmp(p + 2) & 0xFF) << 16) | ((bmp(p + 3) & 0xFF) << 24)
+    if (bmp.length < 54 || bmp(0) != 'B' || bmp(1) != 'M')
+      throw new IllegalArgumentException("not a BMP payload (bad magic)")
+    val offset = i32(10)
+    val w = i32(18)
+    val h = i32(22)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (w <= 0 || h <= 0 || bpp != 8 || compression != 0)
+      throw new IllegalArgumentException(
+        s"unsupported BMP: ${w}x$h bpp=$bpp compression=$compression")
+    val stride = ((w + 3) / 4) * 4 // rows are 4-byte aligned in the file
+    if (offset + h.toLong * stride > bmp.length)
+      throw new IllegalArgumentException("truncated BMP pixel array")
+    val pixels = new Array[Byte](w * h)
+    var row = 0
+    while (row < h) {
+      System.arraycopy(bmp, offset + (h - 1 - row) * stride, pixels, row * w, w)
+      row += 1
+    }
+    BmpImage(w, h, bpp, pixels)
+  }
+
+  /** 16-bin byte histogram over decoded pixels, L1-normalized — the
+    * stand-in for an embedding model applied to the decoded image. */
+  private[graft] def histogram(pixels: Array[Byte]): Array[Float] = {
+    val counts = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < pixels.length) {
+      counts((pixels(i) & 0xFF) % FeatureDim) += 1
+      i += 1
+    }
+    val n = math.max(1, pixels.length).toFloat
+    counts.map(_ / n)
+  }
+
+  /** Metadata-only media table: payload = UTF-8 bytes of `text` standing in
+    * for an arbitrary blob (qmm_meta hashes/measures it without decoding —
+    * mime-agnostic by design). */
   def media(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id").as("media_id"),
-      lit("text/plain").as("mime"), // a real pipeline: image/jpeg, audio/wav …
+      lit("text/plain").as("mime"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
         col("n_chars").as("n_bytes"),
         col("lang").as("source_lang"),
         col("source").as("origin")).as("meta"))
 
-  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
-    * Stands in for decode→resize→embed; same signature and batch shape. */
-  private[graft] def histogram(payload: Array[Byte]): Array[Float] = {
-    val counts = new Array[Int](FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      counts((payload(i) & 0xFF) % FeatureDim) += 1
-      i += 1
-    }
-    val n = math.max(1, payload.length).toFloat
-    counts.map(_ / n)
+  /** Image media table: each document's bytes wrapped into a real grayscale
+    * BMP (the encode would be the ingest step of an image pipeline). Built
+    * via mapPartitions for the same batch shape the decoder uses. */
+  def mediaBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"),
+        col("n_chars"), col("lang"), col("source"))
+      .as[(Long, Array[Byte], Long, String, String)]
+      .mapPartitions(_.map { case (id, raw, nChars, lang, source) =>
+        (id, "image/bmp", encodeBmpGray(raw), nChars, lang, source)
+      })
+      .toDF("media_id", "mime", "payload", "n_bytes", "source_lang", "origin")
+      .select(col("media_id"), col("mime"), col("payload"),
+        struct(col("n_bytes"), col("source_lang"), col("origin")).as("meta"))
   }
 
-  /** Batch feature extraction over the binary payload via mapPartitions —
-    * iterator in/out so a real decoder could amortize per-batch setup
-    * (model load, codec contexts) across the partition. */
-  def decodeFeaturesStub(spark: SparkSession, mediaDf: DataFrame): DataFrame = {
+  /** Batch decode + feature extraction over the binary payload via
+    * mapPartitions — iterator in/out so a real decoder amortizes per-batch
+    * setup (codec contexts, model load) across the partition. Parses the
+    * BMP header for real ([[decodeBmpGray]]) and features the pixel data. */
+  def decodeFeatures(spark: SparkSession, mediaDf: DataFrame): DataFrame = {
     val sp = spark
     import sp.implicits._
     val feats = mediaDf.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition setup would go here (decoder/model init — STUB)
+        // per-partition setup for a heavier codec would go here
         rows.map { case (id, payload) =>
-          val f = histogram(payload)
+          val img = decodeBmpGray(payload)
+          val f = histogram(img.pixels)
           val argmax = f.indices.maxBy(i => (f(i), -i)) // ties → lowest index
-          (id, f, argmax)
+          (id, img.width, img.height, f, argmax)
         }
       }
-      .toDF("media_id", "features", "dominant_bucket")
+      .toDF("media_id", "width", "height", "features", "dominant_bucket")
     mediaDf.select(col("media_id"), col("meta"))
       .join(feats, "media_id")
   }
@@ -91,14 +199,15 @@ object Multimodal {
         "md5(text) AS payload_md5, lang AS source_lang " +
         "FROM documents ORDER BY media_id"))
 
-  /** No oracle: the mapPartitions stub is not SQL-expressible. Determinism
-    * is covered by RegistrySpec's run-twice check; shape/values by
-    * MultimodalSpec. */
+  /** No oracle: the mapPartitions decode is not SQL-expressible. Decode
+    * correctness (header fields, pixel round-trip, malformed payloads) is
+    * covered by MultimodalSpec; determinism by RegistrySpec's run-twice. */
   private val qmmFeatures = QueryDef(
     "qmm_features",
     build = (spark, sfDir) =>
-      decodeFeaturesStub(spark, media(spark, sfDir))
+      decodeFeatures(spark, mediaBmp(spark, sfDir))
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("width"), col("height"),
           // list columns crash the harness's pandas row-sort even on the
           // rows-only (no-oracle) path — emit the vector as a joined string
           array_join(transform(col("features"), x => x.cast(StringType)), ",")

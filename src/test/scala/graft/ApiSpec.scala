@@ -118,6 +118,38 @@ class ApiSpec extends SparkFixture {
     assert(sizes == Map(1 -> 26, 2 -> 26, 3 -> 26, 4 -> 25), sizes)
   }
 
+  test("kmeansCentroids: monotone objective, deterministic, feeds ivfTopK") {
+    import graft.functions.VectorFunctions.cosine_similarity
+    import org.apache.spark.sql.DataFrame
+    val emb = graft.etl.Tables.embeddings(spark, sfTiny)
+    val asDouble = expr("transform(embedding, x -> cast(x AS double))")
+    // spherical k-means objective: sum over vectors of the best cosine
+    def objective(c: DataFrame): Double =
+      emb.select(col("vec_id"), asDouble.as("__v"))
+        .crossJoin(broadcast(c))
+        .select(col("vec_id"), cosine_similarity(col("__v"), col("c_emb")).as("sim"))
+        .groupBy("vec_id").agg(max("sim").as("best"))
+        .agg(sum("best")).collect()(0).getDouble(0)
+    val objs = (0 to 3).map(i =>
+      objective(Graft.kmeansCentroids(emb, col("vec_id"), col("embedding"), k = 4, iters = i)))
+    objs.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9, s"objective regressed: $objs")
+      case _ => ()
+    }
+    // seeds are the k lowest ids — rerunning iters=0 is exactly reproducible
+    val seeds = Graft.kmeansCentroids(emb, col("vec_id"), col("embedding"), k = 4, iters = 0)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val seeds2 = Graft.kmeansCentroids(emb, col("vec_id"), col("embedding"), k = 4, iters = 0)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(seeds.toSeq == seeds2.toSeq)
+    assert(seeds.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // trained centroids slot straight into ivfTopK
+    val trained = Graft.kmeansCentroids(emb, col("vec_id"), col("embedding"), k = 4, iters = 2)
+    val top = Graft.ivfTopK(emb.select(col("vec_id"), asDouble.as("embedding")),
+      col("vec_id"), col("embedding"), trained, k = 3)
+    assert(top.count() > 0 && top.select("cid").distinct().count() >= 1)
+  }
+
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
     val sp = spark
     import sp.implicits._

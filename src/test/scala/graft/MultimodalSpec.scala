@@ -4,9 +4,9 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StructType}
 
-/** The multimodal plumbing is real even though the decoder is a stub:
-  * binary payload schema, metadata struct, batch mapPartitions shape,
-  * normalized fixed-dim features.
+/** Multimodal plumbing with a REAL decode step: BMP header build/parse
+  * round-trips, malformed payloads fail like a production decode stage,
+  * and the batch mapPartitions shape produces fixed-dim features.
   */
 class MultimodalSpec extends SparkFixture {
 
@@ -19,11 +19,49 @@ class MultimodalSpec extends SparkFixture {
     assert(payload.nonEmpty)
   }
 
-  test("feature extraction: fixed dim, L1-normalized, partition-parallel") {
-    val f = Multimodal.decodeFeaturesStub(spark, Multimodal.media(spark, sfTiny))
+  test("BMP encode/decode round-trips header fields and pixel bytes") {
+    val data = "the quick brown fox jumps over the lazy dog " * 5 // 220 bytes
+    val bytes = data.getBytes("UTF-8")
+    val bmp = Multimodal.encodeBmpGray(bytes)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val img = Multimodal.decodeBmpGray(bmp)
+    assert(img.width == Multimodal.BmpWidth)
+    assert(img.height == (bytes.length + img.width - 1) / img.width) // 4 rows
+    assert(img.bitsPerPixel == 8)
+    // pixels = original bytes + zero padding to the row boundary
+    assert(img.pixels.take(bytes.length).toSeq == bytes.toSeq)
+    assert(img.pixels.drop(bytes.length).forall(_ == 0))
+    // empty input still yields a valid 1-row image
+    val empty = Multimodal.decodeBmpGray(Multimodal.encodeBmpGray(Array.empty[Byte]))
+    assert(empty.width == Multimodal.BmpWidth && empty.height == 1)
+    assert(empty.pixels.forall(_ == 0))
+  }
+
+  test("malformed payloads raise IllegalArgumentException, not garbage") {
+    val bmp = Multimodal.encodeBmpGray("hello".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { // bad magic
+      Multimodal.decodeBmpGray("not a bitmap at all".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel array
+      Multimodal.decodeBmpGray(bmp.take(bmp.length - 10))
+    }
+    val wrongBpp = bmp.clone()
+    wrongBpp(28) = 24 // claim 24-bit
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpGray(wrongBpp)
+    }
+  }
+
+  test("feature extraction decodes for real: dims from the header, fixed-dim features") {
+    val f = Multimodal.decodeFeatures(spark, Multimodal.mediaBmp(spark, sfTiny))
     val rows = f.orderBy("media_id").collect()
     assert(rows.length == 500)
     rows.foreach { r =>
+      assert(r.getAs[Int]("width") == Multimodal.BmpWidth)
+      assert(r.getAs[Int]("height") >= 1)
+      // decoded dims must cover the original byte count from the metadata
+      val nBytes = r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes")
+      assert(r.getAs[Int]("width").toLong * r.getAs[Int]("height") >= nBytes)
       val feats: scala.collection.Seq[Float] = r.getSeq[Float](r.fieldIndex("features"))
       assert(feats.length == Multimodal.FeatureDim)
       assert(math.abs(feats.sum - 1.0f) < 1e-3, s"not normalized: ${feats.sum}")
@@ -32,7 +70,7 @@ class MultimodalSpec extends SparkFixture {
     }
   }
 
-  test("payload bytes round-trip: histogram of known bytes") {
+  test("histogram of known bytes") {
     val h = Multimodal.histogram("aaab".getBytes("UTF-8"))
     // 'a' = 97 → bucket 97 % 16 = 1 ; 'b' = 98 → bucket 2
     assert(h(1) == 0.75f && h(2) == 0.25f)

@@ -14,9 +14,14 @@ class RegistrySpec extends SparkFixture {
   private val noOracleAllowed =
     Set("qagg_approxhll", "qllm_minhash", "qllm_simhash", "qmm_features")
 
-  test("inventory: every query has oracle SQL or a documented exemption") {
-    val missing = Registry.all.filter(q => q.oracle.isEmpty && !noOracleAllowed(q.name))
-    assert(missing.isEmpty, s"queries without oracle: ${missing.map(_.name)}")
+  test("inventory: the no-oracle set is EXACTLY the four sanctioned keys") {
+    // the sanctioned set may only change together with SURVEY §2.2's
+    // "exactly four are no-oracle" paragraph — a new no-oracle query (or a
+    // sanctioned one growing an oracle) must fail here loudly
+    val actual = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(actual == noOracleAllowed,
+      s"no-oracle drift — missing oracle: ${actual -- noOracleAllowed}; " +
+        s"sanctioned but oracled now: ${noOracleAllowed -- actual}")
   }
 
   test("names are unique and follow the q<category>_<name> convention") {
