@@ -20,9 +20,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the executor pool, codegen pipeline AND the parquet reader
     // stack so one-time session cost is not attributed to whichever query
-    // the Map yields first.
+    // the Map yields first. Every fixture table is opened once: the first
+    // scan of a cold file (footer reads, column-reader setup, dictionary
+    // load) costs multiples of the steady-state scan, and which query pays
+    // it is map-order luck (measured: the first documents-pipeline query
+    // absorbed ~3 s that re-running it showed was not its own cost).
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    graft.etl.Tables.schemas.keys.foreach { t =>
+      (if (t == "events") graft.etl.Tables.events(spark, sfDir)
+       else graft.etl.Tables.table(spark, sfDir, t)).count()
+    }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -171,37 +171,56 @@ object Graft {
     * smallest member id of the component — so the keeper per cluster is
     * `id == cluster` (deterministic, D8).
     *
-    * Each round every node takes the min of its own label and its
-    * neighbours' labels; convergence needs O(component diameter) rounds
-    * (near-dup components are shallow — similarity edges are dense
-    * within a cluster), and the loop stops early on a fixed point. All
-    * per-round state is edge/label DataFrames keyed by fixed-width ids:
-    * no driver-side graph, no per-key adjacency in executor memory.
-    * `localCheckpoint` cuts the growing lineage each round (at real
-    * cluster scale: `checkpoint` to reliable storage instead).
+    * Each round: (1) every node takes the min of its own label and its
+    * neighbours' labels; (2) a pointer-jump follows the label's own label
+    * (`cluster ← label(cluster)`), halving remaining path lengths so a
+    * diameter-d component converges in O(log d) rounds instead of O(d).
+    * Convergence is detected from the label SUM — labels only ever
+    * decrease, so the sum is strictly monotone until the fixed point,
+    * which makes the probe one tiny aggregate over the already-
+    * checkpointed frame instead of a join. All per-round state is
+    * edge/label DataFrames keyed by fixed-width ids: no driver-side
+    * graph, no per-key adjacency in executor memory. `localCheckpoint`
+    * cuts the growing lineage each round (at real cluster scale:
+    * `checkpoint` to reliable storage instead).
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetrize in ONE pass over `pairs` (an explode of both directions):
+    // a union of two projections would evaluate the upstream candidate
+    // pipeline twice — measured at ~2× the whole pair-generation cost
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
+      .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbour)
+      val stepped = labels.unionByName(viaNeighbour)
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"))
+      // pointer jump: cluster ← label(cluster). Label targets are always
+      // node ids (mins over node ids), so the join always matches.
+      val next = stepped
+        .join(stepped.select(col("id").as("cluster"), col("cluster").as("__c2")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("__c2"), col("cluster")).as("cluster"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
