@@ -131,6 +131,17 @@ object Graft {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The final step of near-dup dedup: drop every clustered row except
+    * its cluster's keeper (the min-id member), keep all unclustered rows.
+    * `clusters` is [[dedupClusters]] output `(id, cluster)`; `idCol` is
+    * the matching id in `df`. A left join + one filter — rows, never
+    * per-key state, and the join key is the fixed-width id. */
+  def applyClusterDedup(df: DataFrame, idCol: Column, clusters: DataFrame): DataFrame =
+    df.join(clusters.select(col("id").as("__cd_id"), col("cluster").as("__cd_cluster")),
+        idCol === col("__cd_id"), "left")
+      .filter(col("__cd_cluster").isNull || col("__cd_id") === col("__cd_cluster"))
+      .drop("__cd_id", "__cd_cluster")
+
   /** Exact n-gram Jaccard candidate pairs over a shingle frame
     * `(doc_id, sh)` (hashed or string shingles) via a doc-frequency-capped
     * inverted index — candidate generation never goes all-pairs. Pairs are

@@ -99,6 +99,22 @@ class ApiSpec extends SparkFixture {
     assert(labels.size == 13 && labels.values.forall(_ == 0L), labels)
   }
 
+  test("applyClusterDedup keeps one row per cluster plus all unclustered rows") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "solo"))
+      .toDF("doc_id", "payload")
+    val clusters = Graft.dedupClusters(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b") // {1,2,3}; 4 & 9 unclustered
+    val kept = Graft.applyClusterDedup(docs, col("doc_id"), clusters)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 9L)) // keeper 1 survives; 2,3 dropped
+    // end-to-end: the full pipeline is pairs -> clusters -> dedup; output
+    // schema is unchanged (no helper columns leak)
+    assert(Graft.applyClusterDedup(docs, col("doc_id"), clusters).columns.toSeq
+      == docs.columns.toSeq)
+  }
+
   test("globalRanks matches a reference sort; ntileFromRank matches SQL ntile sizing") {
     val sp = spark
     import sp.implicits._

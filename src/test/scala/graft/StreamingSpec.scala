@@ -210,6 +210,40 @@ class StreamingSpec extends SparkFixture {
     assert(c1.pending == Vector(400L) && c1.confirmed == 0L, c1)
   }
 
+  test("stream-stream interval join: purchases matched to clicks within one hour") {
+    val sp = spark
+    import sp.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    // both sides watermarked + a bounded time-interval condition: Spark can
+    // expire join state — the only stream-stream join shape that survives
+    // an unbounded run
+    val joined = c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 2L))
+      purchases.addData(
+        Ev(ts("2024-01-01 10:30:00"), "purchase", 5.0, 1L), // within the hour
+        Ev(ts("2024-01-01 12:00:00"), "purchase", 9.0, 2L)) // outside it
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_t")
+        .select(col("c_user"), col("p_ts").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L,
+        java.time.Instant.parse("2024-01-01T10:30:00Z").getEpochSecond)), rows)
+    } finally q.stop()
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
