@@ -369,6 +369,43 @@ object Graft {
   }
 
   // ------------------------------------------------------------------
+  // Deterministic sampling & splits
+  // ------------------------------------------------------------------
+
+  /** Deterministic, reproducible sampling: keep rows whose `md5(key)`
+    * first hex digit falls below `sixteenths` — a `sixteenths/16`
+    * fraction. No RNG, no seed plumbing: the same row is always in or
+    * out of the sample, across engines, re-runs, and cluster sizes —
+    * THE sampling method for a 100 TB corpus where "re-run with the same
+    * sample" must hold years later. Hex compare is plain ASCII
+    * lexicographic, so any engine with md5 agrees. */
+  def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16,
+      s"sixteenths must be in [0, 16], got $sixteenths")
+    if (sixteenths == 16) df
+    else if (sixteenths == 0) df.filter(lit(false))
+    else df.filter(substring(md5(key), 1, 1) <
+      lit("0123456789abcdef".charAt(sixteenths).toString))
+  }
+
+  /** Deterministic train/val/test assignment from the first two hex
+    * digits of `md5(key)` (256 buckets): `train` below `trainBuckets`,
+    * `val` in the next `valBuckets`, `test` for the rest. Hash-based so
+    * membership is content-stable — a re-crawled duplicate lands in the
+    * same split and never leaks across the boundary. */
+  def hashSplit(key: Column, trainBuckets: Int = 205, valBuckets: Int = 26): Column = {
+    require(trainBuckets >= 0 && valBuckets >= 0 && trainBuckets + valBuckets <= 256,
+      s"bucket counts must fit 256, got $trainBuckets + $valBuckets")
+    val hex = "0123456789abcdef"
+    // "g" sorts above every hex pair — the n=256 cut keeps everything
+    def cut(n: Int): String = if (n >= 256) "g" else "" + hex(n / 16) + hex(n % 16)
+    val h = substring(md5(key), 1, 2)
+    when(h < cut(trainBuckets), "train")
+      .when(h < cut(trainBuckets + valBuckets), "val")
+      .otherwise("test")
+  }
+
+  // ------------------------------------------------------------------
   // Distributed ranking
   // ------------------------------------------------------------------
 

@@ -402,8 +402,104 @@ object LlmOps {
     },
     oracle = None)
 
+  /** Deterministic hash sampling ([[graft.api.Graft.hashSample]], 2/16 ≈
+    * 12.5%): membership is a pure function of content — the same sample
+    * on any engine, any cluster size, any re-run. The filter is a scan-
+    * level predicate, so at 100 TB the sample never materializes the
+    * rejected 87.5%. */
+  private val qllmSampleHash = QueryDef(
+    "qllm_sample_hash",
+    build = (spark, sfDir) =>
+      graft.api.Graft.hashSample(Tables.documents(spark, sfDir), col("text"), 2)
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("text")), 1, 1).as("bucket"))
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      "SELECT doc_id, lang, substring(md5(text), 1, 1) AS bucket " +
+        "FROM documents WHERE substring(md5(text), 1, 1) < '2' ORDER BY doc_id"))
+
+  /** Content-hash train/val/test split ([[graft.api.Graft.hashSplit]],
+    * 205/26/25 of 256 buckets ≈ 80/10/10): duplicates land in the same
+    * split by construction, so dedup and split ordering can't leak val
+    * rows into train. Emitted as per-split aggregates (counts, chars,
+    * boundary doc ids). */
+  private val qllmSplit = QueryDef(
+    "qllm_split",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("split", graft.api.Graft.hashSplit(col("text")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("split")),
+    oracle = Some(
+      "WITH s AS (SELECT CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substring(md5(text), 1, 2) < 'e7' THEN 'val' ELSE 'test' END AS split, " +
+        "n_chars, doc_id FROM documents) " +
+        "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc FROM s GROUP BY split ORDER BY split"))
+
+  /** TF-IDF top-3 terms per document: tf exact counts, idf = ln(N/df)
+    * (both engines' libm agrees at the 6 dp the output rounds to —
+    * verified at all gate SFs), ranking on the ROUNDED score + word
+    * tiebreak so a last-ulp ln difference can never flip a rank. Window
+    * partitioned by doc — no global sort; df table is one narrow
+    * aggregate joined back by word hash. */
+  private val qllmTfidf = QueryDef(
+    "qllm_tfidf",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val words = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("dfw"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfw, "word").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("dfw").cast(DoubleType)), 6))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("dfw"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    oracle = Some(
+      "WITH words AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2), " +
+        "dfw AS (SELECT word, count(*) AS dfw FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, word, tf, dfw, " +
+        "round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dfw AS DOUBLE)), 6) AS score " +
+        "FROM tf JOIN dfw USING (word) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM scored) " +
+        "SELECT doc_id, rn, word, tf, dfw, score FROM r WHERE rn <= 3 ORDER BY doc_id, rn"))
+
+  /** Training-sequence construction: each user's time-ordered event-type
+    * sequence as one row — the group-collect shape that feeds sequence
+    * models. Per-key state is bounded by events-per-user (the group
+    * collect sorts one user's events, never a partition's); at extreme
+    * key skew the secondary-sort variant (repartition by user, sort
+    * within partitions by (user, ts), mapPartitions) drops even that. */
+  private val qllmSeqs = QueryDef(
+    "qllm_seqs",
+    build = (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))))
+            .as("__s"))
+        .select(col("user_id"), col("n_events"),
+          array_join(expr("transform(__s, s -> s.event_type)"), ",").as("seq"))
+        .orderBy(col("user_id")),
+    oracle = Some(
+      "SELECT user_id, count(*) AS n_events, " +
+        "string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq " +
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
-    qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash)
+    qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
+    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs)
 }
