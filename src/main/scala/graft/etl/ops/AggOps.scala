@@ -244,8 +244,39 @@ object AggOps {
         .orderBy(col("event_type")),
     oracle = None)
 
+  /** Data-quality audit — the validation pass an ETL pipeline runs before
+    * promoting a load: one scan producing per-rule violation counts
+    * (nulls, domain bounds, referential sanity) as a single wide row.
+    * Conditional counts fold into ONE partial aggregate, so the audit
+    * costs a single pass over the table at any scale; adding a rule adds
+    * a column, not a scan. */
+  private val qaggDqaudit = QueryDef(
+    "qagg_dqaudit",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+          count(when(col("l_quantity") <= 0, 1)).as("nonpos_qty"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+          count(when(col("l_extendedprice") <= 0, 1)).as("nonpos_price"),
+          count(when(col("l_shipdate") < lit("1990-01-01").cast(TimestampType), 1))
+            .as("early_shipdate"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_returnflag")).as("n_flags")),
+    oracle = Some(
+      "SELECT count(*) AS n_rows, " +
+        "count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty, " +
+        "count(CASE WHEN l_quantity <= 0 THEN 1 END) AS nonpos_qty, " +
+        "count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_discount, " +
+        "count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS nonpos_price, " +
+        "count(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 END) AS early_shipdate, " +
+        "count(DISTINCT l_orderkey) AS n_orders, " +
+        "count(DISTINCT l_returnflag) AS n_flags " +
+        "FROM lineitem"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
-    qaggApproxhll)
+    qaggApproxhll, qaggDqaudit)
 }

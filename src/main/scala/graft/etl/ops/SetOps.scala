@@ -148,7 +148,47 @@ object SetOps {
         "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.id) " +
         "SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id ORDER BY doc_id"))
 
+  /** CDC changeset application (MERGE/upsert semantics without a table
+    * format): base LEFT JOIN updates (changed columns coalesce), anti-join
+    * deletes, union inserts. The changeset is derived deterministically
+    * from the fixture (keys ≡ 3 mod 10 update, ≡ 7 mod 10 delete, inserts
+    * re-keyed above the base range) so the oracle replicates it exactly.
+    * At 100 TB this is one key-partitioned join + an anti-join — the
+    * files-only fallback where a MERGE-capable table format isn't
+    * available; op provenance is emitted per row ('U'/'K'/'I'). */
+  private val qsetUpsert = QueryDef(
+    "qset_upsert",
+    build = (spark, sfDir) => {
+      val base = Tables.orders(spark, sfDir)
+      val updates = base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("new_price"))
+      val deletes = base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"))
+      val inserts = base.filter(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), (col("o_totalprice") / 2.0).as("price"), lit("I").as("op"))
+      val kept = base
+        .join(deletes.withColumnRenamed("o_orderkey", "__del"),
+          col("o_orderkey") === col("__del"), "left_anti")
+        .join(updates, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"),
+          when(col("new_price").isNotNull, "U").otherwise("K").as("op"))
+      kept.unionByName(inserts).orderBy(col("o_orderkey"))
+    },
+    oracle = Some(
+      "WITH upd AS (SELECT o_orderkey, o_totalprice + 100.0 AS new_price FROM orders WHERE o_orderkey % 10 = 3), " +
+        "del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 7), " +
+        "ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, " +
+        "o_totalprice / 2.0 AS price, 'I' AS op FROM orders WHERE o_orderkey % 10 = 1), " +
+        "kept AS (SELECT b.o_orderkey, b.o_custkey, " +
+        "coalesce(u.new_price, b.o_totalprice) AS price, " +
+        "CASE WHEN u.o_orderkey IS NOT NULL THEN 'U' ELSE 'K' END AS op " +
+        "FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey " +
+        "WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)) " +
+        "SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
-    qsetDistinct, qdedupExact, qdedupClusters)
+    qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert)
 }
