@@ -497,9 +497,56 @@ object LlmOps {
         "string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq " +
         "FROM events GROUP BY user_id ORDER BY user_id"))
 
+  /** Train/test contamination detector: near-duplicate pairs (the
+    * qdedup_clusters edge set, jaccard ≥ 1/2) whose endpoints fall in
+    * DIFFERENT content-hash splits — exact duplicates can never cross
+    * (same md5 → same split by construction), so every hit is a
+    * near-dup leaking eval signal into training. Emitted as per
+    * (split_a, split_b) counts + the smallest offending pair. The same
+    * candidate generator feeds dedup and this audit — one inverted-index
+    * pass serves both at 100 TB. */
+  private val qllmContamination = QueryDef(
+    "qllm_contamination",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val sh = graft.api.Graft
+        .shingleHashes(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      val pairs = graft.api.Graft
+        .jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 2)
+        .select(col("doc_a"), col("doc_b"))
+      val splits = docs.select(col("doc_id"),
+        graft.api.Graft.hashSplit(col("text")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_a"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    oracle = Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cand AS (SELECT doc_a, doc_b FROM pairs " +
+        "JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 2 >= ca.n_sh + cb.n_sh - n_common), " +
+        "sp AS (SELECT doc_id, CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substring(md5(text), 1, 2) < 'e7' THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs, min(doc_a) AS min_a " +
+        "FROM cand JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b " +
+        "WHERE sa.split <> sb.split GROUP BY 1, 2 ORDER BY 1, 2"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
-    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs)
+    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmContamination)
 }

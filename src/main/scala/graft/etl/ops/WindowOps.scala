@@ -165,7 +165,35 @@ object WindowOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_orderkey"))
 
+  /** Slowly-changing-dimension (type 2) history build: each customer's
+    * orders become effective-dated versions — `valid_from` = the order
+    * date, `valid_to` = the next version's date (null while current),
+    * `is_current` flagging the open row. One per-key window (`lead`),
+    * epochs as BIGINT (D6), flags as INT 0/1. The standard ETL
+    * dimension-history shape: one shuffle on the dimension key. */
+  private val qwinScd2 = QueryDef(
+    "qwin_scd2",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          unix_micros(col("o_orderdate")).as("valid_from_us"),
+          unix_micros(lead(col("o_orderdate"), 1).over(w)).as("valid_to_us"),
+          when(lead(col("o_orderdate"), 1).over(w).isNull, 1).otherwise(0)
+            .cast(IntegerType).as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from_us"), col("o_orderkey"))
+    },
+    oracle = Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "epoch_us(o_orderdate) AS valid_from_us, " +
+        "epoch_us(lead(o_orderdate, 1) OVER w) AS valid_to_us, " +
+        "CAST(CASE WHEN lead(o_orderdate, 1) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, valid_from_us, o_orderkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
-    qwinNtileDist, qwinFirstLast)
+    qwinNtileDist, qwinFirstLast, qwinScd2)
 }
