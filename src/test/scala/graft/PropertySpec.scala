@@ -122,6 +122,63 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("globalRanks equals the single-partition global window on random data") {
+    // duplicate order values + negative doubles + tiny/large bucket counts:
+    // the two-pass rank must reproduce Window.orderBy's row_number exactly
+    val rowsGen = Gen.listOfN(60, Gen.chooseNum(-100, 100))
+    samples(Gen.zip(rowsGen, Gen.chooseNum(1, 16)), 6).foreach { case (xs, buckets) =>
+      val sp = spark
+      import sp.implicits._
+      val df = xs.zipWithIndex.map { case (v, i) => (v.toDouble, i.toLong) }.toDF("v", "id")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+      val reference = df.withColumn("r", row_number().over(w))
+        .collect().map(r => (r.getLong(1), r.getInt(2).toLong)).toMap
+      val twoPass = Graft.globalRanks(df, col("v"), Seq(col("id")), buckets)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("__rank"))).toMap
+      assert(twoPass == reference, s"buckets=$buckets xs=$xs")
+    }
+  }
+
+  test("dedupClusters equals brute-force union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 6).foreach { edges =>
+      val sp = spark
+      import sp.implicits._
+      // reference: classic union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = Graft.dedupClusters(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("hashSplit partitions every row into exactly one split; exact dups co-locate") {
+    val textGen = Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    samples(textGen, 4).foreach { texts =>
+      val sp = spark
+      import sp.implicits._
+      // duplicate every text so co-location is actually exercised
+      val df = (texts ++ texts).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .withColumn("split", Graft.hashSplit(col("text")))
+      val bySplit = df.groupBy("text").agg(countDistinct("split").as("n")).collect()
+      bySplit.foreach(r => assert(r.getLong(1) == 1L, "dup text crossed splits"))
+      val names = df.select("split").distinct().collect().map(_.getString(0)).toSet
+      assert(names.subsetOf(Set("train", "val", "test")))
+    }
+  }
+
   test("minhash API: identical texts collide with estimate 1.0") {
     val sp = spark
     import sp.implicits._

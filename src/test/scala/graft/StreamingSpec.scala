@@ -244,6 +244,33 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint: restart resumes exactly-once, no dup rows") {
+    val sp = spark
+    import sp.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[Ev]
+    def start() = stream.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+    val batch1 = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:05:00"), "view", 2.0, 2L))
+    val batch2 = Seq(
+      Ev(ts("2024-01-01 10:10:00"), "purchase", 3.0, 1L))
+    val q1 = start()
+    try { stream.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    stream.addData(batch2: _*) // arrives while the query is down
+    val q2 = start() // same checkpoint: resumes past batch1's offsets
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.schema(batch1.toDF().schema).parquet(outDir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = (batch1 ++ batch2).toDF().collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"got $got want $want") // every row exactly once
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
