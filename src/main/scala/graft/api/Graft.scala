@@ -209,8 +209,10 @@ object Graft {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // coalesce: sum over an EMPTY label frame is null (no pairs at all)
     def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
+      .agg(coalesce(sum(col("cluster").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("s"))
       .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
@@ -378,7 +380,9 @@ object Graft {
     * out of the sample, across engines, re-runs, and cluster sizes —
     * THE sampling method for a 100 TB corpus where "re-run with the same
     * sample" must hold years later. Hex compare is plain ASCII
-    * lexicographic, so any engine with md5 agrees. */
+    * lexicographic, so any engine with md5 agrees. Null keys hash to
+    * null and are excluded from every sample (SQL comparison semantics —
+    * matches the oracle). */
   def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
     require(sixteenths >= 0 && sixteenths <= 16,
       s"sixteenths must be in [0, 16], got $sixteenths")
@@ -392,7 +396,9 @@ object Graft {
     * digits of `md5(key)` (256 buckets): `train` below `trainBuckets`,
     * `val` in the next `valBuckets`, `test` for the rest. Hash-based so
     * membership is content-stable — a re-crawled duplicate lands in the
-    * same split and never leaks across the boundary. */
+    * same split and never leaks across the boundary. Null keys fall
+    * through both comparisons into `test` (CASE semantics — identical in
+    * the oracle); filter them earlier if that is not intended. */
   def hashSplit(key: Column, trainBuckets: Int = 205, valBuckets: Int = 26): Column = {
     require(trainBuckets >= 0 && valBuckets >= 0 && trainBuckets + valBuckets <= 256,
       s"bucket counts must fit 256, got $trainBuckets + $valBuckets")
@@ -420,11 +426,15 @@ object Graft {
     * No operator ever sees more than one bucket's rows in one partition.
     *
     * Appends `__rank` (global 1-based) and `__n` (total row count).
-    * `orderCol` must be numeric and non-null; `tiebreaks` must make the
-    * total order unique for `__rank` to be deterministic (D9).
-    * Fixed-width buckets keep the pass count at two; a skewed `orderCol`
-    * wants sampled-quantile boundaries instead (same plan shape, one
-    * extra sampling read).
+    * `orderCol` must be numeric and NON-NULL — a null would land in the
+    * last value bucket (bucket math yields null, `least` ignores it)
+    * while NULLS FIRST ordering expects it globally first, silently
+    * corrupting ranks, so nulls fail fast with `raise_error` instead.
+    * `tiebreaks` must make the total order unique for `__rank` to be
+    * deterministic (D9). Fixed-width buckets keep the pass count at two;
+    * a skewed `orderCol` wants sampled-quantile boundaries instead (same
+    * plan shape, one extra sampling read). NaNs degrade to the last
+    * bucket (Spark sorts NaN greatest) — correct, just unbalanced.
     */
   def globalRanks(df: DataFrame, orderCol: Column,
       tiebreaks: Seq[Column], buckets: Int = 64): DataFrame = {
@@ -433,10 +443,13 @@ object Graft {
       max(orderCol).cast(DoubleType).as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__bucket",
-        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
-          least(lit(buckets - 1L),
-            floor((orderCol.cast(DoubleType) - col("__lo")) * buckets /
-              (col("__hi") - col("__lo"))).cast(LongType))))
+        when(orderCol.isNull,
+          raise_error(lit("globalRanks: order column must be non-null")).cast(LongType))
+          .when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(
+            least(lit(buckets - 1L),
+              floor((orderCol.cast(DoubleType) - col("__lo")) * buckets /
+                (col("__hi") - col("__lo"))).cast(LongType))))
       .drop("__lo", "__hi")
     val counts = bucketed.groupBy(col("__bucket")).agg(count(lit(1)).as("__c"))
     // cumulative offset per bucket + grand total: a triangular self-join

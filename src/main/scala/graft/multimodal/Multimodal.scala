@@ -102,8 +102,9 @@ object Multimodal {
       throw new IllegalArgumentException(
         s"unsupported BMP: ${w}x$h bpp=$bpp compression=$compression")
     val stride = ((w + 3) / 4) * 4 // rows are 4-byte aligned in the file
-    if (offset + h.toLong * stride > bmp.length)
-      throw new IllegalArgumentException("truncated BMP pixel array")
+    if (offset < 54 || offset.toLong + h.toLong * stride > bmp.length)
+      throw new IllegalArgumentException(
+        "truncated BMP pixel array or malformed pixel offset")
     val pixels = new Array[Byte](w * h)
     var row = 0
     while (row < h) {

@@ -87,6 +87,22 @@ class EdgeCaseSpec extends SparkFixture {
     assert(native == Seq((0L, 9L, 5L), (7L, 8L, 3L)))
   }
 
+  test("dedupClusters on an empty pair set returns empty, not an NPE") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graft.dedupClusters(empty, "a", "b").count() == 0)
+  }
+
+  test("globalRanks fails fast on a null order value instead of mis-ranking it") {
+    val withNull = df(Seq(Row(1, 5), Row(2, 9), Row(3, null)), kv)
+    val ex = intercept[Exception] {
+      Graft.globalRanks(withNull, col("v"), Seq(col("k")), buckets = 4).collect()
+    }
+    assert(ex.getMessage.contains("non-null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-null")), ex.getMessage)
+  }
+
   test("cosine of a zero vector is NaN (documented, not a crash); empty arrays too") {
     val sp = spark
     import sp.implicits._
