@@ -275,8 +275,33 @@ object AggOps {
         "count(DISTINCT l_returnflag) AS n_flags " +
         "FROM lineitem"))
 
+  /** Unpivot (melt) — the inverse of qagg_pivot: three measure columns
+    * become (measure, value) rows via the native `unpivot` operator (an
+    * Expand node: no shuffle, no join — each input row fans out in
+    * place). The oracle replicates it with a UNION ALL of one SELECT per
+    * measure, the portable relational form. */
+  private val qaggUnpivot = QueryDef(
+    "qagg_unpivot",
+    build = (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 100 === 0) // bounded slice, stable across SFs
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+    oracle = Some(
+      "WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0) " +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM src " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src " +
+        "ORDER BY l_orderkey, l_linenumber, measure"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
-    qaggApproxhll, qaggDqaudit)
+    qaggApproxhll, qaggDqaudit, qaggUnpivot)
 }
