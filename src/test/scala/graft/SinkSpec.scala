@@ -42,6 +42,52 @@ class SinkSpec extends SparkFixture {
       df.orderBy("s_suppkey").collect().map(_.toString).toSeq)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    val sp = spark
+    import sp.implicits._
+    val out = tmp("graft_evolve")
+    // generation 1: (id, a); generation 2 adds column b — the schema-drift
+    // shape a long-lived 100 TB table accumulates
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("overwrite").parquet(s"$out/g=1")
+    Seq((3L, "z", 30)).toDF("id", "a", "b")
+      .write.mode("overwrite").parquet(s"$out/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "a", "b", "g"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Any]("b"))).toSeq
+    assert(rows == Seq((1L, null), (2L, null), (3L, 30))) // old files read b as null
+  }
+
+  test("corrupt JSON records: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST raises") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_corrupt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": BROKEN not json
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache() // required before filtering on the corrupt column
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("_corrupt_record").isNull).count() == 2)
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2)
+    intercept[Exception] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+    permissive.unpersist()
+  }
+
   test("partitioned parquet write creates lang= directories and prunes on read") {
     val out = tmp("graft_part")
     Tables.documents(spark, sfTiny)

@@ -271,6 +271,50 @@ class StreamingSpec extends SparkFixture {
     assert(got == want, s"got $got want $want") // every row exactly once
   }
 
+  test("foreachBatch: streaming micro-batches upsert a keyed target (latest wins)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.DataFrame
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert_t").toString
+    val stream = MemoryStream[Ev]
+    val schema = Seq((0L, 0L, 0.0)).toDF("user_id", "ts_us", "value").schema
+    val q = stream.toDF()
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // MERGE-on-files: current state ∪ batch, keep the latest version
+        // per key (ties to the larger value for determinism here).
+        val current =
+          if (new java.io.File(target).listFiles() != null &&
+              new java.io.File(target).list().exists(_.endsWith(".parquet")))
+            spark.read.schema(schema).parquet(target)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(desc("ts_us"), desc("value"))
+        val merged = current.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint() // materialize BEFORE overwriting what we read
+        merged.write.mode("overwrite").parquet(target)
+        ()
+      }
+      .start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:00:00"), "click", 5.0, 2L))
+      q.processAllAvailable()
+      stream.addData(
+        Ev(ts("2024-01-01 11:00:00"), "click", 9.0, 1L)) // newer version of user 1
+      q.processAllAvailable()
+      val state = spark.read.schema(schema).parquet(target)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(state.keySet == Set(1L, 2L))
+      assert(state(1L)._2 == 9.0, s"user 1 must hold the newer version: $state")
+      assert(state(2L)._2 == 5.0)
+    } finally q.stop()
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
