@@ -193,7 +193,46 @@ object WindowOps {
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, valid_from_us, o_orderkey"))
 
+  /** Time-series resample + forward fill: per user, hourly value sums
+    * over a COMPLETE hour grid (missing hours generated via `sequence`,
+    * exploded, left-joined) with gaps forward-filled by
+    * `last(..., ignoreNulls)` — the gap-filling shape a feature pipeline
+    * runs before windowed training. The grid is per-key min→max (never a
+    * global calendar cross join), so grid size is Σ per-key spans and the
+    * fill is one per-key window. */
+  private val qwinGapfill = QueryDef(
+    "qwin_gapfill",
+    build = (spark, sfDir) => {
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4)).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h").cast(LongType).as("hs"),
+          when(col("v").isNotNull, 1).otherwise(0).as("observed"),
+          decStr(last(col("v"), ignoreNulls = true).over(w)).as("value"))
+        .orderBy(col("user_id"), col("hs"))
+    },
+    oracle = Some(
+      "WITH hourly AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans), " +
+        "j AS (SELECT g.user_id, g.h, hourly.v FROM grid g " +
+        "LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h) " +
+        "SELECT user_id, CAST(epoch_us(h) // 1000000 AS BIGINT) AS hs, " +
+        "CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed, " +
+        "CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h " +
+        "ROWS UNBOUNDED PRECEDING) AS STRING) AS value " +
+        "FROM j ORDER BY user_id, hs"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
-    qwinNtileDist, qwinFirstLast, qwinScd2)
+    qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill)
 }
