@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output through VERBATIM (no "[info] " line prefix):
+// the bench/verify harness tail-parses the JSON status line from run
+// output, and sbt's default logger prefix makes every line unparseable
+// as JSON (observed: BENCH_r02.json "parsed": null with the complete
+// JSON line sitting right there in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
