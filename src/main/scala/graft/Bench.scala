@@ -30,9 +30,18 @@ object Bench {
       (if (t == "events") graft.etl.Tables.events(spark, sfDir)
        else graft.etl.Tables.table(spark, sfDir, t)).count()
     }
+    // A failed query must NEVER read as a fast one: failures are counted
+    // and named in the JSON line so the driver's bench doubles as a smoke
+    // gate — a regression that breaks a query shows up as "errors":N, not
+    // as an improved total (round-3 verdict item 3).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -40,15 +49,17 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val slowest = results.sortBy(-_._2).take(12)
+    val errJson = s""","errors":${failed.size},"failed":${failed.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(slowest)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -237,6 +237,15 @@ object Graft {
       labels = next
       iter += 1
     }
+    // Exhausting maxIter without the label-sum fixed point means labels are
+    // only PARTIALLY propagated — silently returning them would hand callers
+    // wrong clusters with no signal. Pointer-jumping converges in
+    // O(log diameter) rounds so the default budget covers huge components;
+    // hitting it is a caller error (maxIter too small) or a pathology worth
+    // failing loudly on.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters: no fixed point after $maxIter rounds — labels are " +
+        "partially propagated; raise maxIter")
     labels
   }
 
@@ -432,25 +441,100 @@ object Graft {
     * corrupting ranks, so nulls fail fast with `raise_error` instead.
     * `tiebreaks` must make the total order unique for `__rank` to be
     * deterministic (D9). Fixed-width buckets keep the pass count at two;
-    * a skewed `orderCol` wants sampled-quantile boundaries instead (same
-    * plan shape, one extra sampling read). NaNs degrade to the last
-    * bucket (Spark sorts NaN greatest) — correct, just unbalanced.
+    * a skewed `orderCol` wants [[globalRanksSampled]] instead (same plan
+    * shape, one extra sampling aggregate). NaNs are routed EXPLICITLY to
+    * the last bucket (Spark sorts NaN greatest, so global order is
+    * preserved) — an explicit branch because under ANSI mode (the Spark 4
+    * default this repo runs) `floor(NaN).cast(LONG)` would throw, and the
+    * min/max bounds exclude NaN so one NaN row cannot poison every other
+    * row's bucket arithmetic with NaN bounds.
     */
   def globalRanks(df: DataFrame, orderCol: Column,
       tiebreaks: Seq[Column], buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val bounds = df.agg(min(orderCol).cast(DoubleType).as("__lo"),
-      max(orderCol).cast(DoubleType).as("__hi"))
+    val ordD = orderCol.cast(DoubleType)
+    val finite = when(isnan(ordD), lit(null)).otherwise(ordD)
+    val bounds = df.agg(min(finite).as("__lo"), max(finite).as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__bucket",
         when(orderCol.isNull,
           raise_error(lit("globalRanks: order column must be non-null")).cast(LongType))
-          .when(col("__hi") === col("__lo"), lit(0L))
+          .when(isnan(ordD), lit(buckets - 1L))
+          // __hi null = every non-null value was NaN (all rows took the
+          // branch above); kept as a guard so the arithmetic never sees null
+          .when(col("__hi").isNull || col("__hi") === col("__lo"), lit(0L))
           .otherwise(
             least(lit(buckets - 1L),
-              floor((orderCol.cast(DoubleType) - col("__lo")) * buckets /
+              floor((ordD - col("__lo")) * buckets /
                 (col("__hi") - col("__lo"))).cast(LongType))))
       .drop("__lo", "__hi")
+    rankByBucket(bucketed, orderCol, tiebreaks)
+  }
+
+  /** [[globalRanks]] with SAMPLED-QUANTILE bucket boundaries — the variant
+    * for a skewed `orderCol`, where fixed-width value ranges degrade to one
+    * hot bucket (a pareto-tailed column puts ~every row below the first
+    * width cut). One extra pass computes boundaries from a DETERMINISTIC
+    * hash sample (no RNG — `xxhash64(orderCol, tiebreaks…) % sampleOneIn`,
+    * so re-runs and resizes see the same sample): the sample's exact
+    * per-value cumulative distribution (a window over the ≤sample-size
+    * distinct-value frame — metadata scale, same budget class as the
+    * triangular offsets join) yields the `j/buckets` quantile cut values,
+    * collected into ONE sorted boundary array (≤ buckets-1 elements,
+    * duplicates preserved so a mass point spanning several cuts keeps its
+    * multiplicity) and broadcast; every row's bucket is then
+    * `#boundaries ≤ value` — order-preserving, so the rank machinery is
+    * identical. Boundary quality affects only BALANCE, never correctness:
+    * an empty sample degrades to one bucket, still exact ranks. Same
+    * null/NaN contract as [[globalRanks]]. */
+  def globalRanksSampled(df: DataFrame, orderCol: Column, tiebreaks: Seq[Column],
+      buckets: Int = 64, sampleOneIn: Int = 64): DataFrame =
+    rankByBucket(sampledBuckets(df, orderCol, tiebreaks, buckets, sampleOneIn),
+      orderCol, tiebreaks)
+
+  /** The bucketing pass of [[globalRanksSampled]], exposed for balance
+    * tests: appends `__bucket` (sampled-quantile, order-preserving). */
+  private[graft] def sampledBuckets(df: DataFrame, orderCol: Column,
+      tiebreaks: Seq[Column], buckets: Int, sampleOneIn: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(sampleOneIn > 0, s"sampleOneIn must be positive, got $sampleOneIn")
+    val ordD = orderCol.cast(DoubleType)
+    val sample = df
+      .filter(pmod(xxhash64(orderCol +: tiebreaks: _*), lit(sampleOneIn.toLong)) === 0)
+      .filter(orderCol.isNotNull && !isnan(ordD))
+      .select(ordD.as("__v"))
+    // exact cumulative counts over the sample's DISTINCT values: the frame
+    // is ≤ sample-size rows, so the unpartitioned window is metadata-scale
+    val valCounts = sample.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = valCounts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(valCounts.agg(sum(col("__c")).cast(DoubleType).as("__s"))))
+    // value v is the boundary for every quantile cut j/buckets its
+    // cumulative count crosses: cuts in (k_prev, k] where k = #cuts ≤ cum
+    val marks = cum
+      .withColumn("__k",
+        least(lit(buckets - 1L), floor(col("__cum") * buckets / col("__s")).cast(LongType)))
+      .withColumn("__kprev",
+        least(lit(buckets - 1L),
+          floor((col("__cum") - col("__c")) * buckets / col("__s")).cast(LongType)))
+      .filter(col("__k") > col("__kprev"))
+    val boundsArr = marks
+      .select(explode(expr("array_repeat(__v, CAST(__k - __kprev AS INT))")).as("__b"))
+      .agg(sort_array(collect_list(col("__b"))).as("__bounds"))
+    df.crossJoin(broadcast(boundsArr))
+      .withColumn("__bucket",
+        when(orderCol.isNull,
+          raise_error(lit("globalRanksSampled: order column must be non-null")).cast(LongType))
+          .when(isnan(ordD), lit(buckets - 1L))
+          .otherwise(size(filter(col("__bounds"), b => b <= ordD)).cast(LongType)))
+      .drop("__bounds")
+  }
+
+  /** Shared second pass of [[globalRanks]]/[[globalRanksSampled]]: exact
+    * global rank from any ORDER-PRESERVING `__bucket` assignment. */
+  private def rankByBucket(bucketed: DataFrame, orderCol: Column,
+      tiebreaks: Seq[Column]): DataFrame = {
     val counts = bucketed.groupBy(col("__bucket")).agg(count(lit(1)).as("__c"))
     // cumulative offset per bucket + grand total: a triangular self-join
     // over ≤`buckets` rows — never a single-partition window over data
@@ -541,6 +625,80 @@ object Graft {
       .select(col(key), col(ts), col("__asof").as("asof_ts"))
       .distinct()
     right.join(matched, Seq(key, ts))
+  }
+
+  // ------------------------------------------------------------------
+  // Sequence construction
+  // ------------------------------------------------------------------
+
+  /** Per-key ordered concatenation with BOUNDED executor state — the
+    * training-sequence construction shape that survives a bot-grade hot
+    * key. `sort_array(collect_list(struct(…)))` holds every event of a key
+    * in ONE aggregation buffer (a 10⁸-event key OOMs the stage at 100 TB);
+    * this instead repartitions by `key`, secondary-sorts each partition by
+    * `(key, order1, order2)` (Spark's external sort — spills, never
+    * buffers), and streams a `mapPartitions` concat that holds only the
+    * CURRENT key's growing output string (the deliverable row itself).
+    *
+    * Emits `(key, n_events, seq)`, one row per key. `key`, `order1`,
+    * `order2` must be non-null and castable to LONG; `(order1, order2)`
+    * must be unique per key for the concat order to be deterministic (D9).
+    */
+  def sequenceConcat(df: DataFrame, key: String, order1: String,
+      order2: String, value: String, sep: String = ","): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(key).cast(LongType).as("_1"),
+        col(order1).cast(LongType).as("_2"),
+        col(order2).cast(LongType).as("_3"),
+        col(value).cast(StringType).as("_4"))
+      .as[(Long, Long, Long, String)]
+      .repartition(col("_1"))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Long, String)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Long, String) = {
+            val k = it.head._1
+            val sb = new java.lang.StringBuilder
+            var n = 0L
+            while (it.hasNext && it.head._1 == k) {
+              val r = it.next()
+              if (n > 0) sb.append(sep)
+              sb.append(r._4)
+              n += 1
+            }
+            (k, n, sb.toString)
+          }
+        }
+      }
+      .toDF(key, "n_events", "seq")
+  }
+
+  // ------------------------------------------------------------------
+  // Load-side file sizing
+  // ------------------------------------------------------------------
+
+  /** Small-file compaction: deterministically bin-pack `df` into
+    * `ceil(count / targetRows)` output partitions so the subsequent write
+    * emits right-sized files instead of one file per upstream task — the
+    * classic ETL load-side fix (a 100 TB table written from 50k tasks is
+    * unreadable as 50k tiny files). With `sortCols`, partitions are RANGE
+    * assigned and sorted within, so files are also value-clustered (better
+    * min/max pruning for readers); without, round-robin packs exactly
+    * evenly. The extra `count()` pass is one columnar-metadata scan —
+    * negligible next to the write it sizes. Complements (not replaces)
+    * `spark.sql.files.maxRecordsPerFile`, which only SPLITS oversized
+    * partitions and cannot merge small ones. */
+  def compact(df: DataFrame, targetRows: Long, sortCols: Seq[Column] = Nil): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val parts = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    if (sortCols.nonEmpty)
+      df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    else df.repartition(parts)
   }
 
   // ------------------------------------------------------------------

@@ -59,8 +59,10 @@ object Dets {
     * renders identically in both engines (full scale digits, verified:
     * `1.5000`, `56120969.633652854400`) — EXCEPT that Spark's cast goes
     * through `BigDecimal.toString`, which switches to scientific notation
-    * for nonzero values below 1e-7 in magnitude, while DuckDB always
-    * renders plain digits. No gate measure can get there (sums of ≥0.01
+    * for any nonzero value with adjusted exponent < -6 — i.e. everything
+    * below 1e-6 in magnitude, exactly the band the guard below rejects —
+    * while DuckDB always renders plain digits. No gate measure can get
+    * there (sums of ≥0.01
     * money values), so that band fails fast via `raise_error` instead of
     * latently hash-mismatching. */
   def decStr(c: Column): Column = {

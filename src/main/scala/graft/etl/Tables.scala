@@ -108,7 +108,12 @@ object Tables {
   // strongly reference their session through queryExecution, the exact
   // value→key strong reference the WeakHashMap javadoc warns about — so
   // eviction is explicit: a listener registered per session clears its
-  // entry when the application ends.
+  // entry when the application ends. Limitation (documented, acceptable
+  // here): SparkListenerApplicationEnd fires on CONTEXT stop, so sessions
+  // minted via newSession()/cloneSession() over one long-lived context
+  // accumulate entries (and are pinned by their listeners) until that
+  // context stops — every process in this repo is one-session-per-context,
+  // which is exactly the lifetime the listener covers.
   private val memo =
     new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
 

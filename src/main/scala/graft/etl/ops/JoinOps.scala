@@ -227,6 +227,36 @@ object JoinOps {
         "ON p.user_id = c.user_id AND p.ts >= c.ts " +
         "ORDER BY p.event_id"))
 
+  /** Skew-salted join through [[graft.api.Graft.saltedJoin]]: each orders
+    * (fact) row is deterministically salted into one of 4 shards and the
+    * customer (dim) side replicated 4×, so one hot custkey's reduce work
+    * spreads over 4 partitions — the manual fallback for skew AQE cannot
+    * split. Result rows equal the plain join EXACTLY (only the shuffle
+    * layout changes), so the oracle is the plain-join SQL — the skew path
+    * is hash-checked end-to-end. The dim carries a `merge` hint so the
+    * executed plan really is the salted SHUFFLE join (fixture-size dims
+    * would otherwise broadcast and no exchange would carry the shard);
+    * PlanSpec asserts `__shard` appears in the exchange partitioning. */
+  private val qjoinSalted = QueryDef(
+    "qjoin_salted",
+    build = (spark, sfDir) => {
+      val fact = Tables.orders(spark, sfDir).withColumnRenamed("o_custkey", "custkey")
+      val dim = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        .hint("merge")
+      graft.api.Graft.saltedJoin(fact, dim, key = "custkey", salt = 4)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    },
+    oracle = Some(
+      "SELECT c_nationkey, count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"))
+
   private val qjoinStar = QueryDef(
     "qjoin_star",
     build = (spark, sfDir) => {
@@ -258,5 +288,5 @@ object JoinOps {
 
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
-    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinAsofNative, qjoinStar)
+    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinAsofNative, qjoinSalted, qjoinStar)
 }

@@ -475,27 +475,66 @@ object LlmOps {
         "SELECT doc_id, rn, word, tf, dfw, score FROM r WHERE rn <= 3 ORDER BY doc_id, rn"))
 
   /** Training-sequence construction: each user's time-ordered event-type
-    * sequence as one row — the group-collect shape that feeds sequence
-    * models. Per-key state is bounded by events-per-user (the group
-    * collect sorts one user's events, never a partition's); at extreme
-    * key skew the secondary-sort variant (repartition by user, sort
-    * within partitions by (user, ts), mapPartitions) drops even that. */
+    * sequence as one row — via [[graft.api.Graft.sequenceConcat]]'s
+    * secondary-sort `mapPartitions` concat (repartition by user, external
+    * sort within partitions, streaming group iterator), NOT
+    * `sort_array(collect_list(…))`: the group-collect buffers every event
+    * of a user in one aggregation buffer, which a bot-grade hot key OOMs
+    * at 100×. PlanSpec pins the plan to the buffer-free shape. */
   private val qllmSeqs = QueryDef(
     "qllm_seqs",
     build = (spark, sfDir) =>
-      Tables.events(spark, sfDir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))))
-            .as("__s"))
-        .select(col("user_id"), col("n_events"),
-          array_join(expr("transform(__s, s -> s.event_type)"), ",").as("seq"))
+      graft.api.Graft.sequenceConcat(
+        Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
+        key = "user_id", order1 = "ts_us", order2 = "event_id", value = "event_type")
         .orderBy(col("user_id")),
     oracle = Some(
       "SELECT user_id, count(*) AS n_events, " +
         "string_agg(event_type, ',' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq " +
         "FROM events GROUP BY user_id ORDER BY user_id"))
+
+  /** Length-capped + windowed sequence FEATURES: per user, the last-5
+    * event types (chronological) plus inter-event-gap stats — the bounded
+    * variant production sequence pipelines actually run. The last-5 window
+    * uses a DESC `row_number` whose rows feed `collect_list` through a
+    * `CASE WHEN rn <= 5` (collect_list skips nulls), so the aggregation
+    * buffer holds ≤ 5 structs per user no matter how hot the key; gaps
+    * come from one `lag` over the same per-user partitioning (two sorts,
+    * ONE shuffle). Gap sums/extremes are exact BIGINT µs (D6); -1 marks
+    * single-event users (no gaps), keeping the column int64 on both
+    * engines (a null would float-ify pandas, D15). */
+  private val qllmSeqsTopn = QueryDef(
+    "qllm_seqs_topn",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val wAsc = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id")).orderBy(desc("ts_us"), desc("event_id"))
+      ev.withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wAsc))
+        .withColumn("rn", row_number().over(wDesc))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast(LongType).as("sum_gap_us"),
+          coalesce(max(col("gap_us")), lit(-1L)).cast(LongType).as("max_gap_us"),
+          coalesce(min(col("gap_us")), lit(-1L)).cast(LongType).as("min_gap_us"),
+          array_join(expr(
+            "transform(sort_array(collect_list(CASE WHEN rn <= 5 THEN " +
+              "struct(ts_us, event_id, event_type) END)), s -> s.event_type)"),
+            ",").as("seq_last5"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type FROM events), " +
+        "w AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM e) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS sum_gap_us, " +
+        "CAST(coalesce(max(gap_us), -1) AS BIGINT) AS max_gap_us, " +
+        "CAST(coalesce(min(gap_us), -1) AS BIGINT) AS min_gap_us, " +
+        "string_agg(CASE WHEN rn <= 5 THEN event_type END, ',' ORDER BY ts_us, event_id) AS seq_last5 " +
+        "FROM w GROUP BY user_id ORDER BY user_id"))
 
   /** Train/test contamination detector: near-duplicate pairs (the
     * qdedup_clusters edge set, jaccard ≥ 1/2) whose endpoints fall in
@@ -548,5 +587,5 @@ object LlmOps {
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
-    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmContamination)
+    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination)
 }

@@ -179,4 +179,44 @@ class ApiSpec extends SparkFixture {
       .collect().map(_.toString).sorted.toSeq
     assert(salted == plain)
   }
+
+  test("sequenceConcat equals the group-collect reference, including a hot key") {
+    val sp = spark
+    import sp.implicits._
+    // key 7 is bot-grade (half of all rows); order must hold within keys
+    val rows = (0 until 4000).map { i =>
+      val k = if (i % 2 == 0) 7L else (i % 23).toLong
+      (k, (4000 - i).toLong, i.toLong, s"e${i % 5}")
+    }
+    val df = rows.toDF("k", "t", "id", "ev")
+    val got = Graft.sequenceConcat(df, "k", "t", "id", "ev")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (g.size.toLong, g.sortBy(r => (r._2, r._3)).map(_._4).mkString(","))
+    }
+    assert(got == want)
+  }
+
+  test("globalRanks: NaN order values rank last (explicitly, ANSI-safe)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1.0, 1L), (Double.NaN, 2L), (5.0, 3L), (Double.NaN, 4L), (2.0, 5L))
+      .toDF("v", "id")
+    val ranks = Graft.globalRanks(df, col("v"), Seq(col("id")), 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("__rank")).toMap
+    // sort order: 1.0, 2.0, 5.0, NaN(id 2), NaN(id 4) — NaN greatest, ties by id
+    assert(ranks == Map(1L -> 1L, 5L -> 2L, 3L -> 3L, 2L -> 4L, 4L -> 5L))
+  }
+
+  test("dedupClusters fails loudly when maxIter exhausts before the fixed point") {
+    val sp = spark
+    import sp.implicits._
+    // a 6-node path graph needs ≥2 label rounds; maxIter=1 must throw, not
+    // silently return half-propagated clusters
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graft.dedupClusters(pairs, "a", "b", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("no fixed point"))
+  }
 }

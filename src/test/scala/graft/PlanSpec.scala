@@ -81,6 +81,61 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qjoin_salted: the shard column is part of the join's shuffle partitioning") {
+    val p = plan("qjoin_salted")
+    // the skew path must actually PLAN salted: both join inputs exchange on
+    // (custkey, __shard) — a plain hashpartitioning(custkey) here would mean
+    // the salt was optimized away or the join broadcast, i.e. no skew relief
+    assert(raw"hashpartitioning\(custkey#\d+L?, __shard".r.findAllIn(p).size >= 2,
+      s"salted exchanges missing — the hot key would land in one reduce partition:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected the shuffle join the salt exists for:\n$p")
+  }
+
+  test("qllm_seqs: bounded per-key state — streaming mapPartitions, no group-collect buffer") {
+    val p = plan("qllm_seqs")
+    // the round-3 scale-killer: sort_array(collect_list(...)) holds every
+    // event of a user in ONE aggregation buffer. The bounded shape is an
+    // exchange on the key, an external (spilling) sort, and a streaming
+    // mapPartitions concat — no collect buffer anywhere in the plan.
+    assert(!p.contains("collect_list"),
+      s"unbounded per-key collect buffer is back in the plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"buffering aggregate in the sequence path:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the streaming concat:\n$p")
+    assert(raw"Exchange hashpartitioning\(_1#\d+L".r.findFirstIn(p).isDefined,
+      s"expected the repartition-by-user exchange feeding the secondary sort:\n$p")
+  }
+
+  test("runtime bloom filter: a selective dim filter plants might_contain on the fact side") {
+    // Spark 4's InjectRuntimeFilter is the first-order 100 TB join lever
+    // next to DPP: the dim's selective predicate becomes a bloom filter
+    // semi-reduction on the fact scan, cutting the shuffle before the join.
+    // Fixture tables sit below the size thresholds a real deployment
+    // crosses naturally, so the thresholds are pinned for the audit — the
+    // assertion is that the rule FIRES on this plan shape, which is what a
+    // regression (a filter stuck above the join, a non-shuffle plan) breaks.
+    import org.apache.spark.sql.functions.col
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = graft.etl.Tables.lineitem(spark, sfTiny)
+      val dim = graft.etl.Tables.orders(spark, sfTiny)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom filter not injected on the star-join shape:\n$opt")
+      // and the filtered plan still computes the right thing
+      assert(joined.collect().map(_.getLong(1)).sum ==
+        fact.join(dim, col("l_orderkey") === col("o_orderkey")).count())
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned layout: static partition pruning and dynamic partition pruning") {
     val sp = spark
     import sp.implicits._

@@ -139,6 +139,47 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("globalRanksSampled: exact ranks AND balanced buckets on a pareto-skewed column") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic pareto-tailed values: u ~ LCG uniform in (0,1),
+    // v = u^-2 — max ≈ 10⁸ while the bulk sits below 100, so FIXED-width
+    // buckets collapse to one hot bucket and only sampled quantiles balance
+    val n = 20000
+    val rows = (1 to n).map { i =>
+      val u = ((i * 2654435761L) % 1000003 + 1).toDouble / 1000004.0
+      (1.0 / (u * u), i.toLong)
+    }
+    val df = rows.toDF("v", "id")
+    val buckets = 32
+
+    // correctness: sampled boundaries must not change a single rank
+    val fixed = Graft.globalRanks(df, col("v"), Seq(col("id")), buckets)
+      .select(col("id"), col("__rank"))
+    val sampled = Graft.globalRanksSampled(df, col("v"), Seq(col("id")), buckets,
+      sampleOneIn = 4)
+      .select(col("id"), col("__rank").as("__rank_s"))
+    assert(fixed.join(sampled, "id")
+      .filter(col("__rank") =!= col("__rank_s")).count() == 0,
+      "sampled-boundary ranks diverge from fixed-width ranks")
+
+    // balance: no sampled bucket exceeds 2× the mean occupancy...
+    val occ = Graft.sampledBuckets(df, col("v"), Seq(col("id")), buckets, 4)
+      .groupBy(col("__bucket")).count().collect().map(_.getLong(1))
+    val mean = n.toDouble / buckets
+    assert(occ.max <= 2 * mean,
+      s"sampled buckets unbalanced: max=${occ.max}, mean=$mean, occ=${occ.toSeq.sorted}")
+
+    // ...while the fixed-width assignment on the same data IS the pathology
+    // the sampled variant exists for (≈ every row under the first width cut)
+    val lo = rows.map(_._1).min
+    val hi = rows.map(_._1).max
+    val fixedHot = rows.count { case (v, _) =>
+      math.min(buckets - 1L, math.floor((v - lo) * buckets / (hi - lo)).toLong) == 0L
+    }
+    assert(fixedHot > 2 * mean, s"fixture not skewed enough: hot bucket $fixedHot")
+  }
+
   test("dedupClusters equals brute-force union-find on random graphs") {
     val edgeGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
       .map(_.filter { case (a, b) => a != b })
