@@ -300,8 +300,50 @@ object AggOps {
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src " +
         "ORDER BY l_orderkey, l_linenumber, measure"))
 
+  /** Equal-width histogram with DATA-DRIVEN bounds: pass 1 computes global
+    * [min, max] (one tiny aggregate, broadcast back — the same two-pass
+    * shape as [[graft.api.Graft.globalRanks]]); pass 2 buckets every row
+    * with INTEGER-ONLY math in exact cents (the fixture money doubles carry
+    * ≤2 decimals, so `DECIMAL(12,2)*100 → BIGINT` is exact), because both
+    * engines' integer division truncates identically while their
+    * double-division rounding at bucket borders would not be provably
+    * aligned. `width = span div buckets + 1` guarantees the max lands in
+    * the last bucket. Scale: a fact-table histogram is two scans + one
+    * 20-row aggregate — nothing ever concentrates on one partition. */
+  private val qaggHistogram = QueryDef(
+    "qagg_histogram",
+    build = (spark, sfDir) => {
+      val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      val base = Tables.orders(spark, sfDir)
+        .select(cents.as("cents"), d124(col("o_totalprice")).as("p"))
+      val bounds = base.agg(
+        min(col("cents")).as("lo"),
+        (((max(col("cents")) - min(col("cents"))).cast(LongType)).divide(lit(20)).cast(LongType) + 1L)
+          .as("width"))
+      // div (not /) below: integer truncating division, matching DuckDB //
+      base.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(cents - lo) div width"))
+        .groupBy(col("bucket"), col("lo"), col("width"))
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(col("p")).cast(DecimalType(38, 4))).as("sum_price"))
+        .select(col("bucket"),
+          (col("lo") + col("bucket") * col("width")).as("lo_cents"),
+          (col("lo") + (col("bucket") + 1) * col("width") - 1).as("hi_cents"),
+          col("n"), col("sum_price"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(
+      "WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, " +
+        "CAST(o_totalprice AS DECIMAL(12,4)) AS p FROM orders), " +
+        "b AS (SELECT min(cents) AS lo, (max(cents) - min(cents)) // 20 + 1 AS width FROM c), " +
+        "h AS (SELECT (cents - lo) // width AS bucket, lo, width, p FROM c, b) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(lo + bucket * width AS BIGINT) AS lo_cents, " +
+        "CAST(lo + (bucket + 1) * width - 1 AS BIGINT) AS hi_cents, " +
+        "count(*) AS n, CAST(CAST(sum(p) AS DECIMAL(38,4)) AS STRING) AS sum_price " +
+        "FROM h GROUP BY bucket, lo, width ORDER BY bucket"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
-    qaggApproxhll, qaggDqaudit, qaggUnpivot)
+    qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram)
 }

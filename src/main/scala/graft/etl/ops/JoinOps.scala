@@ -286,7 +286,59 @@ object JoinOps {
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, order_year ORDER BY r_name, order_year"))
 
+  /** Band join via BINNING — the scale path for [[qjoinThetaRange]]-style
+    * numeric range predicates. A plain `|c - s| <= 100` condition gives
+    * Catalyst no equi-key beyond the nation, so every nation degenerates
+    * to a per-nation nested loop (quadratic on a hot nation at 100 TB).
+    * Binning restores an equi-join: each row maps to a $100-wide integer
+    * bin in exact cents, the smaller side is replicated to its 3 adjacent
+    * bins (a band of width w spans ≤ 2 bins of width ≥ w — proven for
+    * truncating division, which both engines share), and the band check
+    * survives only as a residual filter on bin-matched candidates. Work
+    * drops from O(|nation|²) to O(matches + 3·|supplier|), and the join
+    * shuffles on (nation, bin) — an orderly equi-key. Adjacent bins emit
+    * DISTINCT bin ids, so no candidate pair appears twice and no dedup
+    * pass is needed. The oracle states the SAME semantics as the naive
+    * range join (exact DECIMAL bounds — double arithmetic at the band
+    * boundary could flip a comparison), so the gate proves binned ≡ naive. */
+  private val qjoinRangeBinned = QueryDef(
+    "qjoin_range_binned",
+    build = (spark, sfDir) => {
+      val band = 10000L // $100.00 in cents
+      val cCents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      val sCents = (col("s_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cCents.as("c_cents"), d124(col("c_acctbal")).as("c_bal"))
+        .withColumn("c_bin", expr(s"c_cents div $band"))
+      val s = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"), sCents.as("s_cents"))
+        .withColumn("s_bin",
+          explode(array(expr(s"s_cents div $band - 1"),
+            expr(s"s_cents div $band"), expr(s"s_cents div $band + 1"))))
+      val agg = s.join(c,
+          col("c_nationkey") === col("s_nationkey") && col("c_bin") === col("s_bin")
+            && col("c_cents") >= col("s_cents") - band
+            && col("c_cents") <= col("s_cents") + band)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"),
+          sum(col("c_bal")).cast(DecimalType(38, 4)).as("sum_bal"))
+      Tables.supplier(spark, sfDir).select(col("s_suppkey"))
+        .join(agg, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+          decStr(col("sum_bal")).as("sum_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some(
+      "SELECT s_suppkey, count(c_custkey) AS n_near, " +
+        "CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
+        "FROM supplier LEFT JOIN customer ON c_nationkey = s_nationkey " +
+        "AND CAST(c_acctbal AS DECIMAL(12,2)) >= CAST(s_acctbal AS DECIMAL(12,2)) - 100 " +
+        "AND CAST(c_acctbal AS DECIMAL(12,2)) <= CAST(s_acctbal AS DECIMAL(12,2)) + 100 " +
+        "GROUP BY s_suppkey ORDER BY s_suppkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
-    qjoinCross, qjoinThetaRange, qjoinAsof, qjoinAsofNative, qjoinSalted, qjoinStar)
+    qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinAsof, qjoinAsofNative,
+    qjoinSalted, qjoinStar)
 }

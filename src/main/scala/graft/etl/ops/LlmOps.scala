@@ -583,9 +583,76 @@ object LlmOps {
         "FROM cand JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b " +
         "WHERE sa.split <> sb.split GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** Overlapping token-window chunking (size 40, stride 30) — the document
+    * splitter that feeds a fixed-context trainer. Chunk starts are
+    * `k·stride` for `k ∈ [0, ceil(max(0, n-size)/stride)]` — every token
+    * covered, no chunk fully contained in its predecessor, tail chunks
+    * shorter — all integer math, so both engines enumerate identical
+    * windows, and Spark's `slice(arr, start, len)` clamps exactly like
+    * DuckDB's inclusive `list_slice`. Scale: pure per-row explode (fanout
+    * ≈ n/stride), no shuffle before the output sort; chunk text is
+    * re-joined from the token slice so the shuffle carries only emitted
+    * chunks, never the token arrays. */
+  private val qllmChunk = QueryDef(
+    "qllm_chunk",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+        .select(col("doc_id"), col("words"),
+          explode(expr("sequence(0, (greatest(0, size(words) - 40) + 29) div 30)")).as("ck"))
+        .select(col("doc_id"), col("ck").cast(LongType).as("chunk_id"),
+          size(expr("slice(words, ck * 30 + 1, 40)")).cast(LongType).as("n_tokens"),
+          array_join(expr("slice(words, ck * 30 + 1, 40)"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents), " +
+        "k AS (SELECT doc_id, words, unnest(generate_series(0, (greatest(0, len(words) - 40) + 29) // 30)) AS ck FROM w) " +
+        "SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id, " +
+        "CAST(len(list_slice(words, ck * 30 + 1, ck * 30 + 40)) AS BIGINT) AS n_tokens, " +
+        "array_to_string(list_slice(words, ck * 30 + 1, ck * 30 + 40), ' ') AS chunk_text " +
+        "FROM k ORDER BY doc_id, chunk_id"))
+
+  /** Vocabulary construction (unigrams + bigrams): frequency-ranked term →
+    * id assignment, the first step of tokenizer training. Term ids are a
+    * GLOBAL rank by (count desc, term asc) — computed via
+    * [[graft.api.Graft.globalRanksSampled]], NOT an unpartitioned
+    * `row_number` window: term frequencies are zipf-skewed, which is
+    * exactly the distribution where fixed-width value buckets collapse to
+    * one hot bucket, so the rank uses sampled-quantile boundaries (the
+    * deterministic hash sample — no RNG, identical across runs). Boundary
+    * quality affects only balance, never a rank, so the oracle is plain
+    * `row_number`. Scale: token explode → one groupBy shuffle on term →
+    * metadata-scale rank machinery; no operator ever holds the vocab on
+    * one partition. */
+  private val qllmVocab = QueryDef(
+    "qllm_vocab",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("words"))
+      val uni = docs.select(explode(col("words")).as("term"))
+      // guard size>=2: sequence(1, 0) would enumerate DESCENDING ([1, 0])
+      val bi = docs.filter(size(col("words")) >= 2).select(explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))")).as("term"))
+      val counts = uni.unionByName(bi).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      graft.api.Graft.globalRanksSampled(
+          counts, -col("cnt"), Seq(col("term")), buckets = 32, sampleOneIn = 8)
+        .select(col("__rank").as("vocab_id"), col("term"), col("cnt"))
+        .orderBy(col("vocab_id"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents), " +
+        "u AS (SELECT doc_id, unnest(words) AS term, generate_subscripts(words, 1) AS i FROM w), " +
+        "b AS (SELECT term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS term FROM u), " +
+        "terms AS (SELECT term FROM u UNION ALL SELECT term FROM b WHERE term IS NOT NULL), " +
+        "v AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term) " +
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id, term, cnt " +
+        "FROM v ORDER BY vocab_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
-    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination)
+    qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
+    qllmChunk, qllmVocab)
 }

@@ -245,7 +245,33 @@ object ScalarOps {
         "(SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"))
 
+  /** PII-style data masking + pseudonymization: digits masked to `#`
+    * (Spark regexp_replace is replace-all; the oracle needs the 'g' flag),
+    * a join-stable pseudonym from a salted md5 prefix (the same name always
+    * maps to the same token, so referential integrity survives masking),
+    * and k-anonymity-style generalization of the balance to a $1000 band
+    * (exact integer cents, truncating division on BOTH engines — verified
+    * `//` ≡ `div` for negatives, and negative balances exist). All
+    * embarrassingly parallel per-row expressions — no shuffle at 100 TB
+    * beyond the output sort. */
+  private val qstrMask = QueryDef(
+    "qstr_mask",
+    build = (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          substring(md5(concat(lit("pepper:"), col("c_name"))), 1, 16).as("pseudo_id"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100000) * 1000")
+            .as("acctbal_band"))
+        .orderBy(col("c_custkey")),
+    oracle = Some(
+      "SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name, " +
+        "substr(md5('pepper:' || c_name), 1, 16) AS pseudo_id, " +
+        "CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000) * 1000 AS BIGINT) AS acctbal_band " +
+        "FROM customer ORDER BY c_custkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qstrFuncs, qstrRegex, qstrFuzzy, qstrHashes, qdateFuncs, qmathFuncs,
-    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords)
+    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask)
 }

@@ -188,7 +188,55 @@ object SetOps {
         "WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey"))
 
+  /** CDC snapshot diff — the complement of [[qsetUpsert]]: given two full
+    * snapshots, emit the change feed (op ∈ I/U/D) a downstream incremental
+    * consumer would apply. Both snapshots derive DETERMINISTICALLY from
+    * `orders` (deletes where key%7=3, +100.00 price updates where key%5=2,
+    * inserts as negated keys where key%11=5) so both engines construct
+    * byte-identical inputs. The diff itself is one FULL OUTER equi-join on
+    * the key + an exact DECIMAL(12,2) value compare (never double
+    * equality), filtered to changed rows. Scale: one key-partitioned
+    * shuffle join; unchanged rows (the overwhelming majority of a real
+    * snapshot pair) are dropped BEFORE the orderBy, so the output stage
+    * sees only the delta. */
+  private val qsetCdcdiff = QueryDef(
+    "qset_cdcdiff",
+    build = (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val p = col("o_totalprice").cast(DecimalType(12, 2))
+      val orders = Tables.orders(spark, sfDir)
+      val old = orders.select(col("o_orderkey").as("k"), p.as("p"))
+      val news = orders.filter(col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 2, p + 100).otherwise(p).as("p"))
+        .unionByName(orders.filter(col("o_orderkey") % 11 === 5)
+          .select((-col("o_orderkey")).as("k"), p.as("p")))
+      old.as("o").join(news.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(
+          coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
+          when(col("o.k").isNull, "I")
+            .when(col("n.k").isNull, "D")
+            .when(col("o.p") =!= col("n.p"), "U").as("op"),
+          col("o.p").cast("string").as("old_price"),
+          col("n.p").cast("string").as("new_price"))
+        .filter(col("op").isNotNull)
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some(
+      "WITH old AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders), " +
+        "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 5 = 2 " +
+        "THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100 ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p " +
+        "FROM orders WHERE o_orderkey % 7 <> 3 " +
+        "UNION ALL SELECT -o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p " +
+        "FROM orders WHERE o_orderkey % 11 = 5), " +
+        "j AS (SELECT coalesce(old.k, new.k) AS o_orderkey, " +
+        "CASE WHEN old.k IS NULL THEN 'I' WHEN new.k IS NULL THEN 'D' " +
+        "WHEN old.p <> new.p THEN 'U' ELSE NULL END AS op, " +
+        "CAST(old.p AS STRING) AS old_price, CAST(new.p AS STRING) AS new_price " +
+        "FROM old FULL OUTER JOIN new ON old.k = new.k) " +
+        "SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
-    qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert)
+    qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert, qsetCdcdiff)
 }

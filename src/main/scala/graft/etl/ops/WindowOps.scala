@@ -232,7 +232,44 @@ object WindowOps {
         "ROWS UNBOUNDED PRECEDING) AS STRING) AS value " +
         "FROM j ORDER BY user_id, hs"))
 
+  /** Batch sessionization (gaps-and-islands): per user, events split into
+    * sessions wherever the gap to the previous event STRICTLY exceeds 6 h,
+    * then per-session stats. Two windows over ONE per-user partitioning =
+    * one shuffle + one sort; the session id is a running sum of break
+    * flags, so no per-key state ever exceeds a long. The strict `>` split
+    * matches the documented session_window merge rule (SURVEY §2.1 D12:
+    * an event landing exactly at last+gap stays in the session). */
+  private val qwinSessionize = QueryDef(
+    "qwin_sessionize",
+    build = (spark, sfDir) => {
+      val gapUs = 21600000000L // 6 h
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("__brk",
+          when(lag(col("ts_us"), 1).over(w).isNull
+            || col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("__brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events), " +
+        "g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 21600000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_id FROM g) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us, max(ts_us) - min(ts_us) AS duration_us " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
-    qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill)
+    qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize)
 }

@@ -203,4 +203,63 @@ class PlanSpec extends SparkFixture {
       spark.sql("DROP TABLE IF EXISTS graft_bright")
     }
   }
+
+  test("qjoin_range_binned: the band join plans as an EQUI-join on the bin") {
+    // the whole point of binning: a bare |c - s| <= band condition leaves
+    // Catalyst only the nation as equi-key (per-nation nested loop at
+    // scale); the bin must survive into the join keys and no nested-loop /
+    // cartesian node may appear anywhere
+    val p = plan("qjoin_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop — binning was optimized away:\n$p")
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*_bin".r
+      .findFirstIn(p).isDefined,
+      s"bin column not in the equi-join keys:\n$p")
+  }
+
+  test("qwin_sessionize: both windows share one per-user partitioning") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qwin_sessionize").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the lag/running-sum windows")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"global (single-partition) window in the sessionize plan:\n$exec"))
+      // lag + running sum must reuse ONE exchange on user_id, not stack two
+      val p = exec.toString
+      assert(raw"Exchange hashpartitioning\(user_id".r.findAllIn(p).size == 1,
+        s"sessionize should shuffle by user exactly once:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qllm_vocab: the only un-partitioned window is the metadata-scale sample scan") {
+    // globalRanksSampled deliberately runs ONE unpartitioned cumulative
+    // window — over the hash-sample's DISTINCT values (≤ |sample|, the
+    // same budget class as the triangular offsets join), never over the
+    // vocabulary itself. The per-bucket rank window must stay partitioned.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qllm_vocab").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val global = windows.filter(_.partitionSpec.isEmpty)
+      // the bucketed subtree feeds both the counts pass and the final rank
+      // join, so the SAME sample-cum window can appear (reused) more than
+      // once — what matters is that every unpartitioned window IS the
+      // sample scan: its input is an aggregate over the hash-sample's
+      // distinct values, bounded by the sample, never the corpus
+      assert(global.nonEmpty, s"expected the sample-cum window:\n$exec")
+      global.foreach(w => assert(w.toString.contains("__cum"),
+        s"unexpected global window (not the sample scan):\n$w"))
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        "per-bucket rank window missing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
