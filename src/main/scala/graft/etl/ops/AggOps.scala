@@ -342,8 +342,62 @@ object AggOps {
         "count(*) AS n, CAST(CAST(sum(p) AS DECIMAL(38,4)) AS STRING) AS sum_price " +
         "FROM h GROUP BY bucket, lo, width ORDER BY bucket"))
 
+  /** Grouped Pearson correlation + least-squares regression from EXACT
+    * decimal sums — NOT the engines' `corr`/`regr_slope` (whose partial-
+    * merge double accumulation is shuffle-order dependent and so differs
+    * across engines AND across runs). All five moments (Σx, Σy, Σx²,
+    * Σy², Σxy) are exact DECIMAL sums — products at (19,4)×(18,4) so
+    * DuckDB promotes to int128 and Spark stays within DECIMAL(38,8),
+    * both exact — cast ONCE to double and pushed through the identical
+    * closed-form double expression tree, so every output bit matches.
+    * The one trap (measured): DuckDB's direct DECIMAL→DOUBLE cast is NOT
+    * correctly rounded (it can miss the nearest double by 1 ulp) while
+    * Spark's BigDecimal.doubleValue is, so the oracle routes the
+    * conversion through VARCHAR — strtod IS correctly rounded — making
+    * both conversions exact-nearest and the downstream arithmetic
+    * bit-identical. Scale: one partial+final hash aggregate; the moment
+    * pattern extends to any number of (x, y) pairs in the same scan. */
+  private val qaggCorr = QueryDef(
+    "qagg_corr",
+    build = (spark, sfDir) => {
+      val x18 = col("l_quantity").cast(DecimalType(18, 4))
+      val x19 = col("l_quantity").cast(DecimalType(19, 4))
+      val y18 = col("l_extendedprice").cast(DecimalType(18, 4))
+      val y19 = col("l_extendedprice").cast(DecimalType(19, 4))
+      val s = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x18).cast(DoubleType).as("sx"),
+          sum(y18).cast(DoubleType).as("sy"),
+          sum(x19 * x18).cast(DoubleType).as("sxx"),
+          sum(y19 * y18).cast(DoubleType).as("syy"),
+          sum(x19 * y18).cast(DoubleType).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val cov = nD * col("sxy") - col("sx") * col("sy")
+      val slope = cov / (nD * col("sxx") - col("sx") * col("sx"))
+      s.select(col("l_returnflag"), col("n"),
+        (cov / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
+          * sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / nD).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some(
+      "WITH s AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price, " +
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope, " +
+        "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) AS intercept " +
+        "FROM s ORDER BY l_returnflag"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
-    qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram)
+    qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr)
 }

@@ -649,10 +649,46 @@ object LlmOps {
         "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id, term, cnt " +
         "FROM v ORDER BY vocab_id"))
 
+  /** Symmetric int8 embedding quantization (per-vector absmax scaling —
+    * the layout a quantized ANN index or int8 inference path stores):
+    * `q[i] = floor(x[i]·127/absmax + 0.5)`. Every reduction here is
+    * ORDER-FREE by construction — absmax is a max (exact, commutative)
+    * and the summary sums integers — so no cross-engine fold-order
+    * parity is needed, unlike the cosine kit. `floor(r + 0.5)` is used
+    * instead of `round` because the engines' `round` tie rules differ
+    * (half-up vs half-even); floor+½ is the same half-up on both. Zero
+    * vectors quantize to an empty array (guarded — the division would
+    * NaN-poison the row). Per-row work, no shuffle: at 100 TB this runs
+    * entirely map-side next to the scan. */
+  private val qllmQuantize = QueryDef(
+    "qllm_quantize",
+    build = (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))").as("maxabs"))
+        .select(col("vec_id"), col("maxabs"),
+          expr("CASE WHEN maxabs = 0 THEN array() ELSE " +
+            "transform(embedding, x -> CAST(floor(cast(x as double) * 127.0 / maxabs + 0.5) AS BIGINT)) END")
+            .as("qv"))
+        .select(col("vec_id"), col("maxabs"),
+          coalesce(expr("aggregate(qv, 0L, (a, e) -> a + e)"), lit(0L)).as("q_sum"),
+          coalesce(array_min(col("qv")), lit(0L)).as("q_min"),
+          coalesce(array_max(col("qv")), lit(0L)).as("q_max"))
+        .orderBy(col("vec_id")),
+    oracle = Some(
+      "WITH m AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), " +
+        "qn AS (SELECT vec_id, maxabs, CASE WHEN maxabs = 0 THEN [] ELSE " +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) END AS qv FROM m) " +
+        "SELECT vec_id, maxabs, CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum, " +
+        "CAST(coalesce(list_min(qv), 0) AS BIGINT) AS q_min, " +
+        "CAST(coalesce(list_max(qv), 0) AS BIGINT) AS q_max " +
+        "FROM qn ORDER BY vec_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmChunk, qllmVocab)
+    qllmChunk, qllmVocab, qllmQuantize)
 }

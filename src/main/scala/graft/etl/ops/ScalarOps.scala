@@ -271,7 +271,45 @@ object ScalarOps {
         "CAST((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000) * 1000 AS BIGINT) AS acctbal_band " +
         "FROM customer ORDER BY c_custkey"))
 
+  /** Calendar-dimension generation: one row per day across the fact
+    * table's observed date span, with the derived attributes a time
+    * dimension carries (year/quarter/month/day, Monday-based dow (D11),
+    * week/month starts, month-end and weekend flags). The span comes from
+    * one min/max aggregate; `sequence(d0, d1, 1 day)` generates the grid —
+    * a calendar is metadata-scale (10 years ≈ 3653 rows) however large the
+    * fact table, so generation from broadcast bounds is the right shape at
+    * any scale. Spark `weekday` (0 = Monday) ≡ DuckDB `isodow - 1`;
+    * `date_trunc('week')` is Monday-start on both engines (verified). */
+  private val qdateCalendar = QueryDef(
+    "qdate_calendar",
+    build = (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderdate")).cast(DateType).as("d0"),
+          max(col("o_orderdate")).cast(DateType).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        .select(col("d"),
+          year(col("d")).as("y"), quarter(col("d")).as("q"),
+          month(col("d")).as("m"), dayofmonth(col("d")).as("dom"),
+          weekday(col("d")).as("dow"),
+          date_trunc("week", col("d")).cast(DateType).as("week_start"),
+          trunc(col("d"), "month").as("month_start"),
+          when(col("d") === last_day(col("d")), 1).otherwise(0)
+            .cast(IntegerType).as("is_month_end"),
+          when(weekday(col("d")) >= 5, 1).otherwise(0)
+            .cast(IntegerType).as("is_weekend"))
+        .orderBy(col("d")),
+    oracle = Some(
+      "WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1 FROM orders), " +
+        "g AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dt FROM b) " +
+        "SELECT CAST(dt AS DATE) AS d, CAST(date_part('year', dt) AS INT) AS y, " +
+        "CAST(date_part('quarter', dt) AS INT) AS q, CAST(date_part('month', dt) AS INT) AS m, " +
+        "CAST(date_part('day', dt) AS INT) AS dom, CAST(isodow(dt) - 1 AS INT) AS dow, " +
+        "CAST(date_trunc('week', dt) AS DATE) AS week_start, CAST(date_trunc('month', dt) AS DATE) AS month_start, " +
+        "CAST(CASE WHEN CAST(dt AS DATE) = last_day(CAST(dt AS DATE)) THEN 1 ELSE 0 END AS INT) AS is_month_end, " +
+        "CAST(CASE WHEN isodow(dt) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend " +
+        "FROM g ORDER BY d"))
+
   def defs: Seq[QueryDef] = Seq(
     qstrFuncs, qstrRegex, qstrFuzzy, qstrHashes, qdateFuncs, qmathFuncs,
-    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask)
+    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask, qdateCalendar)
 }
