@@ -685,10 +685,84 @@ object LlmOps {
         "CAST(coalesce(list_max(qv), 0) AS BIGINT) AS q_max " +
         "FROM qn ORDER BY vec_id"))
 
+  /** Stratified deterministic sampling: each source stratum gets its OWN
+    * rate (25/50/75%, derived from the source id so both engines compute
+    * it identically) and membership is a content-hash prefix compare —
+    * the [[qllmSampleHash]] machinery per stratum. This is the corpus-
+    * mixing primitive (downsample web, keep books): content-stable (dups
+    * sample together), rerun-stable (no RNG), and a pure scan-level
+    * predicate — the rejected fraction is never materialized, so at
+    * 100 TB the cost is the scan, not the sample. */
+  private val qllmStratified = QueryDef(
+    "qllm_stratified",
+    build = (spark, sfDir) => {
+      val rate = (lit(25) + lit(25) * (substring(col("source"), 4, 10)
+        .cast(IntegerType) % 3)).as("rate_pct")
+      val thr = when(col("rate_pct") === 25, "40")
+        .when(col("rate_pct") === 50, "80").otherwise("c0")
+      val hk = substring(md5(concat(lit("strat:"), col("text"))), 1, 2)
+      Tables.documents(spark, sfDir)
+        .withColumn("rate_pct", rate)
+        .withColumn("__in", hk < thr)
+        .groupBy(col("source"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__in"), 1L).otherwise(0L)).cast(LongType).as("n_sampled"),
+          sum(when(col("__in"), col("n_chars")).otherwise(0L)).cast(LongType).as("chars_sampled"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT *, 25 + 25 * (CAST(substr(source, 4) AS INT) % 3) AS rate_pct, " +
+        "substr(md5('strat:' || text), 1, 2) AS hk FROM documents) " +
+        "SELECT source, CAST(rate_pct AS INT) AS rate_pct, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN hk < CASE rate_pct WHEN 25 THEN '40' WHEN 50 THEN '80' ELSE 'c0' END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+        "CAST(sum(CASE WHEN hk < CASE rate_pct WHEN 25 THEN '40' WHEN 50 THEN '80' ELSE 'c0' END THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled " +
+        "FROM d GROUP BY source, rate_pct ORDER BY source"))
+
+  /** Unigram-surprisal quality score — the model-based-filter proxy a
+    * pipeline runs before a real LM scorer: per-token surprisal
+    * `−ln(cnt(term)/N)` from the corpus's own unigram stats, summed per
+    * document. The per-token ln is rounded to 6 dp (cross-engine libm
+    * parity granularity, the qllm_tfidf precedent) and CAST TO
+    * DECIMAL(18,6) BEFORE the sum, so the per-doc sum is exact integer
+    * arithmetic — shuffle-order independent, unlike a double sum. The
+    * mean goes back to double through the VARCHAR route (DuckDB's direct
+    * DECIMAL→DOUBLE cast is 1-ulp-unround, measured in qagg_corr).
+    * Scale: token explode → broadcast unigram table join → one per-doc
+    * aggregate; the unigram table is vocab-sized, never corpus-sized. */
+  private val qllmSurprisal = QueryDef(
+    "qllm_surprisal",
+    build = (spark, sfDir) => {
+      val w = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      val v = w.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = v.agg(sum(col("cnt")).cast(LongType).as("n"))
+      val lp = round(log(col("cnt").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6))
+      w.join(broadcast(v), "term").crossJoin(broadcast(tot))
+        .select(col("doc_id"), lp.as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (-sum(col("lp"))).cast(DecimalType(38, 6)).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.etl.Dets.decStr(col("s")).as("surprisal"),
+          (col("s").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("avg_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents), " +
+        "v AS (SELECT term, count(*) AS cnt FROM w GROUP BY term), " +
+        "tot AS (SELECT sum(cnt) AS n FROM v), " +
+        "s AS (SELECT w.doc_id, CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp " +
+        "FROM w JOIN v USING (term) CROSS JOIN tot), " +
+        "g AS (SELECT doc_id, count(*) AS n_tokens, CAST(-sum(lp) AS DECIMAL(38,6)) AS s FROM s GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, CAST(s AS STRING) AS surprisal, " +
+        "CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_surprisal " +
+        "FROM g ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmChunk, qllmVocab, qllmQuantize)
+    qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal)
 }

@@ -204,9 +204,45 @@ object StreamOps {
         "FROM p JOIN e ON e.user_id = p.user_id " +
         "GROUP BY p.user_id, p.fp ORDER BY p.user_id"))
 
+  /** Stream-stream interval join, batch-equivalent form: for each
+    * purchase, the clicks by the same user inside the trailing 24 h
+    * window `(p.ts − 24h, p.ts]` — exactly the bounded-liveness condition
+    * a Structured Streaming stream-stream join needs to GC state (the
+    * range bound IS the watermark retention bound; StreamingSpec runs the
+    * same join shape under MemoryStream + watermark). Batch plan: equi
+    * key user_id + range residual → one key-partitioned shuffle join, no
+    * nested loop; -1 marks purchases with no prior click (BIGINT-stable,
+    * D15). */
+  private val qstreamJoin = QueryDef(
+    "qstream_join",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      p.join(c, col("c_user") === col("p_user")
+          && col("c_us") > col("p_us") - 86400000000L && col("c_us") <= col("p_us"), "left")
+        .groupBy(col("event_id"), col("p_user"))
+        .agg(count(col("c_us")).as("n_clicks_24h"),
+          coalesce(min(col("c_us")), lit(-1L)).as("first_click_us"))
+        .select(col("event_id"), col("p_user").as("user_id"),
+          col("n_clicks_24h"), col("first_click_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, count(c.ts_us) AS n_clicks_24h, " +
+        "coalesce(min(c.ts_us), -1) AS first_click_us " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us > p.ts_us - 86400000000 AND c.ts_us <= p.ts_us " +
+        "GROUP BY p.event_id, p.user_id ORDER BY p.event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
-    qstreamFunnel)
+    qstreamFunnel, qstreamJoin)
 }
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders
