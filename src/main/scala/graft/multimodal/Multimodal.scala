@@ -43,9 +43,11 @@ object Multimodal {
   private val HeaderSize = 14 + 40 + 256 * 4 // file header + info header + palette
 
   /** Build a REAL 8-bit grayscale BMP whose pixel data is `data` (padded
-    * with zeros to fill the last row), rows stored bottom-up per the spec. */
-  def encodeBmpGray(data: Array[Byte]): Array[Byte] = {
-    val w = BmpWidth
+    * with zeros to fill the last row), rows stored bottom-up per the spec.
+    * `w` must be a multiple of 4 (no row padding on encode; decode still
+    * honors the general 4-byte stride). */
+  def encodeBmpGray(data: Array[Byte], w: Int = BmpWidth): Array[Byte] = {
+    require(w > 0 && w % 4 == 0, s"width must be a positive multiple of 4, got $w")
     val h = math.max(1, (data.length + w - 1) / w)
     val out = new Array[Byte](HeaderSize + w * h)
     def putI16(p: Int, v: Int): Unit = {
@@ -125,6 +127,45 @@ object Multimodal {
     }
     val n = math.max(1, pixels.length).toFloat
     counts.map(_ / n)
+  }
+
+  /** 2× box downsample: each output pixel is the integer mean of its 2×2
+    * source block (edge blocks clamp to the pixels that exist, so odd
+    * dimensions lose no rows/columns). Integer sum/count division keeps
+    * the result bit-exact across platforms — no float resampling kernel
+    * to disagree about. */
+  def resizeHalf(img: BmpImage): BmpImage = {
+    val nw = math.max(1, img.width / 2)
+    val nh = math.max(1, img.height / 2)
+    val out = new Array[Byte](nw * nh)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        var sum = 0
+        var cnt = 0
+        var dy = 0
+        while (dy < 2) {
+          val sy = y * 2 + dy
+          if (sy < img.height) {
+            var dx = 0
+            while (dx < 2) {
+              val sx = x * 2 + dx
+              if (sx < img.width) {
+                sum += img.pixels(sy * img.width + sx) & 0xFF
+                cnt += 1
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        out(y * nw + x) = (sum / cnt).toByte
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(nw, nh, 8, out)
   }
 
   /** Metadata-only media table: payload = UTF-8 bytes of `text` standing in
@@ -216,5 +257,39 @@ object Multimodal {
         .orderBy(col("media_id")),
     oracle = None)
 
-  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures)
+  /** No oracle: decode → resize → re-encode is not SQL-expressible. The
+    * resize math (block means, edge clamping, round-trip through a second
+    * decode) is covered by MultimodalSpec; determinism by RegistrySpec.
+    * Batch shape: one narrow mapPartitions carries decode + resize +
+    * re-encode together, so at 100 TB the payload is read once, never
+    * shuffled, and the output row carries only the RESIZED payload's hash
+    * + integer stats, not the payload. */
+  private val qmmResize = QueryDef(
+    "qmm_resize",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      mediaBmp(spark, sfDir)
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val img = decodeBmpGray(payload)
+            val half = resizeHalf(img)
+            val re = encodeBmpGray(half.pixels, half.width)
+            var sum = 0L
+            var i = 0
+            while (i < half.pixels.length) { sum += half.pixels(i) & 0xFF; i += 1 }
+            (id, img.width, img.height, half.width, half.height, re, sum)
+          }
+        }
+        .toDF("media_id", "width", "height", "new_width", "new_height", "resized", "pixel_sum")
+        .select(col("media_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"),
+          md5(col("resized")).as("resized_md5"), col("pixel_sum"))
+        .orderBy(col("media_id"))
+    },
+    oracle = None)
+
+  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize)
 }

@@ -83,4 +83,35 @@ class MultimodalSpec extends SparkFixture {
       .filter(col("n_bytes") =!= col("n_chars"))
     assert(mismatch.count() == 0)
   }
+
+  test("resizeHalf: block means, halved dims, edge clamping on odd heights") {
+    // 4x2 image: blocks {1,2,5,6} -> 3 (14/4) and {3,4,7,8} -> 5 (22/4)
+    val img = graft.multimodal.BmpImage(4, 2, 8, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val half = Multimodal.resizeHalf(img)
+    assert(half.width == 2 && half.height == 1)
+    assert(half.pixels.toSeq == Seq(3.toByte, 5.toByte))
+    // odd height: 4x3 -> 2x1; the clamped second block row is dropped by
+    // h/2 but the remaining block still averages only existing pixels
+    val odd = graft.multimodal.BmpImage(4, 3, 8,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val oh = Multimodal.resizeHalf(odd)
+    assert(oh.width == 2 && oh.height == 1 && oh.pixels.toSeq == Seq(3.toByte, 5.toByte))
+    // 1x1 floor: never collapses to zero size
+    val tiny = Multimodal.resizeHalf(graft.multimodal.BmpImage(1, 1, 8, Array[Byte](42)))
+    assert(tiny.width == 1 && tiny.height == 1 && tiny.pixels.head == 42.toByte)
+  }
+
+  test("qmm_resize round-trips: re-encoded payload decodes to the halved image") {
+    val data = Array.tabulate[Byte](Multimodal.BmpWidth * 4)(i => (i % 251).toByte)
+    val img = Multimodal.decodeBmpGray(Multimodal.encodeBmpGray(data))
+    val half = Multimodal.resizeHalf(img)
+    val re = Multimodal.decodeBmpGray(
+      Multimodal.encodeBmpGray(half.pixels, half.width))
+    assert(re.width == half.width && re.height == half.height)
+    assert(re.pixels.toSeq == half.pixels.toSeq)
+    // and the declared query produces consistent dims at sfTiny
+    val out = graft.etl.Registry.byName("qmm_resize").build(spark, sfTiny)
+    assert(out.filter(col("new_width") =!= col("width") / 2).count() == 0)
+    assert(out.filter(col("pixel_sum") < 0).count() == 0)
+  }
 }

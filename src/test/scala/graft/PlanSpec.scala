@@ -236,6 +236,23 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qstream_join: the interval join keeps its equi-key (no nested loop)") {
+    // the range condition must ride as a residual on the user_id equi-join;
+    // losing the equi-key would nest-loop every user pair
+    val p = plan("qstream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join lost its equi-key:\n$p")
+  }
+
+  test("qllm_surprisal: the unigram table joins broadcast, not shuffled") {
+    // the vocab is metadata-scale; shuffling the exploded corpus against it
+    // would be the 100 TB mistake. (The 1-row total crossJoin is expected
+    // to plan as a broadcast nested loop — that one is intentional.)
+    val p = plan("qllm_surprisal")
+    assert(raw"BroadcastHashJoin \[term".r.findFirstIn(p).isDefined,
+      s"unigram join not broadcast on term:\n$p")
+  }
+
   test("qllm_vocab: the only un-partitioned window is the metadata-scale sample scan") {
     // globalRanksSampled deliberately runs ONE unpartitioned cumulative
     // window — over the hash-sample's DISTINCT values (≤ |sample|, the

@@ -244,6 +244,44 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("interval join parity: streaming rows equal batch rows, boundaries exact") {
+    // the qstream_join condition: clicks in (p_ts - 24h, p_ts]. user 1 is
+    // inside the window, user 2 sits EXACTLY at p_ts - 24h (strict > ⇒
+    // excluded), user 3 clicks at the purchase instant (<= ⇒ included)
+    val sp = spark
+    import sp.implicits._
+    val clickRows = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 08:00:00"), "click", 1.0, 2L),
+      Ev(ts("2024-01-01 07:00:00"), "click", 1.0, 3L))
+    val purchaseRows = Seq(
+      Ev(ts("2024-01-02 09:59:00"), "purchase", 5.0, 1L),
+      Ev(ts("2024-01-02 08:00:00"), "purchase", 5.0, 2L),
+      Ev(ts("2024-01-01 07:00:00"), "purchase", 5.0, 3L))
+    val cond = "c_user = p_user AND c_ts > p_ts - interval 24 hours AND c_ts <= p_ts"
+    def shape(c: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      c.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .join(p.select(col("user_id").as("p_user"), col("ts").as("p_ts")), expr(cond))
+        .select(col("c_user"), col("p_ts").cast("long"))
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val sc = clicks.toDF().withColumn("ts", col("ts")).withWatermark("ts", "10 minutes")
+    val spu = purchases.toDF().withWatermark("ts", "10 minutes")
+    val q = shape(sc, spu).writeStream.format("memory")
+      .queryName("ssjoin_parity").outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_parity")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = shape(clickRows.toDF(), purchaseRows.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.map(_._1) == Set(1L, 3L), s"boundary semantics drifted: $batch")
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint: restart resumes exactly-once, no dup rows") {
     val sp = spark
     import sp.implicits._
