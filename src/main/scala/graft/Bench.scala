@@ -35,7 +35,12 @@ object Bench {
     // gate — a regression that breaks a query shows up as "errors":N, not
     // as an improved total (round-3 verdict item 3).
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Sorted by name: hash-Map iteration order reshuffles whenever a key is
+    // added, silently moving which query runs first per pipeline and
+    // absorbs its codegen warmup — sorted order keeps per-query numbers
+    // comparable across rounds (the round-5 lesson: qllm_ivf "regressed"
+    // 1.3→3.0 s purely from map-order churn).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -396,8 +396,46 @@ object AggOps {
         "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) AS intercept " +
         "FROM s ORDER BY l_returnflag"))
 
+  /** Cohort retention triangle — the product-analytics staple: users
+    * cohorted by the week of their FIRST signup, then counted in every
+    * later week they purchased, keyed by (cohort_week, offset_weeks).
+    * Offsets are exact integer day-diffs `div` 7 (both weeks are Monday
+    * `date_trunc` values, so the diff is always a multiple of 7). Scale:
+    * two per-user aggregates + one equi-join on user_id + one final
+    * aggregate — every shuffle is keyed, nothing is per-cohort hot
+    * (cohort skew lands in the final metadata-scale aggregate, not the
+    * join). */
+  private val qaggRetention = QueryDef(
+    "qagg_retention",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+      val active = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("w"))
+        .distinct()
+      active.join(cohorts, "user_id")
+        .filter(col("w") >= col("cohort_week"))
+        .select(col("cohort_week"),
+          expr("CAST(datediff(w, cohort_week) div 7 AS BIGINT)").as("offset_weeks"))
+        .groupBy(col("cohort_week"), col("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("offset_weeks"))
+    },
+    oracle = Some(
+      "WITH s AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "p AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT s.cohort_week, CAST(date_diff('day', s.cohort_week, p.w) // 7 AS BIGINT) AS offset_weeks " +
+        "FROM p JOIN s ON p.user_id = s.user_id WHERE p.w >= s.cohort_week) " +
+        "SELECT cohort_week, offset_weeks, count(*) AS n_users " +
+        "FROM j GROUP BY cohort_week, offset_weeks ORDER BY cohort_week, offset_weeks"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
-    qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr)
+    qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
+    qaggRetention)
 }
