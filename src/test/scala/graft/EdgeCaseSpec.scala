@@ -128,4 +128,75 @@ class EdgeCaseSpec extends SparkFixture {
       .collect().map(_.getDouble(0))
     assert(back.toSeq == Seq(0.05, 123.45, -994.28, 0.1))
   }
+
+  test("histogram bucketing survives a degenerate span (all values equal)") {
+    val sp = spark
+    import sp.implicits._
+    // hi == lo ⇒ width = 0 div 20 + 1 = 1 — every row lands in bucket 0,
+    // no division by zero
+    val one = Seq(42.0, 42.0, 42.0).toDF("x")
+      .select((col("x").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    val bounds = one.agg(min(col("cents")).as("lo"),
+      (((max(col("cents")) - min(col("cents"))).cast(LongType))
+        .divide(lit(20)).cast(LongType) + 1L).as("width"))
+    val buckets = one.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("(cents - lo) div width"))
+      .select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(buckets == Seq(0L))
+  }
+
+  test("chunking never emits a chunk start past the end, and covers every token") {
+    val sp = spark
+    import sp.implicits._
+    // n ∈ {1, 30, 40, 41, 99}: starts are k·30+1 for k ≤ ceil(max(0,n−40)/30)
+    val docs = Seq(1, 30, 40, 41, 99)
+      .map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+      .select(col("doc_id"), col("words"),
+        explode(expr("sequence(0, (greatest(0, size(words) - 40) + 29) div 30)")).as("ck"))
+      .select(col("doc_id"), col("ck"),
+        size(expr("slice(words, ck * 30 + 1, 40)")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every chunk non-empty (no start past the end)
+    assert(chunks.forall(_._3 > 0), chunks.mkString(","))
+    // coverage: last chunk of n reaches token n (start + len >= n)
+    Seq(1, 30, 40, 41, 99).foreach { n =>
+      val last = chunks.filter(_._1 == n).maxBy(_._2)
+      assert(last._2 * 30 + last._3 == n, s"n=$n last=$last")
+    }
+  }
+
+  test("sessionize counts every event exactly once, single-event sessions included") {
+    val out = graft.etl.Registry.byName("qwin_sessionize").build(spark, sfTiny)
+    val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val events = graft.etl.Tables.events(spark, sfTiny).count()
+    assert(total == events, s"sessionized $total of $events events")
+    // durations are non-negative and single-event sessions have duration 0
+    assert(out.filter(col("duration_us") < 0).count() == 0)
+    assert(out.filter(col("n_events") === 1 && col("duration_us") =!= 0).count() == 0)
+  }
+
+  test("cdc diff partitions changes: I keys are new, D keys are gone, U values differ") {
+    val out = graft.etl.Registry.byName("qset_cdcdiff").build(spark, sfTiny).cache()
+    try {
+      assert(out.filter(col("op") === "I" && col("old_price").isNotNull).count() == 0)
+      assert(out.filter(col("op") === "D" && col("new_price").isNotNull).count() == 0)
+      assert(out.filter(col("op") === "U" &&
+        (col("old_price").isNull || col("new_price").isNull
+          || col("old_price") === col("new_price"))).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("stratified sampling rates land near their targets per stratum") {
+    val out = graft.etl.Registry.byName("qllm_stratified").build(spark, sfTiny)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (rate, rows) =>
+      val total = rows.map(_._2).sum.toDouble
+      val sampled = rows.map(_._3).sum.toDouble
+      // 25-doc strata are small; just require the right ordering band
+      assert(math.abs(sampled / total - rate / 100.0) < 0.2,
+        s"rate $rate%: sampled ${sampled / total}")
+    }
+  }
 }
