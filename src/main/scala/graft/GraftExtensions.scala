@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     // whole-operator extension: the native as-of join planner rule
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // optimizer extension: naive integer band joins → binned equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 

@@ -337,8 +337,43 @@ object JoinOps {
         "AND CAST(c_acctbal AS DECIMAL(12,2)) <= CAST(s_acctbal AS DECIMAL(12,2)) + 100 " +
         "GROUP BY s_suppkey ORDER BY s_suppkey"))
 
+  /** The SAME band-join semantics as [[qjoinRangeBinned]], but written the
+    * NAIVE way — `abs(c_cents − s_cents) <= 10000` straight in the join
+    * condition — and rescued by the [[graft.plans.BandJoinRewrite]]
+    * optimizer rule, which injects the bin equi-key automatically
+    * (SURVEY §7.4 tier (c), `Rule[LogicalPlan]` flavor). Inner join (the
+    * rule's scope), so the oracle differs from the binned query's
+    * left-join: suppliers with no in-band customer are absent. PlanSpec
+    * asserts the rewrite actually fired (bin in the join keys, no nested
+    * loop). */
+  private val qjoinBandAuto = QueryDef(
+    "qjoin_band_auto",
+    build = (spark, sfDir) => {
+      graft.plans.BandJoinRewrite.register(spark)
+      val cCents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      val sCents = (col("s_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cCents.as("c_cents"), d124(col("c_acctbal")).as("c_bal"))
+      val s = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"), sCents.as("s_cents"))
+      s.join(c, col("c_nationkey") === col("s_nationkey")
+          && abs(col("c_cents") - col("s_cents")) <= lit(10000L))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"),
+          decStr(sum(col("c_bal")).cast(DecimalType(38, 4))).as("sum_bal"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some(
+      "SELECT s_suppkey, count(*) AS n_near, " +
+        "CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
+        "FROM supplier JOIN customer ON c_nationkey = s_nationkey " +
+        "AND CAST(c_acctbal AS DECIMAL(12,2)) >= CAST(s_acctbal AS DECIMAL(12,2)) - 100 " +
+        "AND CAST(c_acctbal AS DECIMAL(12,2)) <= CAST(s_acctbal AS DECIMAL(12,2)) + 100 " +
+        "GROUP BY s_suppkey ORDER BY s_suppkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
-    qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinAsof, qjoinAsofNative,
-    qjoinSalted, qjoinStar)
+    qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
+    qjoinAsofNative, qjoinSalted, qjoinStar)
 }

@@ -26,4 +26,58 @@ class ExtensionsSpec extends SparkFixture {
       .collect().map(_.toString).toSeq
     assert(sqlTop == apiTop)
   }
+
+  test("BandJoinRewrite: rewritten band join returns exactly the naive join's rows") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial values around bin borders: negatives, exact band edges,
+    // duplicates, and a null
+    val left = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, -100L), (5L, -1L),
+      (6L, 250L), (7L, 250L)).toDF("lid", "a")
+    val right = Seq((10L, 100L), (11L, -200L), (12L, 0L), (13L, 150L),
+      (14L, 349L)).toDF("rid", "b")
+        .unionByName(Seq((15L, Option.empty[Long])).toDF("rid", "b"))
+    val cond = abs(col("a") - col("b")) <= lit(100L)
+    val naive = left.join(right, cond).select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.plans.BandJoinRewrite.register(spark)
+    try {
+      val rewritten = left.join(right, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"band join still nest-loops:\n$plan")
+      val got = rewritten.select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"rewrite changed results: got=$got naive=$naive")
+      assert(got.nonEmpty && got.size == got.distinct.size, "replica duplicates")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
+  }
+
+  test("BandJoinRewrite scope guards: doubles, outer joins, and rewritten joins are untouched") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 1.0), (2L, 2.5)).toDF("lid", "a")
+    val right = Seq((10L, 1.4)).toDF("rid", "b")
+    graft.plans.BandJoinRewrite.register(spark)
+    try {
+      // double band: no exact bin adjacency proof — must NOT rewrite
+      val d = left.join(right, abs(col("a") - col("b")) <= lit(0.5))
+      assert(!d.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(d.count() == 1)
+      // left outer: replicating the preserved side would be wrong — skip
+      val li = Seq((1L, 0L), (2L, 500L)).toDF("lid", "a")
+      val ri = Seq((10L, 50L)).toDF("rid", "b")
+      val lo = li.join(ri, abs(col("a") - col("b")) <= lit(100L), "left")
+      assert(!lo.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      assert(lo.count() == 2) // unmatched left row survives
+      // inner integral: fires once, terminates (no infinite re-binning)
+      val in = li.join(ri, abs(col("a") - col("b")) <= lit(100L))
+      val p = in.queryExecution.executedPlan.toString
+      assert("__graft_bin_l".r.findAllIn(p).size >= 1)
+      assert(in.count() == 1)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
+  }
 }

@@ -236,6 +236,15 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qjoin_band_auto: the optimizer rule injects the bin equi-key") {
+    // the naive abs-band condition would plan a per-nation nested loop;
+    // BandJoinRewrite must turn it into a hash join on (nation, bin)
+    val p = plan("qjoin_band_auto")
+    assert(p.contains("__graft_bin"), s"BandJoinRewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join still nest-loops:\n$p")
+  }
+
   test("qstream_join: the interval join keeps its equi-key (no nested loop)") {
     // the range condition must ride as a residual on the user_id equi-join;
     // losing the equi-key would nest-loop every user pair
