@@ -2,6 +2,7 @@ package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
 import graft.etl.Dets._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -433,9 +434,34 @@ object AggOps {
         "SELECT cohort_week, offset_weeks, count(*) AS n_users " +
         "FROM j GROUP BY cohort_week, offset_weeks ORDER BY cohort_week, offset_weeks"))
 
+  /** Deterministic per-group MODE (most frequent value): NOT the engines'
+    * `mode()` (tie choice is engine-arbitrary, D8) — the counts aggregate
+    * feeds a `row_number` ordered by (cnt desc, value asc), so ties break
+    * lexicographically on both engines. Scale: the window runs over the
+    * (group × value) AGGREGATE (bounded by the value domain per group),
+    * never over raw events. */
+  private val qaggMode = QueryDef(
+    "qagg_mode",
+    build = (spark, sfDir) => {
+      val c = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("cnt"), col("event_type"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("cnt").as("mode_cnt"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn FROM c) " +
+        "SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM r WHERE rn = 1 ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
-    qaggRetention)
+    qaggRetention, qaggMode)
 }

@@ -269,7 +269,40 @@ object WindowOps {
         "min(ts_us) AS start_us, max(ts_us) AS end_us, max(ts_us) - min(ts_us) AS duration_us " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"))
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands sibling of [[qwinSessionize]] at day grain: distinct
+    * active days, island id = day-number − row_number (constant within a
+    * consecutive run), longest island per user with earliest-start
+    * tiebreak (D8). One per-user window over DISTINCT days (bounded by
+    * the date span, not event volume), one aggregate, one top-1 pick. */
+  private val qwinStreak = QueryDef(
+    "qwin_streak",
+    build = (spark, sfDir) => {
+      val d = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .distinct()
+      val wDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val grp = d.withColumn("grp",
+        datediff(col("day"), to_date(lit("2024-01-01"))) - row_number().over(wDay))
+      val streaks = grp.groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("streak_start"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(desc("streak_days"), col("streak_start"))
+      streaks.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_days"), col("streak_start"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events), " +
+        "g AS (SELECT user_id, day, date_diff('day', DATE '2024-01-01', day) - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d), " +
+        "s AS (SELECT user_id, grp, count(*) AS len, min(day) AS streak_start FROM g GROUP BY user_id, grp), " +
+        "b AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn FROM s) " +
+        "SELECT user_id, CAST(len AS BIGINT) AS streak_days, streak_start FROM b WHERE rn = 1 ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
-    qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize)
+    qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
+    qwinStreak)
 }
