@@ -759,10 +759,125 @@ object LlmOps {
         "CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_surprisal " +
         "FROM g ORDER BY doc_id"))
 
+  /** Gopher-style repetition ratios — the standard heuristic quality
+    * filters a web-corpus pipeline runs before training: per-document
+    * distinct-word ratio, top-word fraction, and duplicate-bigram fraction
+    * (fraction of bigram occurrences whose bigram repeats within the doc).
+    * All three ratios are exact-integer divisions surfaced as doubles, so
+    * both engines produce bit-identical IEEE quotients (D12) — no rounding
+    * fallback needed. Bigrams come from `zip_with` over two slices of the
+    * SAME materialized word array (never `sequence(1, size-1)`, which turns
+    * DESCENDING when size = 1 and would fabricate bigrams for one-word
+    * docs; empty slices zip to an empty array instead).
+    * Scale: two per-doc aggregation pyramids (word counts, bigram counts),
+    * each with map-side partial aggregation on (doc_id, gram); shuffles
+    * carry counts, not text. Embarrassingly parallel per document. */
+  private val qllmRepetition = QueryDef(
+    "qllm_repetition",
+    build = (spark, sfDir) => {
+      val ws = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      val wc = ws.select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val d = wc.groupBy(col("doc_id")).agg(
+        sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      val bd = ws
+        .select(col("doc_id"), explode(zip_with(
+          expr("slice(w, 1, size(w) - 1)"),
+          expr("slice(w, 2, size(w) - 1)"),
+          (a, b) => concat(a, lit(" "), b))).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).cast(LongType).as("n_bg"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast(LongType).as("dup_bg"))
+      d.join(bd, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("distinct_ratio"),
+          (col("top_c").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("top_word_frac"),
+          (col("dup_bg").cast(DoubleType) / col("n_bg").cast(DoubleType)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(w) AS term FROM ws), " +
+        "wc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c FROM wc GROUP BY 1), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b FROM ws), " +
+        "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bg FROM bc GROUP BY 1) " +
+        "SELECT d.doc_id, d.n_tokens, d.n_distinct, " +
+        "CAST(d.n_distinct AS DOUBLE) / d.n_tokens AS distinct_ratio, " +
+        "CAST(d.top_c AS DOUBLE) / d.n_tokens AS top_word_frac, " +
+        "CAST(bd.dup_bg AS DOUBLE) / bd.n_bg AS dup_bigram_frac " +
+        "FROM d JOIN bd USING (doc_id) ORDER BY doc_id"))
+
+  /** Token-budget corpus selection — cap each source's contribution at a
+    * fixed token budget, keeping its highest-value documents first (here:
+    * longest-first with doc_id tiebreak, D8; a production pipeline orders
+    * by a quality score — same plan). The cumulative-sum window is
+    * PARTITIONED by source, so state per task is one running long and the
+    * shuffle is the same source-keyed exchange the profile aggregations
+    * reuse; nothing is global. Rows past the budget are filtered before
+    * any downstream materialization — the rejected tail never leaves the
+    * stage. All integers → exact. */
+  private val qllmBudget = QueryDef(
+    "qllm_budget",
+    build = (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    oracle = Some(
+      "WITH t AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
+        "SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800 " +
+        "ORDER BY source, doc_id"))
+
+  /** Sequence packing (concat-and-chop) — the step that turns a filtered
+    * corpus into fixed-length training windows: documents are concatenated
+    * in deterministic (source, doc_id) order and chopped into L=512-token
+    * contexts; each document reports the packs it spans and its offset in
+    * the first one. Packing is per-SOURCE (one pack stream per shard key),
+    * which is how distributed packing actually runs — a single global
+    * concat order would serialize the corpus through one task. The window
+    * is a partitioned running sum (one long of state); pack ids derive
+    * from integral `div`/`%` — all-integer, exact on both engines. */
+  private val qllmPack = QueryDef(
+    "qllm_pack",
+    build = (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+          expr("start_tok div 512").as("pack_first"),
+          expr("(start_tok + n_tokens - 1) div 512").as("pack_last"),
+          (col("start_tok") % lit(512L)).as("pack_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    oracle = Some(
+      "WITH t AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
+        "SELECT doc_id, source, n_tokens, start_tok, " +
+        "start_tok // 512 AS pack_first, (start_tok + n_tokens - 1) // 512 AS pack_last, " +
+        "start_tok % 512 AS pack_offset " +
+        "FROM c ORDER BY source, doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal)
+    qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
+    qllmRepetition, qllmBudget, qllmPack)
 }
