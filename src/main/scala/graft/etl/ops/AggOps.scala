@@ -459,9 +459,53 @@ object AggOps {
         "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn FROM c) " +
         "SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM r WHERE rn = 1 ORDER BY user_id"))
 
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity signal (a scraper hammering one event type scores
+    * ~0; a human mix scores near ln(n_types)). `-Σ cnt·ln(cnt/N)` is
+    * accumulated EXACTLY: each type's log-probability is rounded to 6 dp
+    * and cast to DECIMAL before the weighted sum (ln parity at 6 dp is the
+    * qllm_tfidf/qllm_surprisal precedent; a raw double Σ would be
+    * shuffle-order dependent), weights pinned at (19,0)×(18,6) so DuckDB
+    * takes its exact int128 path and Spark stays ≤ DECIMAL(38,6). The mean
+    * entropy goes back to double through ONE correctly-rounded conversion
+    * (VARCHAR route on the oracle side — DuckDB's direct DECIMAL→DOUBLE
+    * cast is 1-ulp-unround). Scale: both aggregates run over the
+    * (user × type) count table, never raw events; per-key state is one
+    * decimal + two longs. */
+  private val qaggEntropy = QueryDef(
+    "qagg_entropy",
+    build = (spark, sfDir) => {
+      val c = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy(col("user_id")).agg(
+        sum(col("cnt")).cast(LongType).as("n_events"),
+        count(lit(1)).as("n_types"))
+      val lp = round(log(col("cnt").cast(DoubleType) / col("n_events").cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6))
+      val s = c.join(t, "user_id")
+        .select(col("user_id"), (col("cnt").cast(DecimalType(19, 0)) * lp).as("w"))
+        .groupBy(col("user_id"))
+        .agg((-sum(col("w"))).cast(DecimalType(38, 6)).as("num"))
+      t.join(s, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          decStr(col("num")).as("entropy_num"),
+          (col("num").cast(DoubleType) / col("n_events").cast(DoubleType)).as("entropy"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events, count(*) AS n_types FROM c GROUP BY 1), " +
+        "s AS (SELECT c.user_id, CAST(-sum(CAST(c.cnt AS DECIMAL(19,0)) * " +
+        "CAST(round(ln(CAST(c.cnt AS DOUBLE) / t.n_events), 6) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS num " +
+        "FROM c JOIN t USING (user_id) GROUP BY 1) " +
+        "SELECT t.user_id, t.n_events, t.n_types, CAST(num AS STRING) AS entropy_num, " +
+        "CAST(CAST(num AS VARCHAR) AS DOUBLE) / t.n_events AS entropy " +
+        "FROM t JOIN s USING (user_id) ORDER BY t.user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
-    qaggRetention, qaggMode)
+    qaggRetention, qaggMode, qaggEntropy)
 }

@@ -301,8 +301,59 @@ object WindowOps {
         "b AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn FROM s) " +
         "SELECT user_id, CAST(len AS BIGINT) AS streak_days, streak_start FROM b WHERE rn = 1 ORDER BY user_id"))
 
+  /** Per-group z-score anomaly flags — standardize each event's value
+    * against ITS USER's distribution, keep the |z| > 2 outliers. The flag
+    * is decided in EXACT integer arithmetic: with decimal moments
+    * (n, Σx, Σx²), |z| > 2 ⇔ (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — every term
+    * an exact decimal product (19-precision operands force DuckDB's int128
+    * multiply; Spark stays ≤ DECIMAL(38,8)), so the flagged SET cannot be
+    * perturbed by double rounding; only the reported z itself is a double
+    * (one correctly-rounded conversion per factor, 6 dp — VARCHAR route on
+    * the oracle side). Single-event and constant-valued users yield
+    * dev = d = 0, which the strict inequality excludes before any sqrt —
+    * no 0/0 path. Scale: ONE whole-partition window over user_id (no sort:
+    * the frame is the entire partition), one keyed shuffle; per-key window
+    * state is three scalars, never the value list. */
+  private val qwinAnomaly = QueryDef(
+    "qwin_anomaly",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val v = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast(DecimalType(12, 4)).as("val"))
+      val m = v.select(col("event_id"), col("user_id"), col("val"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("val").cast(DecimalType(18, 4))).over(w)
+          .cast(DecimalType(18, 4)).as("sv"),
+        sum(col("val").cast(DecimalType(19, 4)) * col("val").cast(DecimalType(18, 4))).over(w)
+          .cast(DecimalType(22, 8)).as("svv"))
+      val j = m
+        .withColumn("dev",
+          (col("n").cast(DecimalType(10, 0)) * col("val").cast(DecimalType(18, 4)) - col("sv"))
+            .cast(DecimalType(18, 4)))
+        .withColumn("d",
+          (col("n").cast(DecimalType(10, 0)) * col("svv")
+            - col("sv").cast(DecimalType(19, 4)) * col("sv")).cast(DecimalType(22, 8)))
+      j.filter(col("dev") * col("dev") > lit(4).cast(DecimalType(2, 0)) * col("d"))
+        .select(col("event_id"), col("user_id"),
+          col("val").cast(StringType).as("value"),
+          round(col("dev").cast(DoubleType) / sqrt(col("d").cast(DoubleType)), 6).as("z"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH v AS (SELECT event_id, user_id, CAST(value AS DECIMAL(12,4)) AS val FROM events), " +
+        "m AS (SELECT event_id, user_id, val, " +
+        "count(*) OVER (PARTITION BY user_id) AS n, " +
+        "CAST(sum(CAST(val AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DECIMAL(18,4)) AS sv, " +
+        "CAST(sum(CAST(val AS DECIMAL(19,4)) * CAST(val AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DECIMAL(22,8)) AS svv FROM v), " +
+        "j AS (SELECT *, CAST(CAST(n AS DECIMAL(10,0)) * CAST(val AS DECIMAL(18,4)) - sv AS DECIMAL(18,4)) AS dev, " +
+        "CAST(CAST(n AS DECIMAL(10,0)) * svv - CAST(sv AS DECIMAL(19,4)) * sv AS DECIMAL(22,8)) AS d FROM m) " +
+        "SELECT event_id, user_id, CAST(val AS STRING) AS value, " +
+        "round(CAST(CAST(dev AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(d AS VARCHAR) AS DOUBLE)), 6) AS z " +
+        "FROM j WHERE dev * dev > CAST(4 AS DECIMAL(2,0)) * d ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak)
+    qwinStreak, qwinAnomaly)
 }
