@@ -503,9 +503,54 @@ object AggOps {
         "CAST(CAST(num AS VARCHAR) AS DOUBLE) / t.n_events AS entropy " +
         "FROM t JOIN s USING (user_id) ORDER BY t.user_id"))
 
+  /** Incremental re-aggregation — the mergeable-partial-state primitive
+    * every incremental ETL pipeline relies on: per-day partial aggregates
+    * (count/sum/min/max — each an associative, commutative merge) are
+    * re-aggregated per event_type, and the ORACLE is the direct
+    * single-scan aggregate, so the gate itself proves
+    * merge(partials) == aggregate(raw) cross-engine. At 100 TB this is the
+    * difference between touching yesterday's partial table (metadata
+    * scale) and rescanning the full history: only the newest day's raw
+    * events are ever aggregated, then merged into the running partials.
+    * Sums are exact decimals (D2), the average is one correctly-rounded
+    * double division at the end. Both aggregation stages have map-side
+    * partials; the merge stage's input is the (day × type) table —
+    * bounded by the calendar, not the data. */
+  private val qaggIncremental = QueryDef(
+    "qagg_incremental",
+    build = (spark, sfDir) => {
+      val v = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"),
+          col("value").cast(DecimalType(12, 4)).as("val"))
+      val partials = v.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val")).cast(DecimalType(38, 4)).as("s"),
+          min(col("val")).as("mn"), max(col("val")).as("mx"))
+      partials.groupBy(col("event_type"))
+        .agg(sum(col("n")).cast(LongType).as("n_events"),
+          sum(col("s")).cast(DecimalType(38, 4)).as("sv"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .select(col("event_type"), col("n_events"),
+          decStr(col("sv")).as("sum_value"),
+          decStr(col("mn")).as("min_value"),
+          decStr(col("mx")).as("max_value"),
+          (col("sv").cast(DoubleType) / col("n_events").cast(DoubleType)).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(
+      // deliberately the DIRECT single-pass aggregate: matching it proves
+      // the partial-merge path is lossless.
+      "SELECT event_type, count(*) AS n_events, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_value, " +
+        "CAST(min(CAST(value AS DECIMAL(12,4))) AS STRING) AS min_value, " +
+        "CAST(max(CAST(value AS DECIMAL(12,4))) AS STRING) AS max_value, " +
+        "CAST(CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
-    qaggRetention, qaggMode, qaggEntropy)
+    qaggRetention, qaggMode, qaggEntropy, qaggIncremental)
 }
