@@ -548,9 +548,42 @@ object AggOps {
         "CAST(CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value " +
         "FROM events GROUP BY event_type ORDER BY event_type"))
 
+  /** Key-skew profiler — the diagnosis step that decides whether a join
+    * needs `Graft.saltedJoin`: the top-5 heavy-hitter keys with their
+    * share of all rows, plus the global skew factor max_cnt·n_keys/total
+    * (1.0 = perfectly uniform). The top-k is deliberately NOT a
+    * `row_number` window (a global window funnels the whole key aggregate
+    * through one partition): `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge, the
+    * plan that survives a billion-key aggregate. Shares are single
+    * correctly-rounded double divisions of exact longs, identically
+    * associated on both engines. */
+  private val qaggSkew = QueryDef(
+    "qagg_skew",
+    build = (spark, sfDir) => {
+      val c = Tables.events(spark, sfDir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val s = c.agg(sum(col("cnt")).cast(LongType).as("total"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      c.orderBy(desc("cnt"), col("user_id")).limit(5)
+        .crossJoin(broadcast(s))
+        .select(col("user_id"), col("cnt"),
+          (col("cnt").cast(DoubleType) / col("total")).as("share"),
+          (col("max_cnt").cast(DoubleType) * col("n_keys") / col("total")).as("skew_factor"))
+        .orderBy(desc("cnt"), col("user_id"))
+    },
+    oracle = Some(
+      "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys, max(cnt) AS max_cnt FROM c), " +
+        "t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 5) " +
+        "SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt, " +
+        "CAST(t.cnt AS DOUBLE) / s.total AS share, " +
+        "CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total AS skew_factor " +
+        "FROM t CROSS JOIN s ORDER BY t.cnt DESC, t.user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
-    qaggRetention, qaggMode, qaggEntropy, qaggIncremental)
+    qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew)
 }

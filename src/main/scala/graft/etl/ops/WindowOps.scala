@@ -352,8 +352,46 @@ object WindowOps {
         "round(CAST(CAST(dev AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(d AS VARCHAR) AS DOUBLE)), 6) AS z " +
         "FROM j WHERE dev * dev > CAST(4 AS DECIMAL(2,0)) * d ORDER BY event_id"))
 
+  /** Exponentially-weighted moving average (10-tap, α = ½) — time-series
+    * smoothing as a FIR filter over lags, renormalized while the window
+    * fills: ema = Σ_{k<m} 2^{-(k+1)}·x_{t-k} / (1 − 2^{-m}), m = min(rn, 10).
+    * The true EMA recursion isn't window-expressible; the truncated form
+    * is (tail weight past 10 taps is 2^{-10} < 0.1%). Chosen so doubles
+    * are BIT-IDENTICAL cross-engine with no rounding step: every weight
+    * is a power of two (multiplication only shifts the exponent — exact),
+    * the tap sum is written left-associated identically in both engines,
+    * and the renormalizer 1 − 2^{-m} is exact — so the only roundings are
+    * the additions and one division, performed on identical operands in
+    * identical order. Ordering is on µs epochs + event_id (D6/D9: the
+    * oracle's TIMESTAMP_NS cast truncates to the same µs Spark reads).
+    * Scale: one partitioned, sorted window; 10 lags share the single
+    * sort — no joins, no extra shuffles. */
+  private val qwinEma = QueryDef(
+    "qwin_ema",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val taps = (0 until 10).map { k =>
+        coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(math.pow(0.5, k + 1))
+      }
+      val m = least(row_number().over(w), lit(10)).cast(DoubleType)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          (taps.reduce(_ + _) / (lit(1.0) - pow(lit(0.5), m))).as("ema"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some {
+      val taps = (0 until 10).map { k =>
+        s"coalesce(lag(value, $k) OVER w, 0.0) * power(0.5, ${k + 1})"
+      }.mkString(" + ")
+      "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) " +
+        s"SELECT event_id, user_id, ts_us, value, ($taps) " +
+        "/ (1.0 - power(0.5, CAST(least(row_number() OVER w, 10) AS DOUBLE))) AS ema " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) ORDER BY event_id"
+    })
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak, qwinAnomaly)
+    qwinStreak, qwinAnomaly, qwinEma)
 }
