@@ -188,6 +188,87 @@ class EdgeCaseSpec extends SparkFixture {
     } finally out.unpersist()
   }
 
+  test("repetition: bigrams of a one-word doc are empty (zip_with slices, not sequence)") {
+    // sequence(1, size-1) DESCENDS when size = 1 ([1,0]) and would fabricate
+    // bigrams; the zip_with-over-slices formulation must yield none.
+    import spark.implicits._
+    val one = Seq("hello", "a b").toDF("text")
+      .select(split(lower(col("text")), "\\s+").as("w"))
+      .select(size(zip_with(
+        expr("slice(w, 1, size(w) - 1)"),
+        expr("slice(w, 2, size(w) - 1)"),
+        (a, b) => concat(a, lit(" "), b))).as("n_bigrams"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(one == Seq(0, 1), s"bigram counts: $one")
+    // and the declared query's ratios are well-formed on the fixture
+    val rep = graft.etl.Registry.byName("qllm_repetition").build(spark, sfTiny)
+    assert(rep.filter(col("n_distinct") > col("n_tokens")
+      || col("distinct_ratio") <= 0 || col("distinct_ratio") > 1
+      || col("top_word_frac") <= 0 || col("top_word_frac") > 1
+      || col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() == 0)
+  }
+
+  test("budget: no source exceeds its token budget; pack: offsets stay inside the context") {
+    val kept = graft.etl.Registry.byName("qllm_budget").build(spark, sfTiny)
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tok")).collect()
+    assert(kept.nonEmpty && kept.forall(_.getAs[Long]("tok") <= 800L),
+      kept.map(r => s"${r.get(0)}=${r.get(1)}").mkString(","))
+    val pack = graft.etl.Registry.byName("qllm_pack").build(spark, sfTiny)
+    assert(pack.filter(col("pack_offset") < 0 || col("pack_offset") >= 512
+      || col("pack_first") > col("pack_last")).count() == 0)
+  }
+
+  test("entropy is bounded by ln(n_types); single-type users score exactly zero") {
+    val out = graft.etl.Registry.byName("qagg_entropy").build(spark, sfTiny)
+    // 6 dp rounding of each log-prob can push the weighted mean past the
+    // ideal bound by at most 5e-7
+    assert(out.filter(col("entropy") < 0
+      || col("entropy") > log(col("n_types").cast(DoubleType)) + 1e-6).count() == 0)
+    assert(out.filter(col("n_types") === 1 && col("entropy") =!= 0.0).count() == 0)
+  }
+
+  test("incremental partial merge equals the direct aggregate (Spark-side associativity)") {
+    val merged = graft.etl.Registry.byName("qagg_incremental").build(spark, sfTiny)
+      .select(col("event_type"), col("n_events"), col("sum_value")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getString(2)))).toMap
+    val direct = graft.etl.Tables.events(spark, sfTiny)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 4))).cast(DecimalType(38, 4)).as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
+  test("anomaly: every flagged row is a genuine |z| > 2 outlier, none degenerate") {
+    val out = graft.etl.Registry.byName("qwin_anomaly").build(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // flag decided exactly as dev^2 > 4d  <=>  z^2 > 4; the reported z is
+      // 6 dp-rounded so allow half an ulp of that granularity at the boundary
+      assert(out.filter(abs(col("z")) < 2.0 - 1e-6).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("skew profiler: shares are descending, bounded, and skew factor >= 1") {
+    val rows = graft.etl.Registry.byName("qagg_skew").build(spark, sfTiny).collect()
+    assert(rows.length == 5)
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sortBy(-_), s"not descending: $cnts")
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+    assert(rows.forall(_.getAs[Double]("skew_factor") >= 1.0))
+  }
+
+  test("ema: the first event of every user smooths to exactly its own value") {
+    val out = graft.etl.Registry.byName("qwin_ema").build(spark, sfTiny)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // m = 1 => num = value/2, denom = 1 - 1/2 => ema == value BIT-exactly
+    // (power-of-two scaling is lossless); any drift means the renormalizer
+    // or tap weights broke
+    val firsts = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(firsts.count() > 0)
+    assert(firsts.filter(col("ema") =!= col("value")).count() == 0)
+  }
+
   test("stratified sampling rates land near their targets per stratum") {
     val out = graft.etl.Registry.byName("qllm_stratified").build(spark, sfTiny)
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
