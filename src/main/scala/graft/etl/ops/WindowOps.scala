@@ -311,9 +311,10 @@ object WindowOps {
     * (one correctly-rounded conversion per factor, 6 dp — VARCHAR route on
     * the oracle side). Single-event and constant-valued users yield
     * dev = d = 0, which the strict inequality excludes before any sqrt —
-    * no 0/0 path. Scale: ONE whole-partition window over user_id (no sort:
-    * the frame is the entire partition), one keyed shuffle; per-key window
-    * state is three scalars, never the value list. */
+    * no 0/0 path. Scale: ONE whole-partition window over user_id (no value
+    * ordering — the frame is the entire partition, so Spark only clusters
+    * rows by the key), one keyed shuffle; per-key window state is three
+    * scalars, never the value list. */
   private val qwinAnomaly = QueryDef(
     "qwin_anomaly",
     build = (spark, sfDir) => {

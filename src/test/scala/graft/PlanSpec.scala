@@ -288,4 +288,56 @@ class PlanSpec extends SparkFixture {
         "per-bucket rank window missing")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("qagg_skew: top-k heavy hitters plan as TakeOrdered, never a global window") {
+    // the PERF.md claim: per-partition top-k + k-row merge survives a
+    // billion-key aggregate; a global row_number window would not
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qagg_skew").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      assert(exec.toString.contains("TakeOrderedAndProject"),
+        s"expected TakeOrderedAndProject:\n$exec")
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"unexpected window in the top-k plan:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qwin_ema: ten lags and the row counter share ONE window over one sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qwin_ema").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1, s"expected one shared WindowExec:\n$exec")
+      assert(windows.head.partitionSpec.nonEmpty)
+      assert(raw"Exchange hashpartitioning\(user_id".r
+        .findAllIn(exec.toString).size == 1,
+        s"ema should shuffle by user exactly once:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qwin_anomaly: one partitioned window computes all three moments; no value sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qwin_anomaly").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1, s"expected one moments WindowExec:\n$exec")
+      assert(windows.head.partitionSpec.nonEmpty)
+      // whole-partition frame: the window itself imposes no value ordering
+      // (Spark still clusters rows by the partition key, nothing more)
+      assert(windows.head.orderSpec.isEmpty,
+        s"anomaly window should not sort values:\n${windows.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
