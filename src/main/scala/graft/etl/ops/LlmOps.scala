@@ -873,11 +873,51 @@ object LlmOps {
         "start_tok % 512 AS pack_offset " +
         "FROM c ORDER BY source, doc_id"))
 
+  /** Balanced corpus mixing — downsample over-represented sources toward a
+    * per-source document target (the "don't let the web crawl drown the
+    * books" rebalance): each source keeps the fraction target/n_docs of its
+    * documents, realized as an INTEGER hash-bucket threshold
+    * `least(256, (256·target) div n_docs)` over the first md5 byte — all
+    * integral arithmetic, so both engines compute the identical threshold,
+    * and membership is content-stable (re-runs, engines, and cluster sizes
+    * agree; the same doc survives everywhere). The byte value is decoded
+    * with the SAME `instr`-alphabet expression in both dialects. Sources
+    * under target keep everything (thr = 256). Scale: threshold table is
+    * |sources| rows (broadcast); the filter is a scan-level predicate —
+    * rejected docs are never materialized downstream. */
+  private val qllmMix = QueryDef(
+    "qllm_mix",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val t = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val thr = t.select(col("source"), col("n_docs"),
+        least(lit(256L), expr("2560 div n_docs")).as("thr"))
+      val bucket = expr(
+        "(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)")
+      val kept = docs.select(col("source"), bucket.as("bucket"))
+        .join(broadcast(thr), "source")
+        .filter(col("bucket") < col("thr"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      thr.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(
+      "WITH t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "thr AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(least(256, 2560 // n_docs) AS BIGINT) AS thr FROM t), " +
+        "b AS (SELECT source, (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16 " +
+        "+ (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS bucket FROM documents), " +
+        "k AS (SELECT b.source, count(*) AS n_kept FROM b JOIN thr USING (source) WHERE b.bucket < thr.thr GROUP BY 1) " +
+        "SELECT thr.source, thr.n_docs, thr.thr, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
+        "FROM thr LEFT JOIN k USING (source) ORDER BY thr.source"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
-    qllmRepetition, qllmBudget, qllmPack)
+    qllmRepetition, qllmBudget, qllmPack, qllmMix)
 }
