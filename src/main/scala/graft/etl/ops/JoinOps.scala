@@ -372,8 +372,37 @@ object JoinOps {
         "AND CAST(c_acctbal AS DECIMAL(12,2)) <= CAST(s_acctbal AS DECIMAL(12,2)) + 100 " +
         "GROUP BY s_suppkey ORDER BY s_suppkey"))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join a
+    * dimension lookup needs when the key itself can be missing and the
+    * "unknown" rows must still land on the "unknown" dim row instead of
+    * silently dropping (plain `=` is never true for NULL). The fixtures
+    * carry no organic nulls (FIXTURES quirk 5), so the key is nulled
+    * deliberately via `nullif`. Scale: EqualNullSafe is a hashable join
+    * key in both engines — this plans as a regular hash/merge EQUI-join
+    * (PlanSpec-pinned: no nested loop), so the null bucket behaves like
+    * any other key (and, being a hot key by nature, is exactly what
+    * `saltedJoin` would shard at 100 TB). */
+  private val qjoinNullsafe = QueryDef(
+    "qjoin_nullsafe",
+    build = (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), expr("nullif(event_type, 'click')").as("k"))
+      val d = e.groupBy(col("k")).agg(count(lit(1)).as("n_events"))
+      val u = e.groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("n_user"))
+      u.join(d, u("k") <=> d("k"))
+        .select(u("user_id"), u("k").as("k"), u("n_user"), d("n_events"))
+        .orderBy(col("user_id"), col("k").asc_nulls_first)
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, nullif(event_type, 'click') AS k FROM events), " +
+        "d AS (SELECT k, count(*) AS n_events FROM e GROUP BY k), " +
+        "u AS (SELECT user_id, k, count(*) AS n_user FROM e GROUP BY 1, 2) " +
+        "SELECT u.user_id, u.k, u.n_user, d.n_events " +
+        "FROM u JOIN d ON u.k IS NOT DISTINCT FROM d.k " +
+        "ORDER BY u.user_id, u.k NULLS FIRST"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
-    qjoinAsofNative, qjoinSalted, qjoinStar)
+    qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe)
 }

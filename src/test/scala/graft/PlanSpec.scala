@@ -289,6 +289,14 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qjoin_nullsafe: <=> stays a hashable equi-join key, never a nested loop") {
+    val p = plan("qjoin_nullsafe")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"null-safe join degenerated to a loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
   test("qagg_skew: top-k heavy hitters plan as TakeOrdered, never a global window") {
     // the PERF.md claim: per-partition top-k + k-row merge survives a
     // billion-key aggregate; a global row_number window would not
