@@ -913,11 +913,67 @@ object LlmOps {
         "SELECT thr.source, thr.n_docs, thr.thr, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
         "FROM thr LEFT JOIN k USING (source) ORDER BY thr.source"))
 
+  /** Temperature-flattened corpus mixing (T=2) — the Gopher/Pile-style
+    * sampler: post-mix source shares ∝ share^(1/T), so dominant sources are
+    * damped and the tail is boosted, without the hard per-source cap of
+    * `qllm_mix`. Determinism: the only float op is ONE `sqrt`, which IEEE
+    * 754 requires to be correctly rounded — identical in both engines —
+    * over a fixed-point integer share `(n_docs·10^12) div total` (≤ 10^12,
+    * so the int→double conversion is exact); everything before and after is
+    * integral (`div`, `least`), and DuckDB's HUGEINT sums are exact.
+    * Membership uses the same content-stable md5 bucket as `qllm_mix`.
+    * Scale: two scalar aggregates broadcast as 1-row tables; the threshold
+    * table is |sources| rows (broadcast); the keep-filter is a scan-level
+    * predicate. The `n_docs·10^12` product needs n_docs < 9.2·10^6 per
+    * source — at 100 TB, pre-divide the fixed point (e.g. 10^9) instead. */
+  private val qllmMixTemp = QueryDef(
+    "qllm_mix_temp",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"))
+      val w = counts.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_docs"),
+        expr("CAST(floor(sqrt(CAST((n_docs * 1000000000000) div total AS DOUBLE))) AS BIGINT)")
+          .as("w"))
+      val sw = w.agg(sum(col("w")).as("sum_w"))
+      val thr = w.crossJoin(broadcast(sw)).select(
+        col("source"), col("n_docs"), col("w"),
+        expr("(300 * w) div sum_w").as("keep_target"),
+        least(lit(256L), expr("(256 * ((300 * w) div sum_w)) div n_docs")).as("thr"))
+      val bucket = expr(
+        "(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)")
+      val kept = docs.select(col("source"), bucket.as("bucket"))
+        .join(broadcast(thr), "source")
+        .filter(col("bucket") < col("thr"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      thr.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w"), col("keep_target"),
+          col("thr"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(
+      "WITH t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "tot AS (SELECT sum(n_docs) AS total FROM t), " +
+        "w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(floor(sqrt(CAST((n_docs * 1000000000000) // total AS DOUBLE))) AS BIGINT) AS w " +
+        "FROM t, tot), " +
+        "sw AS (SELECT sum(w) AS sum_w FROM w), " +
+        "thr AS (SELECT source, n_docs, w, CAST((300 * w) // sum_w AS BIGINT) AS keep_target, " +
+        "CAST(least(256, (256 * ((300 * w) // sum_w)) // n_docs) AS BIGINT) AS thr FROM w, sw), " +
+        "b AS (SELECT source, (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16 " +
+        "+ (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS bucket FROM documents), " +
+        "k AS (SELECT b.source, count(*) AS n_kept FROM b JOIN thr USING (source) WHERE b.bucket < thr.thr GROUP BY 1) " +
+        "SELECT thr.source, thr.n_docs, thr.w, thr.keep_target, thr.thr, " +
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
+        "FROM thr LEFT JOIN k USING (source) ORDER BY thr.source"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
-    qllmRepetition, qllmBudget, qllmPack, qllmMix)
+    qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp)
 }
