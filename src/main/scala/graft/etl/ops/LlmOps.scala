@@ -948,7 +948,7 @@ object LlmOps {
         .join(broadcast(thr), "source")
         .filter(col("bucket") < col("thr"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      thr.join(kept, Seq("source"), "left")
+      thr.join(broadcast(kept), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("w"), col("keep_target"),
           col("thr"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy(col("source"))

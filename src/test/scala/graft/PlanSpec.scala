@@ -297,6 +297,17 @@ class PlanSpec extends SparkFixture {
       || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("qllm_mix_temp: threshold table broadcasts; the per-doc side never shuffles") {
+    val p = plan("qllm_mix_temp")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join should broadcast the |sources|-row table:\n$p")
+    // the per-doc keep-filter must join broadcast-side only: the full
+    // documents scan feeding the bucket filter must not hit an exchange
+    // before its partial aggregate (rejected docs die at the scan)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"per-doc side of the mix should never shuffle-join:\n$p")
+  }
+
   test("qagg_skew: top-k heavy hitters plan as TakeOrdered, never a global window") {
     // the PERF.md claim: per-partition top-k + k-row merge survives a
     // billion-key aggregate; a global row_number window would not
