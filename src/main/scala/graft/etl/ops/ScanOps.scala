@@ -1,6 +1,7 @@
 package graft.etl.ops
 
-import graft.etl.{QueryDef, Tables}
+import graft.etl.{ExtractFixtures, QueryDef, Tables}
+import graft.etl.Dets._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +55,97 @@ object ScanOps {
         "UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O') " +
         "ORDER BY o_orderkey"))
 
+  /** The genre's EXTRACT step (SURVEY.md:60-65): raw CSV read with a
+    * declared schema — never inferred — and PERMISSIVE corrupt-record
+    * handling. The fixture is the customer table serialized to CSV plus
+    * exactly 2 lines with unparseable values in the referenced columns
+    * (see ExtractFixtures.customerCsv on why, under CSV column pruning,
+    * the corrupt lines must break a column the query reads); good
+    * rows aggregate per nation, corrupt rows land in the NULL-nation bucket
+    * with `n_corrupt` = 2. The oracle reads the parquet original, so the
+    * gate proves the text round trip is lossless (shortest-round-trip
+    * doubles included) AND that corrupt lines are isolated, not dropped or
+    * crashed on. Scale: schema-on-read + quarantine column is exactly the
+    * 100 TB ingest pattern — one malformed line in a petabyte must cost one
+    * quarantined row, not a job. */
+  private val qscanCsv = QueryDef(
+    "qscan_csv",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.customerCsv(spark, sfDir)
+      val schema = Tables.customerSchema.add("_corrupt", StringType)
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt")).as("n_corrupt"),
+          decStr(sum(d124(col("c_acctbal"))).cast(DecimalType(38, 4))).as("sum_bal"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    },
+    oracle = Some(
+      "SELECT c_nationkey, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_corrupt, " +
+        "CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
+        "FROM customer GROUP BY c_nationkey " +
+        "UNION ALL SELECT CAST(NULL AS INTEGER), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS VARCHAR) " +
+        "ORDER BY c_nationkey NULLS LAST"))
+
+  /** JSON-lines extract with declared schema + PERMISSIVE quarantine —
+    * same contract as [[qscanCsv]] but over the documents table, whose
+    * `text` column exercises JSON string escaping (newlines, quotes).
+    * Corrupt fixture lines: one truncated object, one non-JSON line. */
+  private val qscanJson = QueryDef(
+    "qscan_json",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.documentsJson(spark, sfDir)
+      val schema = Tables.documentsSchema.add("_corrupt", StringType)
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_last)
+    },
+    oracle = Some(
+      "SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_corrupt, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT) " +
+        "ORDER BY source NULLS LAST"))
+
+  /** The genre's LOAD step round-tripped: orders written
+    * `partitionBy(o_year)` (ExtractFixtures), read back with a year
+    * filter, aggregated. The filter must prune at the DIRECTORY level —
+    * PlanSpec pins `PartitionFilters` on the read-back scan — because
+    * partition pruning is the single strongest lever a 100 TB warehouse
+    * layout has: a two-year query over a seven-year table must open ~2/7
+    * of the files, not all of them. The oracle derives the same years from
+    * the parquet original, so the gate proves the partitioned layout loses
+    * no rows and the partition column survives the directory encoding. */
+  private val qsinkPartitioned = QueryDef(
+    "qsink_partitioned",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.ordersByYear(spark, sfDir)
+      spark.read.parquet(dir)
+        .filter(col("o_year").between(1996, 1997))
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    },
+    oracle = Some(
+      "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year, o_orderstatus, " +
+        "count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM orders WHERE date_part('year', o_orderdate) BETWEEN 1996 AND 1997 " +
+        "GROUP BY o_year, o_orderstatus ORDER BY o_year, o_orderstatus"))
+
   private val qfilterPredicates = QueryDef(
     "qfilter_predicates",
     build = (spark, sfDir) =>
@@ -101,5 +193,6 @@ object ScanOps {
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
 
   def defs: Seq[QueryDef] = Seq(
-    qscanProject, qscanPushdown, qscanUnionFiles, qfilterPredicates, qprojectExpr)
+    qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
+    qsinkPartitioned, qfilterPredicates, qprojectExpr)
 }

@@ -27,6 +27,16 @@ class PlanSpec extends SparkFixture {
     assert(cols.size < 11 && cols.nonEmpty, s"scan not pruned: $cols")
   }
 
+  test("qsink_partitioned: the year filter prunes at the partition-directory level") {
+    // the declared load-step round trip: reading back a partitionBy(o_year)
+    // layout with a year filter must show the filter under PartitionFilters
+    // (directory pruning), not merely as a post-scan Filter — at 100 TB
+    // that's the difference between opening 2/7 of the files and all of them
+    val p = plan("qsink_partitioned")
+    assert(raw"PartitionFilters: \[[^\]]*o_year".r.findFirstIn(p).isDefined,
+      s"o_year filter did not reach PartitionFilters:\n$p")
+  }
+
   test("qjoin_broadcast: the pinned dim side broadcasts (no shuffle join)") {
     val p = plan("qjoin_broadcast")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
