@@ -314,7 +314,19 @@ object WindowOps {
     * no 0/0 path. Scale: ONE whole-partition window over user_id (no value
     * ordering — the frame is the entire partition, so Spark only clusters
     * rows by the key), one keyed shuffle; per-key window state is three
-    * scalars, never the value list. */
+    * scalars, never the value list.
+    *
+    * Accumulator-width bound (deliberate, like qllm_mix_temp's 10^12 note):
+    * sv DECIMAL(18,4) holds |Σ value| < 10^14 — with |value| ≤ 10^4 that is
+    * ≥ 10^10 events PER USER before overflow (an ANSI error, never a wrong
+    * answer); svv DECIMAL(22,8) likewise holds 10^14 of Σ value². The
+    * widths can NOT simply be widened to DECIMAL(38,_): the exact-integer
+    * flag needs dev² and sv·sv to stay within 38 digits in BOTH engines —
+    * at (38,4) operands Spark would scale-round the square (38,6) and
+    * DuckDB would reject the 76-digit multiply — so the narrow widths are
+    * what keeps the comparison exact. A deployment expecting > 10^10 rows
+    * per key should pre-aggregate per (key, shard) first (the qagg_skew /
+    * saltedJoin pattern) rather than widen these. */
   private val qwinAnomaly = QueryDef(
     "qwin_anomaly",
     build = (spark, sfDir) => {

@@ -44,12 +44,15 @@ object Multimodal {
 
   /** Build a REAL 8-bit grayscale BMP whose pixel data is `data` (padded
     * with zeros to fill the last row), rows stored bottom-up per the spec.
-    * `w` must be a multiple of 4 (no row padding on encode; decode still
-    * honors the general 4-byte stride). */
+    * Any positive `w`: rows are written at the spec's 4-byte-aligned
+    * stride (zero padding), which the decoder already drops — so
+    * decode→resize→re-encode round-trips for ANY width, e.g. the odd
+    * widths `resizeHalf` produces from non-multiple-of-8 sources. */
   def encodeBmpGray(data: Array[Byte], w: Int = BmpWidth): Array[Byte] = {
-    require(w > 0 && w % 4 == 0, s"width must be a positive multiple of 4, got $w")
+    require(w > 0, s"width must be positive, got $w")
+    val stride = ((w + 3) / 4) * 4
     val h = math.max(1, (data.length + w - 1) / w)
-    val out = new Array[Byte](HeaderSize + w * h)
+    val out = new Array[Byte](HeaderSize + stride * h)
     def putI16(p: Int, v: Int): Unit = {
       out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
     }
@@ -66,7 +69,7 @@ object Multimodal {
     putI16(26, 1) // planes
     putI16(28, 8) // bits per pixel
     putI32(30, 0) // BI_RGB, uncompressed
-    putI32(34, w * h) // image size
+    putI32(34, stride * h) // image size
     putI32(46, 256) // palette entries
     var i = 0
     while (i < 256) { // grayscale palette: entry i = (B=i, G=i, R=i, 0)
@@ -78,7 +81,7 @@ object Multimodal {
     while (row < h) {
       val src = row * w
       val n = math.min(w, data.length - src)
-      if (n > 0) System.arraycopy(data, src, out, HeaderSize + (h - 1 - row) * w, n)
+      if (n > 0) System.arraycopy(data, src, out, HeaderSize + (h - 1 - row) * stride, n)
       row += 1
     }
     out

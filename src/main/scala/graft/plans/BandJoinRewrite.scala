@@ -14,12 +14,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * into the binned equi-join a user would hand-write (the
   * `qjoin_range_binned` technique): both sides gain `x div c` bin columns,
-  * the B side is replicated to its 3 adjacent bins via a Generate
-  * (explode), the bin equality joins the conjunction, and the original
-  * band predicate stays as a residual. Catalyst then plans a hash join on
-  * (…equi keys…, bin) instead of the nested loop the bare inequality
-  * forces — the difference between O(matches) and O(|A|·|B|) per nation
-  * at 100 TB.
+  * the SMALLER side (by logical size-in-bytes statistics — tripling rows
+  * is the rewrite's only cost, so it lands on the cheap side) is
+  * replicated to its 3 adjacent bins via a Generate (explode), the bin
+  * equality joins the conjunction, and the original band predicate stays
+  * as a residual. Catalyst then plans a hash join on (…equi keys…, bin)
+  * instead of the nested loop the bare inequality forces — the difference
+  * between O(matches) and O(|A|·|B|) per nation at 100 TB.
   *
   * Correctness: for truncating integer division with width w = c,
   * |a − b| <= w implies the bins differ by at most 1 (every bin spans >= w
@@ -31,14 +32,22 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * Scope guards: the band must compare two plain integral ATTRIBUTES from
   * opposite sides (no casts — a float band has no exact bin adjacency
-  * proof), c must be a positive integral literal, and a join whose
-  * condition already references a `__graft_bin` column is left alone
-  * (fixpoint termination).
+  * proof) and c must be a positive integral literal. Fixpoint termination
+  * is keyed on a [[TreeNodeTag]] stamped on the rewritten Join — precise
+  * under aliasing and immune to user columns that happen to share our
+  * name prefix — with an exact-name reference check as a backstop for any
+  * copy path that drops tags (a runaway re-fire would otherwise triple a
+  * side per optimizer iteration).
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BinL = "__graft_bin_l"
   private val BinR = "__graft_bin_r"
+
+  /** Stamped on the Join node this rule emits; its presence (or an exact
+    * reference to an injected bin attribute) stops re-rewriting. */
+  private[plans] val Rewritten =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftBandJoinRewritten")
 
   /** Idempotent imperative registration (the [[graft.GraftExtensions]]
     * path does the same at session build time). */
@@ -80,9 +89,27 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def binExpr(a: Attribute, w: Long): Expression =
     IntegralDivide(Cast(a, LongType), Literal(w))
 
+  /** Single bin column appended via Project. */
+  private def binned(child: LogicalPlan, attr: Attribute, w: Long): (LogicalPlan, Attribute) = {
+    val al = Alias(binExpr(attr, w), BinL)()
+    (Project(child.output :+ al, child), al.toAttribute)
+  }
+
+  /** 3-adjacent-bin replication via Generate(explode). */
+  private def replicated(child: LogicalPlan, attr: Attribute, w: Long): (LogicalPlan, Attribute) = {
+    val bin = binExpr(attr, w)
+    val replicas = CreateArray(Seq(
+      Subtract(bin, Literal(1L)), bin, Add(bin, Literal(1L))))
+    val binAttr = AttributeReference(BinR, LongType, nullable = attr.nullable)()
+    (Generate(Explode(replicas),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(binAttr), child = child), binAttr)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !cond.references.exists(_.name.startsWith("__graft_bin")) =>
+        if j.getTagValue(Rewritten).isEmpty &&
+          !cond.references.exists(r => r.name == BinL || r.name == BinR) =>
       val band = splitConjunctivePredicates(cond).iterator.flatMap { c =>
         bandOf(c).flatMap { case (x, y, w) =>
           // orient: `a` from the left side, `b` from the right side
@@ -96,19 +123,15 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       band match {
         case None => j
         case Some((a, b, w)) =>
-          val binLAlias = Alias(binExpr(a, w), BinL)()
-          val newLeft = Project(left.output :+ binLAlias, left)
-          val rBin = binExpr(b, w)
-          val replicas = CreateArray(Seq(
-            Subtract(rBin, Literal(1L)), rBin, Add(rBin, Literal(1L))))
-          val binRAttr = AttributeReference(
-            BinR, LongType, nullable = b.nullable)()
-          val newRight = Generate(Explode(replicas),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(binRAttr), child = right)
-          val newCond = And(cond, EqualTo(binLAlias.toAttribute, binRAttr))
-          Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), hint))
+          // Triple the side that is cheaper to triple.
+          val replicateLeft = left.stats.sizeInBytes < right.stats.sizeInBytes
+          val ((newLeft, lBin), (newRight, rBin)) =
+            if (replicateLeft) (replicated(left, a, w), binned(right, b, w))
+            else (binned(left, a, w), replicated(right, b, w))
+          val newCond = And(cond, EqualTo(lBin, rBin))
+          val rewritten = Join(newLeft, newRight, Inner, Some(newCond), hint)
+          rewritten.setTagValue(Rewritten, true)
+          Project(j.output, rewritten)
       }
   }
 }

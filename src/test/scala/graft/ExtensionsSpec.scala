@@ -80,4 +80,32 @@ class ExtensionsSpec extends SparkFixture {
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
   }
+
+  test("BandJoinRewrite: fires exactly once and replicates the statistically smaller side") {
+    val sp = spark
+    import sp.implicits._
+    // SMALL side on the LEFT: tripling must land on it, not on the big side
+    val small = Seq((10L, 100L), (11L, 300L)).toDF("rid", "b")
+    val big = sp.range(0, 1000).select(col("id").as("lid"), (col("id") % 500L).as("a"))
+    val cond = abs(col("b") - col("a")) <= lit(50L)
+    val naive = small.crossJoin(big).filter(cond).select(col("rid"), col("lid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.plans.BandJoinRewrite.register(spark)
+    try {
+      val j = small.join(big, cond)
+      val opt = j.queryExecution.optimizedPlan
+      val gens = opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      // the optimizer batch runs to fixpoint — the TreeNodeTag must stop a
+      // second firing (a re-fire would stack another 3× Generate per pass)
+      assert(gens.size == 1, s"rule must fire exactly once:\n$opt")
+      assert(gens.head.child.outputSet.exists(_.name == "rid"),
+        s"replication landed on the big side:\n$opt")
+      val got = j.select(col("rid"), col("lid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"size-aware orientation changed results")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
+  }
 }

@@ -114,4 +114,23 @@ class MultimodalSpec extends SparkFixture {
     assert(out.filter(col("new_width") =!= col("width") / 2).count() == 0)
     assert(out.filter(col("pixel_sum") < 0).count() == 0)
   }
+
+  test("encode handles non-multiple-of-4 widths via the spec stride (resize of width 36 → 18)") {
+    // a width-36 source halves to 18 — encodeBmpGray must pad rows to the
+    // 4-byte stride (20) instead of rejecting the width, and the decoder
+    // must drop the padding on the way back
+    for (w <- Seq(18, 1, 3, 5, 33)) {
+      val data = Array.tabulate[Byte](w * 3)(i => ((i * 7) % 251).toByte)
+      val re = Multimodal.decodeBmpGray(Multimodal.encodeBmpGray(data, w))
+      assert(re.width == w && re.height == 3)
+      assert(re.pixels.toSeq == data.toSeq)
+    }
+    val img = Multimodal.decodeBmpGray(
+      Multimodal.encodeBmpGray(Array.tabulate[Byte](36 * 4)(_.toByte), 36))
+    val half = Multimodal.resizeHalf(img)
+    assert(half.width == 18)
+    val re = Multimodal.decodeBmpGray(
+      Multimodal.encodeBmpGray(half.pixels, half.width))
+    assert(re.width == half.width && re.pixels.toSeq == half.pixels.toSeq)
+  }
 }
