@@ -287,6 +287,44 @@ object Graft {
       .select(col("cid"), col("rnk"), col("vec_id"), col("sim"))
   }
 
+  /** IVF QUERY path — the ANN search a trained index exists for: rank the
+    * centroids against the broadcast 1-row query, keep the `nprobe` best
+    * cells, exact-rescore ONLY the vectors assigned to those cells, and
+    * return the exact top-k of that subset. Complements [[ivfTopK]]
+    * (which materializes per-cell toplists): at 100 TB the assignment is
+    * precomputed and stored with the vectors (`qllm_quantize`'s index
+    * layout), probed cells become partition-pruned scans, and per-query
+    * work drops from |vectors| exact cosines ([[topKByCosine]]) to
+    * ~|vectors|·nprobe/cells — `nprobe` is the recall/cost dial (ApiSpec
+    * measures recall@10 ≥ 0.8 at cells=8, nprobe=2 against brute-force
+    * ground truth). Assignment reuses [[ivfTopK]]'s map-side argmax;
+    * everything broadcast is metadata-scale (centroids, query, probed
+    * cell ids). */
+  def ivfSearch(vectors: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, queryRow: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(queryRow.select(col("embedding").as("__q")))
+    val probed = centroids.crossJoin(q)
+      .select(col("cid"), cosine_similarity(col("c_emb"), col("__q")).as("qsim"))
+      .orderBy(desc("qsim"), asc("cid")).limit(nprobe)
+      .select(col("cid"))
+    vectors.select(id.as("vec_id"), vec.as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("__v"), col("cid"),
+        cosine_similarity(col("__v"), col("c_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("sim"), (-col("cid")).as("__negcid"), col("cid"))).as("__b"),
+        // every candidate row of a group carries the same vector, so
+        // any_value is deterministic here
+        any_value(col("__v")).as("__v"))
+      .select(col("vec_id"), col("__b.cid").as("cid"), col("__v"))
+      .join(broadcast(probed), Seq("cid"), "left_semi")
+      .crossJoin(q)
+      .select(col("vec_id"), cosine_similarity(col("__v"), col("__q")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Centroid training for [[ivfTopK]]: spherical k-means (Lloyd under
     * cosine) with deterministic initialization — the `k` lowest-id
     * vectors seed cells 0..k-1, so retraining on the same data yields the
