@@ -47,6 +47,13 @@ object Bench {
       .selectExpr("hash(w) AS h", "md5(w) AS m", "xxhash64(w) AS x")
       .selectExpr("count(distinct h) AS c", "count(m)", "count(x)")
       .collect()
+    // Materialize the extract/load fixtures (write-once) up front: they
+    // are one-time setup, not query cost — without this a fresh
+    // environment charges qscan_csv/qscan_json/qsink_partitioned ~2.7 s
+    // of fixture writing on their first (= the measured) run.
+    graft.etl.ExtractFixtures.customerCsv(spark, sfDir)
+    graft.etl.ExtractFixtures.documentsJson(spark, sfDir)
+    graft.etl.ExtractFixtures.ordersByYear(spark, sfDir)
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not
