@@ -80,6 +80,32 @@ object ExtractFixtures {
     }
   }
 
+  /** Two parquet "epochs" of orders with DRIFTED schemas — epoch v1
+    * (even orderkeys) predates the `o_orderstatus` column, epoch v2 (odd
+    * orderkeys) carries it. The schema-evolution read (`mergeSchema`)
+    * must unify them with nulls for the missing column, the day-one
+    * reality of any long-lived warehouse layout. Returns the two epoch
+    * dirs (Spark reads both; the oracle derives the same split from the
+    * parquet original). */
+  def ordersEvolved(spark: SparkSession, sfDir: String): (String, String) = {
+    val v1 = root(sfDir).resolve("orders_evolved/v1")
+    val v2 = root(sfDir).resolve("orders_evolved/v2")
+    ensure(v1) {
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(v1.toString)
+    }
+    ensure(v2) {
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(v2.toString)
+    }
+    (v1.toString, v2.toString)
+  }
+
   /** orders written `partitionBy(o_year)` — the genre's load-step layout.
     * Reading it back with a year filter must prune at the DIRECTORY level
     * (PartitionFilters, no data files of other years opened) — the

@@ -146,6 +146,31 @@ object ScanOps {
         "FROM orders WHERE date_part('year', o_orderdate) BETWEEN 1996 AND 1997 " +
         "GROUP BY o_year, o_orderstatus ORDER BY o_year, o_orderstatus"))
 
+  /** Schema EVOLUTION across file epochs: an old epoch without
+    * `o_orderstatus` and a new epoch with it, read together via
+    * `mergeSchema` — old rows surface NULL status instead of failing or
+    * silently dropping the column. The aggregate proves both the unified
+    * schema and the null fill; the oracle derives the same epoch split
+    * from the parquet original. Scale: schema merge is a FOOTER-level
+    * operation (no data rewrite) — exactly how a 100 TB layout absorbs a
+    * new column without a backfill. */
+  private val qscanEvolution = QueryDef(
+    "qscan_evolution",
+    build = (spark, sfDir) => {
+      val (v1, v2) = ExtractFixtures.ordersEvolved(spark, sfDir)
+      spark.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_last)
+    },
+    oracle = Some(
+      "SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus, " +
+        "count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS LAST"))
+
   private val qfilterPredicates = QueryDef(
     "qfilter_predicates",
     build = (spark, sfDir) =>
@@ -194,5 +219,5 @@ object ScanOps {
 
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qsinkPartitioned, qfilterPredicates, qprojectExpr)
+    qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
 }

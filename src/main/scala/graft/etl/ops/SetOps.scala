@@ -84,6 +84,47 @@ object SetOps {
         "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' " +
         "ORDER BY custkey"))
 
+  /** Multiset intersection — INTERSECT ALL keeps min(multiplicity) per
+    * row, the semantics dedup-aware reconciliation needs ("how many F
+    * orders does each urgent customer have, capped by their urgent
+    * count") where the distinct variant would collapse to membership.
+    * Scale: Spark plans intersectAll as count-per-key aggregates on both
+    * sides + a replicating generate — linear in rows, one keyed shuffle
+    * per side, never a join explosion on duplicate keys. */
+  private val qsetIntersectAll = QueryDef(
+    "qset_intersect_all",
+    build = (spark, sfDir) => {
+      val f = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      f.intersectAll(urgent).orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT ALL " +
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY custkey"))
+
+  /** Multiset difference — EXCEPT ALL subtracts multiplicities (each
+    * open order cancels ONE occurrence), the CDC-flavored "what remains
+    * after consuming matches" semantics. Same linear aggregate+generate
+    * plan shape as [[qsetIntersectAll]]. */
+  private val qsetExceptAll = QueryDef(
+    "qset_except_all",
+    build = (spark, sfDir) => {
+      val all = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+      val open = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      all.exceptAll(open).orderBy(col("custkey"))
+    },
+    oracle = Some(
+      "SELECT o_custkey AS custkey FROM orders EXCEPT ALL " +
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "ORDER BY custkey"))
+
   private val qsetDistinct = QueryDef(
     "qset_distinct",
     build = (spark, sfDir) =>
@@ -238,5 +279,6 @@ object SetOps {
 
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
+    qsetIntersectAll, qsetExceptAll,
     qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert, qsetCdcdiff)
 }
