@@ -147,30 +147,53 @@ object JoinOps {
     * `c_acctbal > s_acctbal` as residual — evaluates the residual PAIRWISE
     * inside each nation group: O(|customers/nation| × |suppliers/nation|),
     * quadratic on every giant group at 100 TB (round-5 verdict's one
-    * `weak` grade). The rank form sorts each nation ONCE instead: union
-    * both sides tagged (customer kind 1, supplier kind 0), order by
-    * (bal DESC, kind), and each supplier row's answer is the running count
-    * of customer rows above it. Suppliers sort BEFORE equal-balance
-    * customers, so ties are excluded and the strict `>` holds exactly.
-    * One shuffle + one sort, linear in the nation's rows; the plan
-    * contains no join node at all (PlanSpec pins it). Same oracle as the
-    * pairwise formulation — the gate proves rank ≡ pairwise. */
+    * `weak` grade).
+    *
+    * Two ideas compose here:
+    *  1. RANK, not pairs: union both sides tagged, order each nation once
+    *     by (cents DESC, kind), and a supplier row's answer is the running
+    *     customer count above it. Suppliers sort BEFORE equal-balance
+    *     customers, so ties are excluded and the strict `>` holds exactly.
+    *  2. AGGREGATE FIRST, so the window input is bounded by the VALUE
+    *     DOMAIN, not the data: balances carry ≤ 2 decimals (FIXTURES), so
+    *     exact integer cents give ≤ ~1.1M distinct values per nation —
+    *     group customers to (nation, cents, n_cust) and suppliers to
+    *     distinct (nation, cents) with map-side partials, run the
+    *     cumulative sum over THAT, and equi-join suppliers back on
+    *     (nation, cents). Without this, "per-nation sort" caps
+    *     parallelism at 25 reducers each sorting 1/25th of 100 TB; with
+    *     it, the heavy input collapses in the fully-parallel partial
+    *     aggregation and the 25 windows each sort a domain-bounded table.
+    * No pairwise residual anywhere: one bounded window + hash equi-joins
+    * (PlanSpec pins no-nested-loop, a partitioned window, and the partial
+    * aggregate below it). Same oracle as the pairwise formulation — the
+    * gate proves rank ≡ pairwise (cents compare ⇔ double compare, exact
+    * for 2-decimal money). */
   private val qjoinThetaRange = QueryDef(
     "qjoin_theta_range",
     build = (spark, sfDir) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(12, 2)) * 100).cast(LongType)
       val c = Tables.customer(spark, sfDir)
-        .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"),
-          lit(1).as("kind"), lit(0L).as("s_suppkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), cents(col("c_acctbal")).as("cents"))
+        .agg(count(lit(1)).as("n_cust"))
       val s = Tables.supplier(spark, sfDir)
-        .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal"),
-          lit(0).as("kind"), col("s_suppkey"))
+        .select(col("s_nationkey").as("nationkey"), cents(col("s_acctbal")).as("cents"))
+        .distinct()
       val w = Window.partitionBy(col("nationkey"))
-        .orderBy(col("bal").desc, col("kind"))
+        .orderBy(col("cents").desc, col("kind"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.unionByName(s)
-        .withColumn("n_richer", count(when(col("kind") === 1, lit(1))).over(w))
+      val ranked = c.select(col("nationkey"), col("cents"), lit(1).as("kind"), col("n_cust"))
+        .unionByName(s.select(col("nationkey"), col("cents"), lit(0).as("kind"),
+          lit(0L).as("n_cust")))
+        .withColumn("n_richer", sum(col("n_cust")).over(w))
         .filter(col("kind") === 0)
-        .select(col("s_suppkey"), col("n_richer"))
+        .select(col("nationkey"), col("cents"), col("n_richer"))
+      Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey").as("nationkey"),
+          cents(col("s_acctbal")).as("cents"))
+        .join(ranked, Seq("nationkey", "cents"))
+        .select(col("s_suppkey"), coalesce(col("n_richer"), lit(0L)).as("n_richer"))
         .orderBy(col("s_suppkey"))
     },
     oracle = Some(

@@ -227,25 +227,33 @@ class PlanSpec extends SparkFixture {
       s"bin column not in the equi-join keys:\n$p")
   }
 
-  test("qjoin_theta_range: rank form — a per-nation window, no join node at all") {
+  test("qjoin_theta_range: aggregated rank form — no pairwise residual, bounded window") {
     // round-5 verdict's one `weak` grade: the pairwise formulation was an
     // equi-join on the 25-value nationkey whose `c_acctbal > s_acctbal`
     // residual evaluated O(n·m) pairs inside every nation. The rank form
-    // must contain NO join node — the answer is a cumulative count over one
-    // per-nation sort — and its window must be partitioned (no global sort).
+    // must show: no nested-loop/cartesian anywhere (the only joins are
+    // hash equi-joins on (nation, cents)), a PARTITIONED window (no global
+    // sort), and aggregation BELOW the window — the domain-bounding step
+    // that keeps the 25 per-nation sorts off the raw data.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val exec = Registry.byName("qjoin_theta_range").build(spark, sfTiny)
         .queryExecution.executedPlan
       val p = exec.toString
-      assert(!p.contains("Join"), s"rank form must not contain a join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"theta residual fell back to a pairwise loop:\n$p")
       val windows = exec.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(windows.nonEmpty, "expected the per-nation cumulative-count window")
-      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-        s"global (single-partition) window in the rank plan:\n$exec"))
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"global (single-partition) window in the rank plan:\n$exec")
+        assert(w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty, s"window input not pre-aggregated (domain bounding lost):\n$exec")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
