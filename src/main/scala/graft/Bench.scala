@@ -47,6 +47,17 @@ object Bench {
       .selectExpr("hash(w) AS h", "md5(w) AS m", "xxhash64(w) AS x")
       .selectExpr("count(distinct h) AS c", "count(m)", "count(x)")
       .collect()
+    // ... and the shingle → posting-list → self-join shapes the dedup
+    // pipeline compiles (qdedup_clusters otherwise pays them as the
+    // alphabetically-first query through that path): a 50-doc slice walks
+    // shingleHashes + jaccardCandidates once, un-attributed.
+    val warmShingles = graft.api.Graft.shingleHashes(
+      graft.etl.Tables.documents(spark, sfDir).limit(50),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("h64").as("sh"))
+    graft.api.Graft.jaccardCandidates(warmShingles).count()
     // Materialize the extract/load fixtures (write-once) up front: they
     // are one-time setup, not query cost — without this a fresh
     // environment charges qscan_csv/qscan_json/qsink_partitioned ~2.7 s
