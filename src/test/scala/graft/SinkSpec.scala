@@ -88,6 +88,48 @@ class SinkSpec extends SparkFixture {
     permissive.unpersist()
   }
 
+  test("corrupt CSV records: quarantine is decided on REFERENCED columns (pruning semantics)") {
+    // Pins the behavior qscan_csv's fixture design relies on (see
+    // ExtractFixtures.customerCsv): under CSV column pruning, a row is
+    // flagged corrupt only when a column the query actually parses fails —
+    // a structurally short row whose referenced fields are merely ABSENT
+    // reads as nulls with NO corrupt flag. If a Spark upgrade changes
+    // this, the declared query's corrupt counts shift — fail here first.
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_corrupt_csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      """1,alpha,10,1.5,SEG
+        |2,beta,xx,2.5,SEG
+        |SHORT
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("n", IntegerType), StructField("bal", DoubleType),
+      StructField("seg", StringType), StructField("_corrupt", StringType)))
+    def read() = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+    // referencing n: row 2 fails the int parse → corrupt; the SHORT row's
+    // n is absent, not malformed → NOT corrupt (the pruning trap)
+    val byN = read().select(col("n"), col("_corrupt")).cache()
+    assert(byN.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(byN.filter(col("n").isNull && col("_corrupt").isNull).count() == 1)
+    byN.unpersist()
+    // referencing id too: SHORT's single token lands in id, fails the long
+    // parse → now 2 corrupt rows
+    val byId = read().select(col("id"), col("n"), col("_corrupt")).cache()
+    assert(byId.filter(col("_corrupt").isNotNull).count() == 2)
+    byId.unpersist()
+    // DROPMALFORMED keeps only the fully-parseable row; FAILFAST raises
+    val strict = StructType(schema.dropRight(1))
+    assert(spark.read.schema(strict).option("mode", "DROPMALFORMED")
+      .csv(dir).collect().length == 1)
+    intercept[Exception] {
+      spark.read.schema(strict).option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
+
   test("compact: bin-packed output file counts at two target sizes; sorted variant clusters") {
     val sp = spark
     import sp.implicits._
