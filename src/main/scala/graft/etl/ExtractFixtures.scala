@@ -106,6 +106,17 @@ object ExtractFixtures {
     (v1.toString, v2.toString)
   }
 
+  /** supplier serialized to ORC — the columnar format round trip beside
+    * parquet (ORC is self-describing, so unlike csv/json there is no
+    * corrupt-record surface; the read still declares the schema, D-rule
+    * style, so drift fails analysis instead of silently casting). */
+  def supplierOrc(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("supplier_orc")
+    ensure(dir) {
+      Tables.supplier(spark, sfDir).write.mode("overwrite").orc(dir.toString)
+    }
+  }
+
   /** orders written `partitionBy(o_year)` — the genre's load-step layout.
     * Reading it back with a year filter must prune at the DIRECTORY level
     * (PartitionFilters, no data files of other years opened) — the

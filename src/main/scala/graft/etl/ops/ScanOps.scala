@@ -146,6 +146,26 @@ object ScanOps {
         "FROM orders WHERE date_part('year', o_orderdate) BETWEEN 1996 AND 1997 " +
         "GROUP BY o_year, o_orderstatus ORDER BY o_year, o_orderstatus"))
 
+  /** ORC extract round trip — the second columnar format beside parquet
+    * (vectorized reader, predicate pushdown, same declared-schema read
+    * discipline). The oracle reads the parquet original, so the gate
+    * proves the ORC serialization lossless. */
+  private val qscanOrc = QueryDef(
+    "qscan_orc",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.supplierOrc(spark, sfDir)
+      spark.read.schema(Tables.supplierSchema).orc(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          decStr(sum(d124(col("s_acctbal"))).cast(DecimalType(38, 4))).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    oracle = Some(
+      "SELECT s_nationkey, count(*) AS n_supp, " +
+        "CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"))
+
   /** Schema EVOLUTION across file epochs: an old epoch without
     * `o_orderstatus` and a new epoch with it, read together via
     * `mergeSchema` — old rows surface NULL status instead of failing or
@@ -219,5 +239,5 @@ object ScanOps {
 
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
+    qscanOrc, qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
 }
