@@ -583,6 +583,58 @@ object LlmOps {
         "FROM cand JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b " +
         "WHERE sa.split <> sb.split GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** Exact n-gram DECONTAMINATION (the GPT-3/PaLM recipe, complementing
+    * [[qllmContamination]]'s near-dup audit): for every NON-train
+    * document, how many of its distinct 8-grams also occur anywhere in
+    * the train split — the "did eval text leak into training verbatim"
+    * check run before every serious evaluation. Grams are hashed 8-token
+    * windows (`xxhash64` of the joined slice — longs through every
+    * shuffle, the same trick as qllm_ngram_jaccard; the string-side
+    * oracle agrees modulo 2⁻⁶⁴-scale collisions). Scale-safe WITHOUT a
+    * frequency cap: the train side dedupes to ONE row per distinct gram
+    * before the equi-join, so a stop-phrase appearing a billion times
+    * joins once per eval gram, never once per occurrence; both distincts
+    * and the join shuffle on the fixed-width gram hash. Fixture docs all
+    * carry ≥ 10 tokens (TESTDATA), so the ≥ 8-token guard drops nothing
+    * here; at scale sub-8-token docs have no 8-grams and cannot leak. */
+  private val qllmDecontam = QueryDef(
+    "qllm_decontam",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.api.Graft.hashSplit(col("text")).as("split"),
+          split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val grams = docs.select(col("doc_id"), col("split"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' ')))"))
+          .as("g"))
+      val trainGrams = grams.filter(col("split") === "train").select(col("g")).distinct()
+      val evalGrams = grams.filter(col("split") =!= "train")
+      val nGrams = evalGrams.groupBy(col("doc_id"), col("split"))
+        .agg(countDistinct(col("g")).as("n_grams"))
+      val leaked = evalGrams.select(col("doc_id"), col("g")).distinct()
+        .join(trainGrams, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+      nGrams.join(leaked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_grams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS w, " +
+        "CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substring(md5(text), 1, 2) < 'e7' THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "g AS (SELECT doc_id, split, unnest(list_transform(generate_series(1, len(w) - 7), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS g FROM d WHERE len(w) >= 8), " +
+        "tg AS (SELECT DISTINCT g FROM g WHERE split = 'train'), " +
+        "ev AS (SELECT doc_id, split, g FROM g WHERE split <> 'train'), " +
+        "n AS (SELECT doc_id, split, count(DISTINCT g) AS n_grams FROM ev GROUP BY 1, 2), " +
+        "o AS (SELECT doc_id, count(*) AS n_leaked FROM " +
+        "(SELECT DISTINCT doc_id, g FROM ev) e JOIN tg USING (g) GROUP BY 1) " +
+        "SELECT n.doc_id, n.split, n.n_grams, CAST(coalesce(o.n_leaked, 0) AS BIGINT) AS n_leaked " +
+        "FROM n LEFT JOIN o ON n.doc_id = o.doc_id ORDER BY n.doc_id"))
+
   /** Overlapping token-window chunking (size 40, stride 30) — the document
     * splitter that feeds a fixed-context trainer. Chunk starts are
     * `k·stride` for `k ∈ [0, ceil(max(0, n-size)/stride)]` — every token
@@ -974,6 +1026,6 @@ object LlmOps {
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
+    qllmDecontam, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp)
 }
