@@ -610,10 +610,14 @@ object LlmOps {
           "transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' ')))"))
           .as("g"))
       val trainGrams = grams.filter(col("split") === "train").select(col("g")).distinct()
-      val evalGrams = grams.filter(col("split") =!= "train")
-      val nGrams = evalGrams.groupBy(col("doc_id"), col("split"))
-        .agg(countDistinct(col("g")).as("n_grams"))
-      val leaked = evalGrams.select(col("doc_id"), col("g")).distinct()
+      // ONE distinct (doc, gram) frame feeds both the per-doc gram count
+      // and the leak join — identical subtrees, so Spark's exchange reuse
+      // can serve both branches from a single shuffle
+      val evDistinct = grams.filter(col("split") =!= "train")
+        .select(col("doc_id"), col("split"), col("g")).distinct()
+      val nGrams = evDistinct.groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_grams"))
+      val leaked = evDistinct
         .join(trainGrams, "g")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
       nGrams.join(leaked, Seq("doc_id"), "left")
