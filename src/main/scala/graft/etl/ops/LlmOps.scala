@@ -639,6 +639,50 @@ object LlmOps {
         "SELECT n.doc_id, n.split, n.n_grams, CAST(coalesce(o.n_leaked, 0) AS BIGINT) AS n_leaked " +
         "FROM n LEFT JOIN o ON n.doc_id = o.doc_id ORDER BY n.doc_id"))
 
+  /** Winnowing document fingerprints (the MOSS scheme) over a ROLLING
+    * hash: per position, a Rabin–Karp polynomial hash of the 8-char gram
+    * (base 257 mod 1e9+7, explicit integer folds — both engines compute
+    * the identical value, no engine hash function involved); winnowing
+    * then keeps the minimum hash of every 4-window of positions, and the
+    * distinct minima are the document's fingerprint set (emitted as
+    * count + min/max — order-insensitive, so list_distinct ordering
+    * differences cannot matter). The declarative per-position fold costs
+    * k·n with k = 8 constant instead of the imperative O(n) rolling
+    * update — still linear per char, traded for cross-engine parity.
+    * Scale: wholly map-side (transform/aggregate/array_min next to the
+    * scan, no shuffle before the output sort) — fingerprinting is
+    * embarrassingly parallel, the property that makes winnowing viable
+    * over 100 TB. Docs shorter than 11 chars have no complete window and
+    * are excluded (fixture minimum is 48 chars, so nothing drops here). */
+  private val qllmWinnow = QueryDef(
+    "qllm_winnow",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text").as("t"))
+        .filter(length(col("t")) >= 11)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, length(t) - 7), i -> " +
+            "aggregate(sequence(0, 7), CAST(0 AS BIGINT), " +
+            "(a, j) -> (a * 257 + ascii(substr(t, i + j, 1))) % 1000000007))").as("hs"))
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, size(hs) - 3), " +
+            "j -> array_min(slice(hs, j, 4))))").as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast(LongType).as("n_fp"),
+          expr("array_min(fps)").as("min_fp"),
+          expr("array_max(fps)").as("max_fp"))
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      "WITH h AS (SELECT doc_id, list_transform(generate_series(1, length(text) - 7), i -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 7), j -> CAST(ascii(text[i+j]) AS BIGINT))), " +
+        "(a, c) -> (a * 257 + c) % 1000000007)) AS hs " +
+        "FROM documents WHERE length(text) >= 11), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 3), " +
+        "j -> list_min(hs[j:j+3]))) AS fps FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, " +
+        "list_min(fps) AS min_fp, list_max(fps) AS max_fp FROM f ORDER BY doc_id"))
+
   /** Overlapping token-window chunking (size 40, stride 30) — the document
     * splitter that feeds a fixed-context trainer. Chunk starts are
     * `k·stride` for `k ∈ [0, ceil(max(0, n-size)/stride)]` — every token
@@ -1030,6 +1074,6 @@ object LlmOps {
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmDecontam, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
+    qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp)
 }
