@@ -581,9 +581,104 @@ object AggOps {
         "CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total AS skew_factor " +
         "FROM t CROSS JOIN s ORDER BY t.cnt DESC, t.user_id"))
 
+  /** Robust outlier profiling: per-type exact median, median absolute
+    * deviation (MAD), and |x−med| > 3·MAD outlier counts. Everything is
+    * VALUE-AGGREGATED: both medians are picked by cumulative counts over
+    * the (type, value) frame — the window sorts distinct DECIMAL(12,4)
+    * values (bounded by the value DOMAIN, ~10⁷ cells for a [0,1000) money
+    * domain, not by row count — the qjoin_theta_range cents trick), never
+    * raw events. Exactness: the doubled sums medsum = v@⌈n/2⌉+v@⌈(n+1)/2⌉
+    * (one value counted twice when n is odd — no even/odd CASE) and
+    * madsum = 4·MAD keep every comparison in scaled-integer decimals; the
+    * outlier test dev > 3·MAD runs as 2·dev2 > 3·madsum, and the
+    * human-scale median/MAD emerge exactly via ×0.5 / ×0.25 (scale grows,
+    * nothing rounds). */
+  private val qaggMad = QueryDef(
+    "qagg_mad",
+    build = (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value").cast(DecimalType(12, 4)).as("v"))
+      val vc = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      val n = vc.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cum", sum(col("cnt")).over(cw)).join(broadcast(n), "event_type")
+      val v1 = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col("v")).as("v1"))
+      val v2 = cum.filter(col("cum") >= expr("(n + 2) div 2"))
+        .groupBy(col("event_type")).agg(min(col("v")).as("v2"))
+      val med = v1.join(v2, "event_type")
+        .select(col("event_type"), (col("v1") + col("v2")).cast(DecimalType(14, 4)).as("medsum"))
+      val dev = vc.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("v") * 2 - col("medsum")).cast(DecimalType(15, 4)).as("dev2"), col("cnt"))
+        .groupBy(col("event_type"), col("dev2")).agg(sum(col("cnt")).as("cnt"))
+      val dw = Window.partitionBy(col("event_type")).orderBy(col("dev2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dcum = dev.withColumn("cum", sum(col("cnt")).over(dw)).join(broadcast(n), "event_type")
+      val d1 = dcum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col("dev2")).as("d1"))
+      val d2 = dcum.filter(col("cum") >= expr("(n + 2) div 2"))
+        .groupBy(col("event_type")).agg(min(col("dev2")).as("d2"))
+      val mad = d1.join(d2, "event_type")
+        .select(col("event_type"), (col("d1") + col("d2")).cast(DecimalType(16, 4)).as("madsum"))
+      val out = dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("dev2") * 2 > col("madsum") * 3, col("cnt")).otherwise(lit(0L)))
+          .as("n_outliers"))
+      n.join(med, "event_type").join(mad, "event_type").join(out, "event_type")
+        .select(col("event_type"), col("n"),
+          decStr((col("medsum") * lit(BigDecimal("0.5"))).cast(DecimalType(38, 6))).as("median"),
+          decStr((col("madsum") * lit(BigDecimal("0.25"))).cast(DecimalType(38, 6))).as("mad"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT event_type, CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
+        "vc AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY 1, 2), " +
+        "n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY 1), " +
+        "cum AS (SELECT event_type, v, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM vc), " +
+        "v1 AS (SELECT cum.event_type, min(v) AS v1 FROM cum JOIN n USING (event_type) WHERE cum >= (n + 1) // 2 GROUP BY 1), " +
+        "v2 AS (SELECT cum.event_type, min(v) AS v2 FROM cum JOIN n USING (event_type) WHERE cum >= (n + 2) // 2 GROUP BY 1), " +
+        "m AS (SELECT event_type, CAST(v1 + v2 AS DECIMAL(14,4)) AS medsum FROM v1 JOIN v2 USING (event_type)), " +
+        "dev AS (SELECT vc.event_type, CAST(abs(v * 2 - medsum) AS DECIMAL(15,4)) AS dev2, sum(cnt) AS cnt " +
+        "FROM vc JOIN m USING (event_type) GROUP BY 1, 2), " +
+        "dcum AS (SELECT event_type, dev2, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY dev2) AS cum FROM dev), " +
+        "d1 AS (SELECT dcum.event_type, min(dev2) AS d1 FROM dcum JOIN n USING (event_type) WHERE cum >= (n + 1) // 2 GROUP BY 1), " +
+        "d2 AS (SELECT dcum.event_type, min(dev2) AS d2 FROM dcum JOIN n USING (event_type) WHERE cum >= (n + 2) // 2 GROUP BY 1), " +
+        "md AS (SELECT event_type, CAST(d1 + d2 AS DECIMAL(16,4)) AS madsum FROM d1 JOIN d2 USING (event_type)), " +
+        "o AS (SELECT dev.event_type, CAST(sum(CASE WHEN dev2 * 2 > madsum * 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM dev JOIN md USING (event_type) GROUP BY 1) " +
+        "SELECT n.event_type, n.n, CAST(CAST(medsum * 0.5 AS DECIMAL(38,6)) AS VARCHAR) AS median, " +
+        "CAST(CAST(madsum * 0.25 AS DECIMAL(38,6)) AS VARCHAR) AS mad, o.n_outliers " +
+        "FROM n JOIN m USING (event_type) JOIN md USING (event_type) JOIN o USING (event_type) " +
+        "ORDER BY n.event_type"))
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — the bitmap-flag
+    * rollup an OLAP engine exposes for permission masks and feature-flag
+    * columns. All three are commutative+associative, so partial/final
+    * merge order can never change a result — shuffle-order independent by
+    * construction, no decimal machinery needed. Scale: plain partial
+    * HashAggregate + one shuffle on the group key. */
+  private val qaggBitwise = QueryDef(
+    "qagg_bitwise",
+    build = (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"))
+        .orderBy(col("event_type")),
+    oracle = Some(
+      "SELECT event_type, count(*) AS n, bit_and(user_id) AS band, " +
+        "bit_or(user_id) AS bor, bit_xor(user_id) AS bxor " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
-    qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew)
+    qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
+    qaggMad, qaggBitwise)
 }

@@ -1069,11 +1069,181 @@ object LlmOps {
         "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
         "FROM thr LEFT JOIN k USING (source) ORDER BY thr.source"))
 
+  /** PII detection + redaction — the scrub pass a training-data pipeline
+    * runs before anything leaves the raw zone. The fixture word-soup text
+    * carries no contact strings, so each doc is prefixed with a
+    * deterministically derived one (source+doc_id email, 555- phone) —
+    * BOTH engines derive the identical prefix, so the regexes exercise
+    * real matches. Counts come from `regexp_extract_all` and the redacted
+    * text is emitted as an md5 (fixed width through the shuffle). Patterns
+    * are alternation- and backslash-free, so Java (Spark) and RE2 (DuckDB)
+    * agree on every match span. Scale: wholly map-side — derive, match,
+    * replace, hash all fuse into one codegen stage next to the scan; no
+    * shuffle before the output sort. */
+  private val qllmPii = QueryDef(
+    "qllm_pii",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          concat(lit("reach "), col("source"), col("doc_id").cast(StringType),
+            lit("@mail.example.com or tel 555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+            lit(" "), col("text")).as("contact"))
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(contact, '[a-z0-9.]+@[a-z.]*[a-z]', 0)"))
+            .cast(LongType).as("n_emails"),
+          size(expr("regexp_extract_all(contact, '555-[0-9]{4}', 0)"))
+            .cast(LongType).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("contact"), "[a-z0-9.]+@[a-z.]*[a-z]", "<EMAIL>"),
+            "555-[0-9]{4}", "<PHONE>")).as("red_md5"))
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      "WITH c AS (SELECT doc_id, 'reach ' || source || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com or tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' ' || text AS contact FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(contact, '[a-z0-9.]+@[a-z.]*[a-z]')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(contact, '555-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(contact, '[a-z0-9.]+@[a-z.]*[a-z]', '<EMAIL>', 'g'), " +
+        "'555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5 " +
+        "FROM c ORDER BY doc_id"))
+
+  /** Boilerplate detection by 3-gram document frequency — the C4-style
+    * pass that strips navigation chrome / license headers repeated across
+    * many pages: a gram occurring in ≥ 5 distinct docs is boilerplate, and
+    * each doc reports how many of its gram occurrences are boilerplate.
+    * Spark shuffles hashed grams (`xxhash64` longs, never text — the
+    * qllm_ngram_jaccard/qllm_decontam trick; the string-side oracle agrees
+    * modulo 2⁻⁶⁴-scale collisions). Scale: every shuffle — the (doc,gram)
+    * distinct, the df count, the per-doc counts, the occurrence join —
+    * carries fixed-width longs, never text; the boilerplate set is the df
+    * heavy-hitter tail (≤ occurrences/5 grams), joined hash-on-long. */
+  private val qllmBoilerplate = QueryDef(
+    "qllm_boilerplate",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> xxhash64(array_join(slice(w, i, 3), ' ')))"))
+        .as("g"))
+      val boiler = grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5).select(col("g"))
+      val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val nb = grams.join(boiler, "g").groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      perDoc.join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> array_to_string(w[i:i+2], ' '))) AS g FROM d WHERE len(w) >= 3), " +
+        "b AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g) WHERE df >= 5), " +
+        "n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), " +
+        "nb AS (SELECT g.doc_id, count(*) AS n_boiler FROM g JOIN b USING (g) GROUP BY 1) " +
+        "SELECT n.doc_id, n.n_grams, CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler " +
+        "FROM n LEFT JOIN nb USING (doc_id) ORDER BY n.doc_id"))
+
+  /** URL canonicalization + dedup — the crawl-frontier normalizer: scheme/
+    * host case-folded, query string (tracking params) stripped, trailing
+    * slash dropped; duplicates grouped on the canonical form. The fixture
+    * text has no URLs, so each doc derives one deterministically (mixed
+    * case, utm junk, %2-conditional trailing slash) identically on both
+    * engines, making every normalization step observable. Scale: map-side
+    * derive+normalize fused next to the scan; ONE groupBy shuffle on the
+    * canonical string (bounded by the canonical-URL domain, not by row
+    * count — the same key a crawl dedup shuffles on). */
+  private val qllmUrlnorm = QueryDef(
+    "qllm_urlnorm",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), concat(
+          lit("HTTPS://"), upper(col("source")), lit(".Example.COM/p"),
+          (col("doc_id") % 7).cast(StringType), lit("/page"),
+          (col("doc_id") % 13).cast(StringType),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source="), col("source"), lit("&sid="),
+          col("doc_id").cast(StringType)).as("url"))
+        .select(col("doc_id"),
+          lower(regexp_replace(regexp_replace(col("url"), "\\?.*$", ""), "/$", ""))
+            .as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("canon")),
+    oracle = Some(
+      "WITH u AS (SELECT doc_id, 'HTTPS://' || upper(source) || '.Example.COM/p' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '/page' || CAST(doc_id % 13 AS VARCHAR) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || " +
+        "'?utm_source=' || source || '&sid=' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "c AS (SELECT doc_id, lower(regexp_replace(regexp_replace(url, '\\?.*$', ''), '/$', '')) AS canon FROM u) " +
+        "SELECT canon, count(*) AS n_urls, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM c GROUP BY canon ORDER BY canon"))
+
+  /** CCNet-style perplexity bucketing: per-language head/middle/tail
+    * terciles of a per-token language-model score — here the corpus's own
+    * unigram surprisal (the qllm_surprisal scorer) as the stand-in for the
+    * external LM. Determinism: the score is integer micro-nats per token —
+    * the exact-decimal surprisal sum scaled by 10⁶, cast to BIGINT, then
+    * integer-divided by token count — so ranking and bucketing never
+    * touch a float. Terciles are assigned by VALUE, not by per-doc rank:
+    * cumulative counts over the (lang, score) aggregated frame give each
+    * distinct score `bucket = (3·(cum−1)) div n_lang` — the same
+    * value-domain pre-aggregation that makes qjoin_theta_range scale
+    * (the per-lang window sorts distinct score values, not documents;
+    * at 100 TB swap in sampled boundaries à la qllm_vocab if the score
+    * domain itself explodes). */
+  private val qllmPplBucket = QueryDef(
+    "qllm_ppl_bucket",
+    build = (spark, sfDir) => {
+      val w = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+      val v = w.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = v.agg(sum(col("cnt")).cast(LongType).as("n"))
+      val lp = round(log(col("cnt").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6))
+      val g = w.join(broadcast(v), "term").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), lp.as("lp"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(((-sum(col("lp"))) * lit(1000000L)).cast(LongType).as("micros"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("lang"), expr("micros div n_tokens").as("sc"))
+      val vc = g.groupBy(col("lang"), col("sc")).agg(count(lit(1)).as("cnt"))
+      val n = vc.groupBy(col("lang")).agg(sum(col("cnt")).as("n_lang"))
+      val cw = Window.partitionBy(col("lang")).orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("cum", sum(col("cnt")).over(cw))
+        .join(broadcast(n), "lang")
+        .select(col("lang"), col("sc"), col("cnt"),
+          expr("(3 * (cum - 1)) div n_lang").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("cnt")).as("n_docs"), min(col("sc")).as("lo"), max(col("sc")).as("hi"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents), " +
+        "v AS (SELECT term, count(*) AS cnt FROM w GROUP BY term), " +
+        "tot AS (SELECT sum(cnt) AS n FROM v), " +
+        "s AS (SELECT w.doc_id, w.lang, CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp " +
+        "FROM w JOIN v USING (term) CROSS JOIN tot), " +
+        "g AS (SELECT lang, CAST(-sum(lp) * 1000000 AS BIGINT) // count(*) AS sc FROM s GROUP BY doc_id, lang), " +
+        "vc AS (SELECT lang, sc, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "n AS (SELECT lang, sum(cnt) AS n_lang FROM vc GROUP BY 1), " +
+        "cum AS (SELECT lang, sc, cnt, sum(cnt) OVER (PARTITION BY lang ORDER BY sc) AS cum FROM vc), " +
+        "b AS (SELECT cum.lang, sc, cnt, (3 * (cum - 1)) // n_lang AS bucket FROM cum JOIN n USING (lang)) " +
+        "SELECT lang, CAST(bucket AS BIGINT) AS bucket, CAST(sum(cnt) AS BIGINT) AS n_docs, " +
+        "min(sc) AS lo, max(sc) AS hi FROM b GROUP BY 1, 2 ORDER BY 1, 2"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
-    qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp)
+    qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
+    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket)
 }

@@ -399,4 +399,61 @@ class PlanSpec extends SparkFixture {
         s"anomaly window should not sort values:\n${windows.head}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("qagg_mad / qllm_ppl_bucket: cumulative windows run over VALUE-aggregated frames") {
+    // both medians (mad) and the tercile cut (ppl_bucket) must sort distinct
+    // values, never raw rows — the domain-bounding that makes positional
+    // stats survive 100 TB (same shape the theta-range test pins)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("qagg_mad", "qllm_ppl_bucket")) {
+        val exec = Registry.byName(q).build(spark, sfTiny).queryExecution.executedPlan
+        val windows = exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty, s"$q: expected cumulative-count windows")
+        windows.foreach { w =>
+          assert(w.partitionSpec.nonEmpty, s"$q: global (single-partition) window:\n$exec")
+          // a ReusedExchange child is the aggregated frame computed once and
+          // shared across branches — same domain bounding, cheaper plan
+          assert(w.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+          }.nonEmpty, s"$q: window input not value-aggregated:\n$exec")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qllm_pii: scrub pass is wholly map-side — only the output sort exchanges") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qllm_pii").build(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"pii scrub should never hash-shuffle (derive/match/replace are per-row):\n$p")
+      assert(raw"Exchange rangepartitioning".r.findAllIn(p).size == 1,
+        s"expected exactly the output-sort exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qllm_boilerplate: gram shuffles carry hashed longs and the join stays equi") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qllm_boilerplate").build(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"boilerplate join lost its gram equi-key:\n$p")
+      // the occurrence-vs-boilerplate join shuffles on the xxhash64 long
+      assert(raw"Exchange hashpartitioning\(g#".r.findFirstIn(p).isDefined,
+        s"expected a shuffle keyed on the hashed gram:\n$p")
+      // text never enters an exchange: the only string column is pruned
+      // before the first shuffle
+      assert(!raw"Exchange [^\n]*\btext\b".r.findFirstIn(p).isDefined,
+        s"document text entered a shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
