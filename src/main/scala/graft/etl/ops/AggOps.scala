@@ -602,13 +602,14 @@ object AggOps {
       val n = vc.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
       val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // both positional picks ride ONE aggregation over the cum frame as
+      // conditional mins — a second filter branch would recompute the whole
+      // window subtree (measured 6.5 s → the pair-collapse is the fix)
       val cum = vc.withColumn("cum", sum(col("cnt")).over(cw)).join(broadcast(n), "event_type")
-      val v1 = cum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy(col("event_type")).agg(min(col("v")).as("v1"))
-      val v2 = cum.filter(col("cum") >= expr("(n + 2) div 2"))
-        .groupBy(col("event_type")).agg(min(col("v")).as("v2"))
-      val med = v1.join(v2, "event_type")
-        .select(col("event_type"), (col("v1") + col("v2")).cast(DecimalType(14, 4)).as("medsum"))
+      val med = cum.groupBy(col("event_type"))
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
+          min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))))
+          .cast(DecimalType(14, 4)).as("medsum"))
       val dev = vc.join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("v") * 2 - col("medsum")).cast(DecimalType(15, 4)).as("dev2"), col("cnt"))
@@ -616,13 +617,11 @@ object AggOps {
       val dw = Window.partitionBy(col("event_type")).orderBy(col("dev2"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val dcum = dev.withColumn("cum", sum(col("cnt")).over(dw)).join(broadcast(n), "event_type")
-      val d1 = dcum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy(col("event_type")).agg(min(col("dev2")).as("d1"))
-      val d2 = dcum.filter(col("cum") >= expr("(n + 2) div 2"))
-        .groupBy(col("event_type")).agg(min(col("dev2")).as("d2"))
-      val mad = d1.join(d2, "event_type")
-        .select(col("event_type"), (col("d1") + col("d2")).cast(DecimalType(16, 4)).as("madsum"))
-      val out = dev.join(broadcast(mad), "event_type")
+      val mad = dcum.groupBy(col("event_type"))
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("dev2"))) +
+          min(when(col("cum") >= expr("(n + 2) div 2"), col("dev2"))))
+          .cast(DecimalType(16, 4)).as("madsum"))
+      val out = dcum.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(sum(when(col("dev2") * 2 > col("madsum") * 3, col("cnt")).otherwise(lit(0L)))
           .as("n_outliers"))
@@ -638,17 +637,17 @@ object AggOps {
         "vc AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY 1, 2), " +
         "n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY 1), " +
         "cum AS (SELECT event_type, v, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM vc), " +
-        "v1 AS (SELECT cum.event_type, min(v) AS v1 FROM cum JOIN n USING (event_type) WHERE cum >= (n + 1) // 2 GROUP BY 1), " +
-        "v2 AS (SELECT cum.event_type, min(v) AS v2 FROM cum JOIN n USING (event_type) WHERE cum >= (n + 2) // 2 GROUP BY 1), " +
-        "m AS (SELECT event_type, CAST(v1 + v2 AS DECIMAL(14,4)) AS medsum FROM v1 JOIN v2 USING (event_type)), " +
+        "m AS (SELECT cum.event_type, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) " +
+        "+ min(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS DECIMAL(14,4)) AS medsum " +
+        "FROM cum JOIN n USING (event_type) GROUP BY 1), " +
         "dev AS (SELECT vc.event_type, CAST(abs(v * 2 - medsum) AS DECIMAL(15,4)) AS dev2, sum(cnt) AS cnt " +
         "FROM vc JOIN m USING (event_type) GROUP BY 1, 2), " +
         "dcum AS (SELECT event_type, dev2, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY dev2) AS cum FROM dev), " +
-        "d1 AS (SELECT dcum.event_type, min(dev2) AS d1 FROM dcum JOIN n USING (event_type) WHERE cum >= (n + 1) // 2 GROUP BY 1), " +
-        "d2 AS (SELECT dcum.event_type, min(dev2) AS d2 FROM dcum JOIN n USING (event_type) WHERE cum >= (n + 2) // 2 GROUP BY 1), " +
-        "md AS (SELECT event_type, CAST(d1 + d2 AS DECIMAL(16,4)) AS madsum FROM d1 JOIN d2 USING (event_type)), " +
-        "o AS (SELECT dev.event_type, CAST(sum(CASE WHEN dev2 * 2 > madsum * 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers " +
-        "FROM dev JOIN md USING (event_type) GROUP BY 1) " +
+        "md AS (SELECT dcum.event_type, CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END) " +
+        "+ min(CASE WHEN cum >= (n + 2) // 2 THEN dev2 END) AS DECIMAL(16,4)) AS madsum " +
+        "FROM dcum JOIN n USING (event_type) GROUP BY 1), " +
+        "o AS (SELECT dcum.event_type, CAST(sum(CASE WHEN dev2 * 2 > madsum * 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM dcum JOIN md USING (event_type) GROUP BY 1) " +
         "SELECT n.event_type, n.n, CAST(CAST(medsum * 0.5 AS DECIMAL(38,6)) AS VARCHAR) AS median, " +
         "CAST(CAST(madsum * 0.25 AS DECIMAL(38,6)) AS VARCHAR) AS mad, o.n_outliers " +
         "FROM n JOIN m USING (event_type) JOIN md USING (event_type) JOIN o USING (event_type) " +
