@@ -1238,6 +1238,59 @@ object LlmOps {
         "SELECT lang, CAST(bucket AS BIGINT) AS bucket, CAST(sum(cnt) AS BIGINT) AS n_docs, " +
         "min(sc) AS lo, max(sc) AS hi FROM b GROUP BY 1, 2 ORDER BY 1, 2"))
 
+  /** Bigram language-model scoring with add-one smoothing — the CCNet-
+    * family conditional scorer one step up from `qllm_surprisal`'s
+    * unigrams: per-doc −Σ ln((c(w₁w₂)+1)/(c(w₁)+V)). The same exactness
+    * recipe: the probability is ONE IEEE division of exact integers, `ln`
+    * agrees at the 6-dp round (surprisal precedent), and the rounded
+    * log-prob is CAST TO DECIMAL before the per-doc sum, so the sum is
+    * exact integer arithmetic — shuffle-order independent. Scale: the
+    * unigram table + vocab size broadcast (metadata-scale); the bigram
+    * count join shuffles on the bigram key — at 100 TB hash it to a long
+    * first (the qllm_ngram_jaccard trick; kept as strings here for exact
+    * count parity with the oracle's string join). */
+  private val qllmBigramLm = QueryDef(
+    "qllm_bigram_lm",
+    build = (spark, sfDir) => {
+      val ws = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      val u = ws.select(explode(col("w")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      val vv = u.agg(count(lit(1)).as("v"))
+      val bg = ws.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+            "(a, b) -> named_struct('w1', a, 'b', concat(a, ' ', b)))")).as("s"))
+        .select(col("doc_id"), col("s.w1").as("w1"), col("s.b").as("b"))
+      val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+      val lp = round(log((col("c12") + 1).cast(DoubleType) /
+        (col("c1") + col("v")).cast(DoubleType)), 6).cast(DecimalType(18, 6))
+      bg.join(bc, "b")
+        .join(broadcast(u), col("w1") === col("term"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"), lp.as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).cast(DecimalType(38, 6)).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.etl.Dets.decStr(col("s")).as("nll"),
+          (col("s").cast(DoubleType) / col("n_bigrams").cast(DoubleType)).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents), " +
+        "u AS (SELECT term, count(*) AS c1 FROM (SELECT unnest(w) AS term FROM ws) GROUP BY 1), " +
+        "vv AS (SELECT count(*) AS v FROM u), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> {'w1': w[i], 'b': w[i] || ' ' || w[i+1]})) AS s FROM ws WHERE len(w) >= 2), " +
+        "bg2 AS (SELECT doc_id, s.w1 AS w1, s.b AS b FROM bg), " +
+        "bc AS (SELECT b, count(*) AS c12 FROM bg2 GROUP BY 1), " +
+        "s2 AS (SELECT doc_id, CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp " +
+        "FROM bg2 JOIN bc USING (b) JOIN u ON bg2.w1 = u.term CROSS JOIN vv), " +
+        "g AS (SELECT doc_id, count(*) AS n_bigrams, CAST(-sum(lp) AS DECIMAL(38,6)) AS s FROM s2 GROUP BY 1) " +
+        "SELECT doc_id, n_bigrams, CAST(s AS STRING) AS nll, " +
+        "CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_nll " +
+        "FROM g ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
@@ -1245,5 +1298,5 @@ object LlmOps {
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
-    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket)
+    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm)
 }

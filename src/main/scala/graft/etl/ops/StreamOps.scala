@@ -240,9 +240,42 @@ object StreamOps {
         "AND c.ts_us > p.ts_us - 86400000000 AND c.ts_us <= p.ts_us " +
         "GROUP BY p.event_id, p.user_id ORDER BY p.event_id"))
 
+  /** Shared with StreamingSpec: stream-static enrichment — events joined
+    * to a broadcast dimension (user → market segment via the
+    * `c_custkey − 1 = user_id` fixture mapping), then the tumbling
+    * count/sum per (window, segment). The static side needs NO watermark
+    * or state in Structured Streaming — a broadcast hash join per
+    * micro-batch, the canonical dimension-enrichment shape; the windowed
+    * aggregate after it carries the usual event-time state. */
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(d124(col("value"))).cast(DecimalType(38, 4)).as("sum_value"))
+
+  /** The broadcast dimension for [[enrichAgg]]. */
+  def userSegments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select((col("c_custkey") - 1).cast(LongType).as("user_id"),
+        col("c_mktsegment").as("segment"))
+
+  private val qstreamEnrich = QueryDef(
+    "qstream_enrich",
+    build = (spark, sfDir) =>
+      enrichAgg(Tables.events(spark, sfDir), userSegments(spark, sfDir))
+        .select(col("window.start").cast(LongType).as("ws"), col("segment"),
+          col("n"), decStr(col("sum_value")).as("sum_value"))
+        .orderBy(col("ws"), col("segment")),
+    oracle = Some(
+      "WITH d AS (SELECT c_custkey - 1 AS user_id, c_mktsegment AS segment FROM customer), " +
+        "e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, user_id, " +
+        "CAST(value AS DECIMAL(12,4)) AS v FROM events) " +
+        "SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, segment, count(*) AS n, " +
+        "CAST(CAST(sum(v) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
+        "FROM e JOIN d USING (user_id) GROUP BY w, segment ORDER BY ws, segment"))
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
-    qstreamFunnel, qstreamJoin)
+    qstreamFunnel, qstreamJoin, qstreamEnrich)
 }
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders

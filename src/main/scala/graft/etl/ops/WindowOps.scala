@@ -403,8 +403,33 @@ object WindowOps {
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) ORDER BY event_id"
     })
 
+  /** Distribution metrics per partition: `percent_rank` and `cume_dist`
+    * over the per-type value ordering. Both are single IEEE divisions of
+    * exact integer rank counts — (rank−1)/(n−1) and cum/n — so the doubles
+    * are bit-identical cross-engine with no rounding fallback; ties share
+    * a rank and therefore share both metrics, so the value-only ORDER BY
+    * is tie-stable (D9). The value column is emitted as the RAW parquet
+    * double (never decimal→double round-tripped — the 1-ulp-unround trap).
+    * Scale: one partitioned window = one keyed shuffle + per-partition
+    * sort; nothing global. */
+  private val qwinDist = QueryDef(
+    "qwin_dist",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "SELECT event_id, event_type, value, " +
+        "percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr, " +
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd " +
+        "FROM events ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak, qwinAnomaly, qwinEma)
+    qwinStreak, qwinAnomaly, qwinEma, qwinDist)
 }

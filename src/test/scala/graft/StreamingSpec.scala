@@ -46,6 +46,29 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim join under MemoryStream equals batch") {
+    val sp = spark
+    import sp.implicits._
+    // static user → segment dim (the qstream_enrich shape, tiny fixture)
+    val dim = Seq((1L, "RETAIL"), (2L, "AUTO")).toDF("user_id", "segment")
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.enrichAgg(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_t").outputMode("complete").start()
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_t")
+        .select(col("window.start").cast("long").as("ws"), col("segment"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = StreamOps.enrichAgg(base.toDF(), dim)
+        .select(col("window.start").cast("long").as("ws"), col("segment"), col("n"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      // 10h RETAIL x2, 11h AUTO, 12h AUTO — the dim attached to every event
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("watermark: a row later than 10 minutes behind max ts is dropped (append mode)") {
     val sp = spark
     import sp.implicits._
