@@ -1291,6 +1291,63 @@ object LlmOps {
         "CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_nll " +
         "FROM g ORDER BY doc_id"))
 
+  /** End-to-end near-dup resolution — the decision table a dedup pipeline
+    * actually materializes: shingle → capped-df Jaccard candidates →
+    * connected components → keeper = min doc per component → per-doc
+    * verdict (canonical id, cluster size, keep/drop). Composes the
+    * library pieces (`Graft.jaccardCandidates` + `Graft.dedupClusters`)
+    * rather than re-deriving them; singletons never enter the component
+    * machinery — they fall out of the LEFT join as their own canonical.
+    * Scale: everything upstream is the bucketed/capped candidate path;
+    * the final joins are (doc → label) keyed shuffles plus a broadcast of
+    * the |clusters|-row size table. */
+  private val qllmDedupE2e = QueryDef(
+    "qllm_dedup_e2e",
+    build = (spark, sfDir) => {
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      val pairs = graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 2)
+      val clusters = graft.api.Graft.dedupClusters(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .select(col("cluster").as("canonical_id"), col("n"))
+      Tables.documents(spark, sfDir).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("canonical_id"))
+        .join(broadcast(sizes), Seq("canonical_id"), "left")
+        .select(col("doc_id"), col("canonical_id"),
+          coalesce(col("n"), lit(1L)).as("cluster_size"),
+          when(col("doc_id") === col("canonical_id"), lit("keep")).otherwise(lit("drop"))
+            .as("action"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH RECURSIVE toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cand AS (SELECT doc_a, doc_b FROM pairs " +
+        "JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 2 >= ca.n_sh + cb.n_sh - n_common), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+        "UNION SELECT doc_b, doc_a FROM cand), " +
+        "walk AS (SELECT src AS id, src AS lbl FROM e " +
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.id), " +
+        "c AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), " +
+        "sz AS (SELECT cluster, count(*) AS n FROM c GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS canonical_id, " +
+        "CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size, " +
+        "CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 'keep' ELSE 'drop' END AS action " +
+        "FROM documents d LEFT JOIN c ON c.id = d.doc_id " +
+        "LEFT JOIN sz ON sz.cluster = coalesce(c.cluster, d.doc_id) " +
+        "ORDER BY d.doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
@@ -1298,5 +1355,5 @@ object LlmOps {
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
-    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm)
+    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e)
 }

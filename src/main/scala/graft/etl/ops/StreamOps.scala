@@ -273,9 +273,37 @@ object StreamOps {
         "CAST(CAST(sum(v) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
         "FROM e JOIN d USING (user_id) GROUP BY w, segment ORDER BY ws, segment"))
 
+  /** Windowed top-k: the 2 busiest event types per tumbling hour (count
+    * desc, type asc tiebreak — D8/D9 deterministic). In Structured
+    * Streaming the rank cannot ride inside the streaming query (window
+    * functions over an aggregate aren't supported on streaming frames);
+    * the standard pattern — which this batch form mirrors — ranks the
+    * complete-mode sink table per trigger, downstream of the stateful
+    * aggregation. Scale: the rank window partitions by the hour bucket
+    * over the ALREADY-AGGREGATED (window × type) frame — |types| rows per
+    * partition, never raw events. */
+  private val qstreamTopk = QueryDef(
+    "qstream_topk",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("ws")).orderBy(col("n").desc, col("event_type"))
+      tumblingAgg(Tables.events(spark, sfDir))
+        .select(col("window.start").cast(LongType).as("ws"), col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .orderBy(col("ws"), col("rnk"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, " +
+        "event_type FROM events), " +
+        "a AS (SELECT CAST(epoch_us(w) // 1000000 AS BIGINT) AS ws, event_type, count(*) AS n " +
+        "FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT ws, event_type, n, CAST(row_number() OVER " +
+        "(PARTITION BY ws ORDER BY n DESC, event_type) AS BIGINT) AS rnk FROM a) " +
+        "SELECT ws, event_type, n, rnk FROM r WHERE rnk <= 2 ORDER BY ws, rnk"))
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
-    qstreamFunnel, qstreamJoin, qstreamEnrich)
+    qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk)
 }
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders

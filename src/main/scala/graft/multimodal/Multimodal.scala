@@ -225,6 +225,55 @@ object Multimodal {
       .join(feats, "media_id")
   }
 
+  /** Tiny multi-frame container for the frame-sampling path: magic "GVID",
+    * u32 frame count, u32 per-frame byte size, then `n` equal-size BMP
+    * frames back-to-back — the minimal stand-in for a video container
+    * (every real one also prefixes frame geometry and lets a reader seek
+    * `header + i·frameSize` without decoding predecessors). Frame `f`'s
+    * pixels are the base bytes brightness-shifted by `(f·7) mod 256`, so
+    * frames differ deterministically and frame 0 IS the base image. */
+  def encodeVideoGray(data: Array[Byte], nFrames: Int): Array[Byte] = {
+    require(nFrames > 0, s"frame count must be positive, got $nFrames")
+    val frames = (0 until nFrames).map { f =>
+      encodeBmpGray(data.map(b => (((b & 0xFF) + f * 7) % 256).toByte))
+    }
+    val frameSize = frames.head.length
+    val out = new Array[Byte](12 + frameSize * nFrames)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    def putI32(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
+      out(p + 2) = (v >>> 16).toByte; out(p + 3) = (v >>> 24).toByte
+    }
+    putI32(4, nFrames)
+    putI32(8, frameSize)
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      System.arraycopy(fr, 0, out, 12 + i * frameSize, frameSize)
+    }
+    out
+  }
+
+  /** Seek-and-decode every `stride`-th frame (0, stride, 2·stride, …) —
+    * the frame-sampling read pattern: the container header gives direct
+    * offsets, so skipped frames are never decoded (for a real codec with
+    * keyframes the same seam samples at I-frame granularity). Malformed
+    * magic/geometry raises, as in [[decodeBmpGray]]. */
+  def sampleFrames(video: Array[Byte], stride: Int): Seq[(Int, BmpImage)] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    def i32(p: Int): Int = (video(p) & 0xFF) | ((video(p + 1) & 0xFF) << 8) |
+      ((video(p + 2) & 0xFF) << 16) | ((video(p + 3) & 0xFF) << 24)
+    if (video.length < 12 || video(0) != 'G' || video(1) != 'V' ||
+      video(2) != 'I' || video(3) != 'D')
+      throw new IllegalArgumentException("not a GVID payload (bad magic)")
+    val n = i32(4)
+    val frameSize = i32(8)
+    if (n <= 0 || frameSize <= 0 || 12L + n.toLong * frameSize > video.length)
+      throw new IllegalArgumentException("truncated GVID frame data")
+    (0 until n by stride).map { i =>
+      i -> decodeBmpGray(java.util.Arrays.copyOfRange(video, 12 + i * frameSize,
+        12 + (i + 1) * frameSize))
+    }
+  }
+
   private val qmmMeta = QueryDef(
     "qmm_meta",
     build = (spark, sfDir) =>
@@ -294,5 +343,39 @@ object Multimodal {
     },
     oracle = None)
 
-  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize)
+  /** No oracle: container parse + frame decode is not SQL-expressible.
+    * Frame-sampling semantics (header offsets, stride selection, frame-0
+    * identity with the base image, brightness-shift means, malformed
+    * magic) are covered by MultimodalSpec; determinism by RegistrySpec.
+    * Batch shape: ONE narrow mapPartitions builds the container, seeks,
+    * and decodes the sampled frames — at 100 TB the video payload is read
+    * once where it lands and only (frame_idx, integer stats, md5) rows —
+    * never frames — enter the shuffle for the output sort. */
+  private val qmmFrames = QueryDef(
+    "qmm_frames",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, raw) =>
+            val video = encodeVideoGray(raw, nFrames = 6)
+            sampleFrames(video, stride = 2).map { case (idx, img) =>
+              var sum = 0L
+              var i = 0
+              while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+              (id, idx, img.width, img.height, sum / img.pixels.length,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(img.pixels).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+        .toDF("media_id", "frame_idx", "width", "height", "mean_pixel", "frame_md5")
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    oracle = None)
+
+  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames)
 }

@@ -133,4 +133,35 @@ class MultimodalSpec extends SparkFixture {
       Multimodal.encodeBmpGray(half.pixels, half.width))
     assert(re.width == half.width && re.pixels.toSeq == half.pixels.toSeq)
   }
+
+  test("video container: frame 0 is the base image, stride samples the right frames") {
+    val data = Array.tabulate[Byte](200)(i => ((i * 3) % 250).toByte)
+    val video = Multimodal.encodeVideoGray(data, nFrames = 6)
+    // stride 1 = every frame; frame 0 decodes to exactly the base pixels
+    val all = Multimodal.sampleFrames(video, stride = 1)
+    assert(all.map(_._1) == Seq(0, 1, 2, 3, 4, 5))
+    assert(all.head._2.pixels.take(data.length).toSeq == data.toSeq)
+    // frame f = base + 7f mod 256, checked pixel-for-pixel on a later frame
+    val f3 = all(3)._2.pixels
+    data.indices.foreach { i =>
+      assert((f3(i) & 0xFF) == ((data(i) & 0xFF) + 21) % 256, s"pixel $i")
+    }
+    // stride 2 samples exactly frames 0, 2, 4
+    assert(Multimodal.sampleFrames(video, stride = 2).map(_._1) == Seq(0, 2, 4))
+    // skipped-frame independence: sampled frames are byte-identical whether
+    // or not the frames between them were ever touched
+    val sparse = Multimodal.sampleFrames(video, stride = 2).map(_._2.pixels.toSeq)
+    val dense = all.filter(_._1 % 2 == 0).map(_._2.pixels.toSeq)
+    assert(sparse == dense)
+  }
+
+  test("video container: malformed magic and truncated frame data raise") {
+    val data = Array.tabulate[Byte](64)(_.toByte)
+    val video = Multimodal.encodeVideoGray(data, nFrames = 2)
+    val badMagic = video.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(badMagic, 1))
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(java.util.Arrays.copyOfRange(video, 0, video.length - 5), 1))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(video, 0))
+  }
 }
