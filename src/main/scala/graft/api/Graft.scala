@@ -756,4 +756,82 @@ object Graft {
       .withColumn("avg_wlen",
         (length(text) - (col("n_words") - 1)).cast(DoubleType) / col("n_words").cast(DoubleType))
   }
+
+  /** Default PII rules for [[redactPii]]: (column-suffix, regex,
+    * replacement). Patterns are alternation/backslash-free so every regex
+    * engine a mirror pipeline might use agrees on match spans. */
+  val DefaultPiiRules: Seq[(String, String, String)] = Seq(
+    ("emails", "[a-z0-9.]+@[a-z.]*[a-z]", "<EMAIL>"),
+    ("phones", "555-[0-9]{4}", "<PHONE>"))
+
+  /** PII scrub: appends one `n_<name>` match-count column per rule plus
+    * `redacted` (rules applied in order). Wholly map-side — the detect +
+    * replace chain fuses into the scan's codegen stage, the shape that
+    * makes a 100 TB scrub pass a pure read-transform-write. */
+  def redactPii(df: DataFrame, text: Column,
+      rules: Seq[(String, String, String)] = DefaultPiiRules): DataFrame = {
+    val counted = rules.foldLeft(df.withColumn("__pii_text", text)) {
+      case (d, (name, pattern, _)) =>
+        d.withColumn(s"n_$name",
+          size(expr(s"regexp_extract_all(__pii_text, '$pattern', 0)")).cast(LongType))
+    }
+    val redacted = rules.foldLeft(text) {
+      case (c, (_, pattern, repl)) => regexp_replace(c, pattern, repl)
+    }
+    counted.withColumn("redacted", redacted).drop("__pii_text")
+  }
+
+  /** URL canonicalization: lowercase, query string stripped, trailing
+    * slash dropped — the crawl-frontier dedup key. */
+  def canonicalUrl(url: Column): Column =
+    lower(regexp_replace(regexp_replace(url, "\\?.*$", ""), "/$", ""))
+
+  /** Per-document boilerplate tagging by n-gram document frequency (the
+    * C4-style chrome/license detector): grams occurring in ≥ `minDf`
+    * distinct documents are boilerplate; returns (id, n_grams, n_boiler).
+    * Grams travel as xxhash64 longs — every shuffle carries fixed-width
+    * keys, never text. */
+  def boilerplateTag(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, minDf: Int = 5): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val grams = df.select(id.as("__id"), split(lower(text), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> xxhash64(array_join(slice(__w, i, $n), ' ')))"))
+        .as("__g"))
+    val boiler = grams.select(col("__id"), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(col("__g"))
+    val perDoc = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val nb = grams.join(boiler, "__g").groupBy(col("__id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(nb, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+  }
+
+  /** Per-partition k-quantile bucket assignment by VALUE (every row with
+    * the same value lands in the same bucket): cumulative counts over the
+    * (partition, value) aggregated frame give each distinct value
+    * `bucket = (k·(cum−1)) div n`, then rows join back on the value. The
+    * window sorts DISTINCT values — bounded by the value domain, not the
+    * row count (the qjoin_theta_range domain-bounding pattern); for an
+    * unbounded domain use [[globalRanksSampled]] boundaries instead.
+    * Appends `__bucket` (0 … k−1). */
+  def valueBuckets(df: DataFrame, part: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    val vc = df.select(part.as("__p"), value.as("__v"))
+      .groupBy(col("__p"), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val n = vc.groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val buckets = vc.withColumn("__cum", sum(col("__cnt")).over(w))
+      .join(broadcast(n), "__p")
+      .select(col("__p"), col("__v"),
+        expr(s"($k * (__cum - 1)) div __n").as("__bucket"))
+    df.join(buckets, part === col("__p") && value <=> col("__v"))
+      .drop("__p", "__v")
+  }
 }

@@ -1089,14 +1089,9 @@ object LlmOps {
             lit("@mail.example.com or tel 555-"),
             lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
             lit(" "), col("text")).as("contact"))
-        .select(col("doc_id"),
-          size(expr("regexp_extract_all(contact, '[a-z0-9.]+@[a-z.]*[a-z]', 0)"))
-            .cast(LongType).as("n_emails"),
-          size(expr("regexp_extract_all(contact, '555-[0-9]{4}', 0)"))
-            .cast(LongType).as("n_phones"),
-          md5(regexp_replace(
-            regexp_replace(col("contact"), "[a-z0-9.]+@[a-z.]*[a-z]", "<EMAIL>"),
-            "555-[0-9]{4}", "<PHONE>")).as("red_md5"))
+        .transform(d => graft.api.Graft.redactPii(d, col("contact")))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("red_md5"))
         .orderBy(col("doc_id")),
     oracle = Some(
       "WITH c AS (SELECT doc_id, 'reach ' || source || CAST(doc_id AS VARCHAR) || " +
@@ -1121,22 +1116,11 @@ object LlmOps {
     * heavy-hitter tail (≤ occurrences/5 grams), joined hash-on-long. */
   private val qllmBoilerplate = QueryDef(
     "qllm_boilerplate",
-    build = (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-      val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> xxhash64(array_join(slice(w, i, 3), ' ')))"))
-        .as("g"))
-      val boiler = grams.select(col("doc_id"), col("g")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 5).select(col("g"))
-      val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      val nb = grams.join(boiler, "g").groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-      perDoc.join(nb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"), coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
-        .orderBy(col("doc_id"))
-    },
+    build = (spark, sfDir) =>
+      graft.api.Graft.boilerplateTag(Tables.documents(spark, sfDir),
+          col("doc_id"), col("text"), n = 3, minDf = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_boiler"))
+        .orderBy(col("doc_id")),
     oracle = Some(
       "WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), " +
@@ -1167,9 +1151,7 @@ object LlmOps {
           when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
           lit("?utm_source="), col("source"), lit("&sid="),
           col("doc_id").cast(StringType)).as("url"))
-        .select(col("doc_id"),
-          lower(regexp_replace(regexp_replace(col("url"), "\\?.*$", ""), "/$", ""))
-            .as("canon"))
+        .select(col("doc_id"), graft.api.Graft.canonicalUrl(col("url")).as("canon"))
         .groupBy(col("canon"))
         .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))

@@ -270,4 +270,62 @@ class ApiSpec extends SparkFixture {
     }
     assert(e.getMessage.contains("no fixed point"))
   }
+
+  test("redactPii counts and replaces per rule, in order") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "mail me at bob@x.co or sue@y.org, tel 555-1234"),
+      (2L, "no contact info here")).toDF("id", "t")
+    val out = Graft.redactPii(df, col("t")).orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2 && out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or <EMAIL>, tel <PHONE>")
+    assert(out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_phones") == 0)
+    assert(out(1).getAs[String]("redacted") == "no contact info here")
+  }
+
+  test("canonicalUrl folds case, strips query and trailing slash") {
+    val sp = spark
+    import sp.implicits._
+    val urls = Seq(
+      "HTTPS://A.Example.COM/Path/?utm=1",
+      "https://a.example.com/Path",
+      "https://a.example.com/path?x=2").toDF("u")
+    val canon = urls.select(Graft.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon(0) == "https://a.example.com/path")
+    assert(canon(1) == "https://a.example.com/path")
+    assert(canon(2) == "https://a.example.com/path")
+  }
+
+  test("boilerplateTag flags grams above the df threshold, zero otherwise") {
+    val sp = spark
+    import sp.implicits._
+    // "x y z" appears in docs 1..3 (df 3 ≥ minDf 3); each doc also has
+    // unique grams that must not be flagged
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "q r x y z s"),
+      (4L, "u v w u v w")).toDF("id", "t")
+    val out = Graft.boilerplateTag(docs, col("id"), col("t"), n = 3, minDf = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: grams xyz yza zab abc -> 1 boiler; doc 3: qrx rxy xyz yzs -> 1
+    assert(out.toSeq == Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 4L, 0L)))
+  }
+
+  test("valueBuckets: same value -> same bucket, k cuts by cumulative count") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("b", 10)).toDF("p", "v")
+    val out = Graft.valueBuckets(df, col("p"), col("v"), k = 3)
+      .select(col("p"), col("v"), col("__bucket"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // partition a: n=6; value 1 cum=2 -> bucket (3*1)/6=0; 2 cum=3 -> 1;
+    // 3 cum=4 -> 1; 4 cum=5 -> 2; 5 cum=6 -> 2. single-row partition b -> 0
+    assert(out == Set(("a", 1, 0L), ("a", 2, 1L), ("a", 3, 1L),
+      ("a", 4, 2L), ("a", 5, 2L), ("b", 10, 0L)))
+  }
 }

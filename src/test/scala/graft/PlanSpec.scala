@@ -448,7 +448,7 @@ class PlanSpec extends SparkFixture {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"boilerplate join lost its gram equi-key:\n$p")
       // the occurrence-vs-boilerplate join shuffles on the xxhash64 long
-      assert(raw"Exchange hashpartitioning\(g#".r.findFirstIn(p).isDefined,
+      assert(raw"Exchange hashpartitioning\(__g#".r.findFirstIn(p).isDefined,
         s"expected a shuffle keyed on the hashed gram:\n$p")
       // text never enters an exchange: the only string column is pruned
       // before the first shuffle
