@@ -280,4 +280,36 @@ class EdgeCaseSpec extends SparkFixture {
         s"rate $rate%: sampled ${sampled / total}")
     }
   }
+
+  test("redactPii: null text yields null counts and null redacted, not a crash") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, null: String), (2L, "")).toDF("id", "t")
+    val out = Graft.redactPii(df, col("t")).orderBy("id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("n_emails")))
+    assert(out(0).isNullAt(out(0).fieldIndex("redacted")))
+    // empty string: zero matches, empty redaction
+    assert(out(1).getAs[Long]("n_emails") == 0L)
+    assert(out(1).getAs[String]("redacted") == "")
+  }
+
+  test("boilerplateTag: docs shorter than the gram size are excluded, not zero-row'd") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "t")
+    val out = Graft.boilerplateTag(df, col("id"), col("t"), n = 3, minDf = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L)) // the 2-word doc has no 3-grams and no row
+  }
+
+  test("valueBuckets: null values join null-safely and land in bucket 0 (nulls-first order)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", Some(5)), ("a", None), ("a", Some(9))).toDF("p", "v")
+    val out = Graft.valueBuckets(df, col("p"), col("v"), k = 3)
+      .select(col("v"), col("__bucket"))
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1))).toSet
+    // n=3, cum order: null(1) -> bucket 0, 5(2) -> 1, 9(3) -> 2
+    assert(out == Set((-1, 0L), (5, 1L), (9, 2L)))
+  }
 }
