@@ -439,6 +439,12 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qstream_enrich: the user->segment dim joins broadcast (no fact-side shuffle for the join)") {
+    val p = plan("qstream_enrich")
+    assert(raw"BroadcastHashJoin \[user_id".r.findFirstIn(p).isDefined,
+      s"enrichment dim not broadcast on user_id:\n$p")
+  }
+
   test("qllm_boilerplate: gram shuffles carry hashed longs and the join stays equi") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -69,6 +69,32 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("windowed top-k: ranking the complete-mode sink equals the batch rank (qstream_topk pattern)") {
+    val sp = spark
+    import sp.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(stream.toDF())
+      .writeStream.format("memory").queryName("topk_t").outputMode("complete").start()
+    try {
+      stream.addData(base: _*)
+      stream.addData(Ev(ts("2024-01-01 10:20:00"), "view", 3.0, 2L))
+      q.processAllAvailable()
+      def rank2(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ws"))
+            .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rnk") <= 2)
+        .collect().map(_.toString).sorted.toSeq
+      // the rank runs DOWNSTREAM of the streaming sink, per trigger — the
+      // pattern qstream_topk mirrors in batch form
+      val streamed = rank2(spark.table("topk_t"))
+      val batch = rank2(StreamOps.tumblingAgg((base :+
+        Ev(ts("2024-01-01 10:20:00"), "view", 3.0, 2L)).toDF()))
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark: a row later than 10 minutes behind max ts is dropped (append mode)") {
     val sp = spark
     import sp.implicits._
