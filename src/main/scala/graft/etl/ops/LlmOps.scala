@@ -1330,6 +1330,35 @@ object LlmOps {
         "LEFT JOIN sz ON sz.cluster = coalesce(c.cluster, d.doc_id) " +
         "ORDER BY d.doc_id"))
 
+  /** One BPE merge round — the inner loop of tokenizer training: count
+    * adjacent character-pair frequencies over every word OCCURRENCE (so
+    * frequent words weigh their pairs, as BPE requires) and emit the top
+    * 20 merge candidates by (count desc, pair asc — D8). The top-k is
+    * `orderBy().limit()`, which plans as TakeOrderedAndProject (per-
+    * partition top-k + k-row merge — the qagg_skew shape), never a global
+    * sort: at 100 TB the pair table is |alphabet|² ≈ small, but the same
+    * plan holds for byte-level vocabularies with big alphabets. A full
+    * BPE train iterates this round re-segmenting after each merge —
+    * driver-looped like `dedupClusters`, one aggregate per round. */
+  private val qllmBpePairs = QueryDef(
+    "qllm_bpe_pairs",
+    build = (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20),
+    oracle = Some(
+      "WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1])) AS pair FROM t WHERE length(w) >= 2) " +
+        "SELECT pair, count(*) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
@@ -1337,5 +1366,6 @@ object LlmOps {
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
-    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e)
+    qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
+    qllmBpePairs)
 }
