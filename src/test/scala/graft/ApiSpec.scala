@@ -271,6 +271,48 @@ class ApiSpec extends SparkFixture {
     assert(e.getMessage.contains("no fixed point"))
   }
 
+  test("PQ is lossless on codebook-generated data: exact codebooks, codes, and ADC order") {
+    val sp = spark
+    import sp.implicits._
+    // 24 vectors, dim 8, m=4 blocks of 2; block b of vector i carries
+    // pattern (i+b) % 4 — four exactly-separated clusters per block, and
+    // the first 4 vectors cover every pattern in every block (seeding)
+    def pattern(p: Int, b: Int): Seq[Double] = Seq(p * 1.0 + b * 10, p * 2.0)
+    val vectors = (0 until 24).map { i =>
+      (i.toLong, (0 until 4).flatMap(b => pattern((i + b) % 4, b)).toArray)
+    }.toDF("vec_id", "emb")
+    val books = Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 4, k = 16 / 4, iters = 3)
+    // trained cells = the exact generating patterns (cid c seeds from
+    // vector c, whose block-b pattern is (c+b)%4)
+    val cells = books.collect().map(r =>
+      ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+    for (b <- 0 until 4; c <- 0 until 4)
+      assert(cells((b, c)) == pattern((c + b) % 4, b), s"cell b=$b c=$c")
+    // codes: vector i quantizes to cid i%4 in EVERY block
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    codes.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getSeq[Int](1) == Seq.fill(4)((id % 4).toInt), s"codes of $id")
+    }
+    // ADC search: quantization is exact here, so ADC == true L2² and the
+    // top-3 for vector 5's values are exactly its residue class 1,5,9
+    val query = vectors.filter(col("vec_id") === 5).select(col("emb"))
+    val top = Graft.pqTopK(codes, books, query, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == Seq(1L, 5L, 9L), top.mkString(","))
+    assert(top.forall(_._2 == 0.0))
+  }
+
+  test("pqTrain rejects a dimension that does not split into m blocks") {
+    val sp = spark
+    import sp.implicits._
+    val vectors = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 2, k = 2)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("redactPii counts and replaces per rule, in order") {
     val sp = spark
     import sp.implicits._
