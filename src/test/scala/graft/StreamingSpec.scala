@@ -95,6 +95,38 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("file source: readStream over a parquet directory equals batch (the production ingest path)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    try {
+      // two "micro-batch arrivals" written as separate files
+      base.take(2).toDF().write.parquet(s"$dir/batch1")
+      base.drop(2).toDF().write.parquet(s"$dir/batch2")
+      val schema = base.toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+        .parquet(s"$dir/*")
+      val q = StreamOps.tumblingAgg(stream)
+        .writeStream.format("memory").queryName("filesrc_t").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("filesrc_t")
+          .select(col("window.start").cast("long").as("ws"), col("event_type"),
+            col("n"), col("sum_value"))
+          .collect().map(_.toString).sorted.toSeq
+        val batch = StreamOps.tumblingAgg(base.toDF())
+          .select(col("window.start").cast("long").as("ws"), col("event_type"),
+            col("n"), col("sum_value"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(streamed == batch && streamed.size == 3)
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("watermark: a row later than 10 minutes behind max ts is dropped (append mode)") {
     val sp = spark
     import sp.implicits._
