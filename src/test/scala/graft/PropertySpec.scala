@@ -232,4 +232,77 @@ class PropertySpec extends SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(cands.get((0L, 1L)).contains(1.0))
   }
+
+  test("canonicalUrl is idempotent on random scheme/host/path/query shapes") {
+    val sp = spark
+    import sp.implicits._
+    val seg = Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString)
+    val urlGen = for {
+      host <- seg; p1 <- seg; p2 <- seg
+      slash <- Gen.oneOf("", "/"); q <- Gen.oneOf("", "?utm=1&x=2")
+      scheme <- Gen.oneOf("http://", "HTTPS://")
+    } yield s"$scheme$host.Example.COM/$p1/$p2$slash$q"
+    val urls = samples(urlGen, 60)
+    val df = urls.toDF("u")
+    val out = df.select(Graft.canonicalUrl(col("u")).as("c1"))
+      .select(col("c1"), Graft.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.getString(0)}")
+      assert(r.getString(0) == r.getString(0).toLowerCase)
+      assert(!r.getString(0).contains("?") && !r.getString(0).endsWith("/"))
+    }
+  }
+
+  test("redactPii leaves nothing to redact: a second pass finds zero matches") {
+    val sp = spark
+    import sp.implicits._
+    val wordGen = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val textGen = for {
+      a <- wordGen; u <- wordGen; d <- wordGen; b <- wordGen
+      n <- Gen.chooseNum(0, 9999)
+    } yield s"$a contact $u@$d.com or 555-${"%04d".format(n)} $b"
+    val df = samples(textGen, 40).toDF("t")
+    val once = Graft.redactPii(df, col("t")).select(col("redacted").as("t"))
+    val twice = Graft.redactPii(once, col("t"))
+    twice.collect().foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L,
+        s"residual PII in: ${r.getAs[String]("t")}")
+    }
+  }
+
+  test("valueBuckets: bucket is monotone in value within a partition and spans [0, k)") {
+    val sp = spark
+    import sp.implicits._
+    samples(Gen.listOfN(30, Gen.chooseNum(-100, 100)), 6).foreach { xs =>
+      val df = xs.map(("p", _)).toDF("p", "v")
+      val out = Graft.valueBuckets(df, col("p"), col("v"), k = 4)
+        .select(col("v"), col("__bucket"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      out.foreach { case (_, b) => assert(b >= 0 && b < 4) }
+      val byValue = out.toSeq.sortBy(_._1)
+      byValue.zip(byValue.drop(1)).foreach { case ((v1, b1), (v2, b2)) =>
+        assert(b1 <= b2, s"bucket not monotone: ($v1,$b1) then ($v2,$b2)")
+      }
+      // same value always lands in the same bucket
+      out.groupBy(_._1).foreach { case (v, bs) =>
+        assert(bs.map(_._2).distinct.length == 1, s"value $v split across buckets")
+      }
+    }
+  }
+
+  test("boilerplateTag: 0 <= n_boiler <= n_grams, and minDf above corpus size flags nothing") {
+    val sp = spark
+    import sp.implicits._
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    samples(Gen.listOfN(10, docGen), 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val out = Graft.boilerplateTag(df, col("id"), col("t"), n = 3, minDf = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      out.foreach { case (ng, nb) => assert(nb >= 0 && nb <= ng, s"($ng, $nb)") }
+      val none = Graft.boilerplateTag(df, col("id"), col("t"), n = 3, minDf = texts.size + 1)
+        .collect().map(_.getLong(2))
+      assert(none.forall(_ == 0L), "minDf > corpus size must flag nothing")
+    }
+  }
 }
