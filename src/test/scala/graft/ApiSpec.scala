@@ -313,6 +313,55 @@ class ApiSpec extends SparkFixture {
     assert(e.getMessage.contains("not divisible"))
   }
 
+  test("IVF-PQ composition: probe the best cell, ADC-rank inside it — exact on clustered data") {
+    val sp = spark
+    import sp.implicits._
+    // 3 DIRECTION-separated clusters (cluster c puts 100 in block c —
+    // spherical k-means needs direction, not magnitude) of 8 vectors,
+    // dim 8, m=4 blocks of 2; each block's subvector vocabulary is
+    // exactly {0, 1, 100, 101} (cluster flag + member parity), so PQ
+    // with k=8 seeds (first 8 vectors cover all 4 values per block) is
+    // lossless, and ADC distances are the true L2 distances
+    def emb(i: Int): Array[Double] =
+      Array.tabulate(8)(j => 100.0 * (if (i % 3 == j / 2) 1 else 0) + (i / 3) % 2)
+    val vectors = (0 until 24).map(i => (i.toLong, emb(i))).toDF("vec_id", "emb")
+    val centroids = Graft.kmeansCentroids(vectors, col("vec_id"), col("emb"), k = 3)
+    val books = Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 4, k = 8, iters = 3)
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    // query = vector 10 (cluster 1, member parity 1)
+    val query = vectors.filter(col("vec_id") === 10).select(col("emb"))
+    val cellOf = Graft.ivfTopK(vectors, col("vec_id"), col("emb"), centroids, k = 24)
+    val qCell = cellOf.filter(col("vec_id") === 10).select(col("cid")).collect()(0).getInt(0)
+    val cellIds = cellOf.filter(col("cid") === qCell).select(col("vec_id"))
+    // ADC-rank ONLY the probed cell's codes (the IVF-PQ search shape)
+    val probed = codes.join(cellIds, "vec_id")
+    val top = Graft.pqTopK(probed, books, query, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    // PQ is lossless here, so the top-3 are exactly the brute-force top-3
+    // (exact duplicates of vector 10 — same cluster, same parity — win,
+    // tie-broken by id: 4, 10, 16)
+    val q = emb(10)
+    val brute = (0 until 24).map { i =>
+      (i.toLong, emb(i).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+    assert(brute == Seq(4L, 10L, 16L), s"construction drifted: $brute")
+    assert(top == brute, s"ivf-pq $top vs brute $brute")
+  }
+
+  test("applyClusterDedup keeps exactly the e2e decision table's keep rows") {
+    val docs = graft.etl.Tables.documents(spark, sfTiny)
+    val sh = Graft.shingleHashes(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("h64").as("sh"))
+    val pairs = Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 2)
+    val clusters = Graft.dedupClusters(pairs, "doc_a", "doc_b")
+    val kept = Graft.applyClusterDedup(docs, col("doc_id"), clusters)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val e2eKeep = graft.etl.Registry.byName("qllm_dedup_e2e").build(spark, sfTiny)
+      .filter(col("action") === "keep")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == e2eKeep, s"diff: ${(kept -- e2eKeep) ++ (e2eKeep -- kept)}")
+  }
+
   test("redactPii counts and replaces per rule, in order") {
     val sp = spark
     import sp.implicits._
