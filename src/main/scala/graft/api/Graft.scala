@@ -646,10 +646,16 @@ object Graft {
     * before right rows at equal timestamps (`>=` semantics). Emits the
     * right frame plus `asof_ts` (the matched left timestamp).
     *
+    * `tolerance` (optional, same units as `ts`): a match older than
+    * `ts − tolerance` is discarded — pandas `merge_asof(tolerance=…)`
+    * semantics; rows whose only match is out of tolerance drop from the
+    * inner join. The bound rides as a post-window filter, so the plan
+    * shape (one per-key sorted window) is unchanged.
+    *
     * Scales linearly per key — never the quadratic theta-join shape.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
     val tagged = left.select(col(key), col(ts), lit(0).as("__kind"))
       .unionByName(right.select(col(key), col(ts), lit(1).as("__kind")))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__kind"))
@@ -662,7 +668,11 @@ object Graft {
       .filter(col("__kind") === 1 && col("__asof").isNotNull)
       .select(col(key), col(ts), col("__asof").as("asof_ts"))
       .distinct()
-    right.join(matched, Seq(key, ts))
+    val bounded = tolerance match {
+      case Some(t) => matched.filter(col("asof_ts") >= col(ts) - lit(t))
+      case None => matched
+    }
+    right.join(bounded, Seq(key, ts))
   }
 
   // ------------------------------------------------------------------

@@ -362,6 +362,23 @@ class ApiSpec extends SparkFixture {
     assert(kept == e2eKeep, s"diff: ${(kept -- e2eKeep) ++ (e2eKeep -- kept)}")
   }
 
+  test("asofJoin tolerance: stale matches drop, in-window matches keep (merge_asof semantics)") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 100L), (1L, 500L)).toDF("k", "ts")
+    val right = Seq((1L, 120L), (1L, 480L), (1L, 505L)).toDF("k", "ts")
+    // no tolerance: every right row matches its floor
+    val all = Graft.asofJoin(left, right, "k", "ts")
+      .select(col("ts"), col("asof_ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((120L, 100L), (480L, 100L), (505L, 500L)))
+    // tolerance 50: the 480 row's only floor (100) is 380 stale -> drops
+    val tight = Graft.asofJoin(left, right, "k", "ts", tolerance = Some(50L))
+      .select(col("ts"), col("asof_ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((120L, 100L), (505L, 500L)))
+  }
+
   test("redactPii counts and replaces per rule, in order") {
     val sp = spark
     import sp.implicits._
