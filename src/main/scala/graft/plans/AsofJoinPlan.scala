@@ -37,7 +37,8 @@ case class AsofJoin(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    asofTs: AttributeReference) extends BinaryNode {
+    asofTs: AttributeReference,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = right.output :+ asofTs
 
@@ -53,8 +54,8 @@ case class AsofJoin(
   * [[graft.GraftExtensions]] or session.experimental.extraStrategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, lts, rk, rts, out) =>
-      AsofJoinExec(lk, lts, rk, rts, out, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, lts, rk, rts, out, tol) =>
+      AsofJoinExec(lk, lts, rk, rts, out, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -70,7 +71,8 @@ case class AsofJoinExec(
     rightTs: Attribute,
     asofTs: AttributeReference,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = right.output :+ asofTs
 
@@ -102,6 +104,11 @@ case class AsofJoinExec(
     val lTsGet = longGetter(leftTs)
     val rKeyGet = longGetter(rightKey)
     val rTsGet = longGetter(rightTs)
+    // merge_asof-style bound: a floor older than rTs - tol never emits.
+    // The pointer STATE is unaffected — only emission filters — so the
+    // single-pass O(1)-state merge shape is unchanged.
+    val tolOrNeg = tolerance.getOrElse(-1L)
+    val hasTol = tolerance.isDefined
     left.execute().zipPartitions(right.execute()) { (lRaw, rRaw) =>
       val lSide = UnsafeProjection.create(Seq(leftKey, leftTs), left.output)
       val rSide = UnsafeProjection.create(Seq(rightKey, rightTs), right.output)
@@ -144,7 +151,7 @@ case class AsofJoinExec(
           while (lHas && lKey == rKey && lTs <= rTs) {
             lastKey = rKey; lastTs = lTs; hasLast = true; lAdvance()
           }
-          if (hasLast && lastKey == rKey) {
+          if (hasLast && lastKey == rKey && (!hasTol || lastTs >= rTs - tolOrNeg)) {
             tsRow.update(0, lastTs)
             Iterator.single(outProj(joined(rRow, tsRow)))
           } else Iterator.empty
@@ -164,7 +171,7 @@ object AsofJoinNative {
     * native operator; returns right's columns plus `asof_ts`. Registers
     * [[AsofJoinStrategy]] on the session on first use (idempotent). */
   def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String, tolerance: Option[Long] = None): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
@@ -185,6 +192,7 @@ object AsofJoinNative {
     val lts = attr(lPlan, ts)
     val asof = AttributeReference("asof_ts", lts.dataType, nullable = false)()
     Bridge.ofRows(spark,
-      AsofJoin(lPlan, rPlan, attr(lPlan, key), lts, attr(rPlan, key), attr(rPlan, ts), asof))
+      AsofJoin(lPlan, rPlan, attr(lPlan, key), lts, attr(rPlan, key), attr(rPlan, ts), asof,
+        tolerance))
   }
 }

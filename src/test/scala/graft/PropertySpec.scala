@@ -119,6 +119,18 @@ class PropertySpec extends SparkFixture {
         .collect().map(_.toString).sorted.toSeq
       assert(native == emulated,
         s"native=$native\nemulated=$emulated\nleft=$ls\nright=$rs")
+      // tolerance parity: same comparison under a merge_asof-style bound
+      val tol = 40L
+      val emulatedTol = Graft.asofJoin(left, right, "k", "t", Some(tol))
+        .select("k", "t", "asof_ts")
+        .collect().map(_.toString).sorted.toSeq
+      val nativeTol = graft.plans.AsofJoinNative(spark, left, right, "k", "t", Some(tol))
+        .select("k", "t", "asof_ts")
+        .collect().map(_.toString).sorted.toSeq
+      assert(nativeTol == emulatedTol,
+        s"tol native=$nativeTol\nemulated=$emulatedTol\nleft=$ls\nright=$rs")
+      // the bound only ever removes rows
+      assert(emulatedTol.toSet.subsetOf(emulated.toSet))
     }
   }
 
