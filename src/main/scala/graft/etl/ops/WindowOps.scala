@@ -407,19 +407,37 @@ object WindowOps {
     * over the per-type value ordering. Both are single IEEE divisions of
     * exact integer rank counts — (rank−1)/(n−1) and cum/n — so the doubles
     * are bit-identical cross-engine with no rounding fallback; ties share
-    * a rank and therefore share both metrics, so the value-only ORDER BY
-    * is tie-stable (D9). The value column is emitted as the RAW parquet
-    * double (never decimal→double round-tripped — the 1-ulp-unround trap).
-    * Scale: one partitioned window = one keyed shuffle + per-partition
-    * sort; nothing global. */
+    * a rank and therefore share both metrics. The value column is emitted
+    * as the RAW parquet double (never decimal→double round-tripped — the
+    * 1-ulp-unround trap).
+    *
+    * Deliberately NOT `percent_rank().over(partitionBy(type))`: with ~5
+    * event types that window sorts 1/5 of ALL events in one partition —
+    * the giant-partition shape the qjoin_theta_range rewrite killed.
+    * Because ties share both metrics, each row's pr/cd is a function of
+    * its (type, VALUE): pr = (#rows < v)/(n−1) = (cum−cnt)/(n−1),
+    * cd = cum/n, both read off the VALUE-aggregated cumulative frame
+    * (window sorts distinct values — domain-bounded), then joined back on
+    * (type, value) — a keyed join, no raw-row sort anywhere. Identical
+    * results to the window form, which is exactly what the oracle runs. */
   private val qwinDist = QueryDef(
     "qwin_dist",
     build = (spark, sfDir) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      Tables.events(spark, sfDir)
+      val e = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
+      val vc = e.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+      val n = vc.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val cw = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val metrics = vc.withColumn("cum", sum(col("cnt")).over(cw))
+        .join(broadcast(n), "event_type")
+        .select(col("event_type"), col("value"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("cum") - col("cnt")).cast(DoubleType) /
+              (col("n") - 1).cast(DoubleType)).as("pr"),
+          (col("cum").cast(DoubleType) / col("n").cast(DoubleType)).as("cd"))
+      e.join(metrics, Seq("event_type", "value"))
+        .select(col("event_id"), col("event_type"), col("value"), col("pr"), col("cd"))
         .orderBy(col("event_id"))
     },
     oracle = Some(
