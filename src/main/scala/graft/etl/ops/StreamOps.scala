@@ -246,7 +246,10 @@ object StreamOps {
     * count/sum per (window, segment). The static side needs NO watermark
     * or state in Structured Streaming — a broadcast hash join per
     * micro-batch, the canonical dimension-enrichment shape; the windowed
-    * aggregate after it carries the usual event-time state. */
+    * aggregate after it carries the usual event-time state. The broadcast
+    * hint assumes a dimension that fits executor memory (segments,
+    * catalogs); for a billion-row user dim drop the hint — stream-static
+    * joins also run as per-micro-batch shuffle joins. */
   def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
       .groupBy(window(col("ts"), "1 hour"), col("segment"))
