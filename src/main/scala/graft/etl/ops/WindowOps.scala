@@ -16,18 +16,36 @@ import org.apache.spark.sql.types._
   */
 object WindowOps {
 
+  /** row_number / rank / dense_rank per priority — deliberately NOT three
+    * raw-row windows over the 5-value `o_orderpriority` key (1/5 of all
+    * orders sorted in one partition at 100 TB). All three decompose over
+    * the VALUE-aggregated (priority, price) frame: a tie group's
+    * `rank` = cum − cnt + 1 and `dense_rank` = its row index there (the
+    * domain-bounded window), and `row_number` adds the position within
+    * the tie group — a window partitioned by (priority, price), i.e.
+    * many tiny partitions, never a fifth of the table. Identical answers
+    * to the window form, which is exactly what the oracle runs. */
   private val qwinRank = QueryDef(
     "qwin_rank",
     build = (spark, sfDir) => {
-      val byPrice = Window.partitionBy(col("o_orderpriority")).orderBy(desc("o_totalprice"))
-      val total = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      Tables.orders(spark, sfDir)
-        .select(
-          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          row_number().over(total).as("rn"),
-          rank().over(byPrice).as("rnk"),
-          dense_rank().over(byPrice).as("drnk"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val vc = o.groupBy(col("o_orderpriority"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val vw = Window.partitionBy(col("o_orderpriority")).orderBy(desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = vc
+        .withColumn("cum", sum(col("cnt")).over(vw))
+        .withColumn("drnk", row_number().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(desc("o_totalprice"))))
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          (col("cum") - col("cnt") + 1).cast(IntegerType).as("rnk"), col("drnk"))
+      val tw = Window.partitionBy(col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(asc("o_orderkey"))
+      o.join(ranks, Seq("o_orderpriority", "o_totalprice"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          (col("rnk") + row_number().over(tw) - 1).as("rn"),
+          col("rnk"), col("drnk"))
         .orderBy(col("o_orderpriority"), col("rn"))
     },
     oracle = Some(

@@ -407,7 +407,7 @@ class PlanSpec extends SparkFixture {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("qagg_mad", "qllm_ppl_bucket", "qwin_dist")) {
+      for (q <- Seq("qagg_mad", "qllm_ppl_bucket", "qwin_dist", "qwin_rank")) {
         val exec = Registry.byName(q).build(spark, sfTiny).queryExecution.executedPlan
         val windows = exec.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
