@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   *     sits far below half an output ulp.
   *
   * Scale: groupBy → partial HashAggregate + shuffle + final; COUNT DISTINCT
-  * expands; exact percentile/median is a windowed rank pick (one shuffle +
-  * sort per partition key) — the 100 TB alternative to collecting values.
+  * expands; exact percentile/median picks positions off value-aggregated
+  * cumulative frames (windows sort distinct values, domain-bounded — never
+  * a raw-row sort per low-cardinality key) — the 100 TB alternative to
+  * collecting values.
   */
 object AggOps {
 
@@ -208,10 +210,39 @@ object AggOps {
       "FROM s GROUP BY st, n ORDER BY st" // n is group-constant; Spark (unlike
       // DuckDB) insists it be grouped to appear inside the aggregate CASEs
 
+  /** Since round 6 the Spark side is NOT the shared window SQL: a
+    * row_number over the 3-value `o_orderstatus` partition sorts a third
+    * of all orders in one partition at 100 TB. Both positional picks and
+    * the p90 interpolation read off the VALUE-aggregated (status, price)
+    * cumulative frame instead (v@pos = min v with cum ≥ pos — the
+    * qagg_mad machinery), with the interpolation arithmetic kept
+    * expression-for-expression identical to the oracle's decimal shapes
+    * so the strings still match exactly. */
   private val qaggPercentile = QueryDef(
     "qagg_percentile",
-    build = (spark, sfDir) =>
-      spark.sql(percentileSql(Tables.view(spark, sfDir, "orders"), "div")),
+    build = (spark, sfDir) => {
+      val s = Tables.orders(spark, sfDir).select(
+        col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DecimalType(12, 4)).as("v"))
+      val vc = s.groupBy(col("st"), col("v")).agg(count(lit(1)).as("cnt"))
+      val n = vc.groupBy(col("st")).agg(sum(col("cnt")).as("n"))
+      val cw = Window.partitionBy(col("st")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cum", sum(col("cnt")).over(cw)).join(broadcast(n), "st")
+      val picks = cum.groupBy(col("st"), col("n")).agg(
+        min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("v"))).as("m1"),
+        min(when(col("cum") >= expr("n div 2 + 1"), col("v"))).as("m2"),
+        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 1"), col("v"))).as("vk"),
+        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 2"), col("v"))).as("vk1"))
+      picks.select(
+          col("st").as("o_orderstatus"),
+          decStr(((col("m1") + col("m2")) * lit(BigDecimal("0.5")))
+            .cast(DecimalType(18, 5))).as("median_price"),
+          decStr((col("vk") + (coalesce(col("vk1"), col("vk")) - col("vk")) *
+            (expr("(9 * (n - 1)) % 10").cast(DecimalType(2, 0)) * lit(BigDecimal("0.1"))))
+            .cast(DecimalType(18, 6))).as("p90_price"))
+        .orderBy(col("o_orderstatus"))
+    },
     oracle = Some(percentileSql("orders", "//")))
 
   private val qaggCollect = QueryDef(
