@@ -916,22 +916,34 @@ object LlmOps {
   /** Token-budget corpus selection — cap each source's contribution at a
     * fixed token budget, keeping its highest-value documents first (here:
     * longest-first with doc_id tiebreak, D8; a production pipeline orders
-    * by a quality score — same plan). The cumulative-sum window is
-    * PARTITIONED by source, so state per task is one running long and the
-    * shuffle is the same source-keyed exchange the profile aggregations
-    * reuse; nothing is global. Rows past the budget are filtered before
-    * any downstream materialization — the rejected tail never leaves the
-    * stage. All integers → exact. */
+    * by a quality score — same plan). Since round 6 the prefix sum is NOT
+    * one raw-row window per source (the fixture has ~20 sources — the
+    * giant-partition shape): the tokens contributed by strictly-longer
+    * docs come off the VALUE-aggregated (source, n_tokens) cumulative
+    * frame (domain-bounded — token counts, not documents), and the
+    * within-length tiebreak cum is a window partitioned by
+    * (source, n_tokens) — many small tie groups. cum_tokens = prior +
+    * within-group running sum, all integers → exact, identical to the
+    * single-window form the oracle runs. Rows past the budget are
+    * filtered before any downstream materialization. */
   private val qllmBudget = QueryDef(
     "qllm_budget",
     build = (spark, sfDir) => {
       val t = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"),
           size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val vc = t.groupBy(col("source"), col("n_tokens"))
+        .agg((col("n_tokens") * count(lit(1))).as("grp_tokens"))
+      val vw = Window.partitionBy(col("source")).orderBy(col("n_tokens").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      val prior = vc.withColumn("cum_grp", sum(col("grp_tokens")).over(vw))
+        .select(col("source"), col("n_tokens"),
+          (col("cum_grp") - col("grp_tokens")).as("prior_tokens"))
+      val tw = Window.partitionBy(col("source"), col("n_tokens")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.join(prior, Seq("source", "n_tokens"))
+        .withColumn("cum_tokens", col("prior_tokens") + sum(col("n_tokens")).over(tw))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
         .filter(col("cum_tokens") <= 800L)
         .orderBy(col("source"), col("doc_id"))
     },
@@ -949,7 +961,11 @@ object LlmOps {
     * which is how distributed packing actually runs — a single global
     * concat order would serialize the corpus through one task. The window
     * is a partitioned running sum (one long of state); pack ids derive
-    * from integral `div`/`%` — all-integer, exact on both engines. */
+    * from integral `div`/`%` — all-integer, exact on both engines.
+    * Unlike qllm_budget, this prefix order is doc_id-sequential per shard
+    * (not value-decomposable); at 100 TB the shard key must be finer than
+    * the fixture's ~20 sources — production packs per (source, file-chunk),
+    * the same plan with a higher-cardinality partition key. */
   private val qllmPack = QueryDef(
     "qllm_pack",
     build = (spark, sfDir) => {
