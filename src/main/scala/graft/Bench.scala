@@ -67,6 +67,7 @@ object Bench {
     graft.etl.ExtractFixtures.ordersByYear(spark, sfDir)
     graft.etl.ExtractFixtures.ordersEvolved(spark, sfDir)
     graft.etl.ExtractFixtures.supplierOrc(spark, sfDir)
+    graft.etl.ExtractFixtures.documentsText(spark, sfDir)
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not

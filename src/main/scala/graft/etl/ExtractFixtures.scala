@@ -117,6 +117,18 @@ object ExtractFixtures {
     }
   }
 
+  /** documents' text as raw line-oriented text files (one doc per line —
+    * the fixture corpus carries no newlines), the log-file / corpus-dump
+    * extract format. No corrupt-record surface: every line IS a valid
+    * value by definition. */
+  def documentsText(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("documents_text")
+    ensure(dir) {
+      Tables.documents(spark, sfDir).select(col("text"))
+        .write.mode("overwrite").text(dir.toString)
+    }
+  }
+
   /** orders written `partitionBy(o_year)` — the genre's load-step layout.
     * Reading it back with a year filter must prune at the DIRECTORY level
     * (PartitionFilters, no data files of other years opened) — the

@@ -237,7 +237,33 @@ object ScanOps {
         "CAST(l_quantity AS BIGINT) AS qty_int " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
 
+  /** Raw text-lines extract (log files / corpus dumps): one `value`
+    * column per line, no schema to declare. File and line ORDER are
+    * layout artifacts of the writer's partitioning, so the query
+    * aggregates order-insensitively per leading character — counts,
+    * exact byte totals, min/max md5 — and any lost, duplicated, or
+    * mangled line moves at least one group's row. The oracle derives the
+    * same aggregate from the parquet table the fixture serialized, so
+    * the text round trip itself is the thing under test. */
+  private val qscanText = QueryDef(
+    "qscan_text",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.documentsText(spark, sfDir)
+      spark.read.text(dir)
+        .groupBy(substring(col("value"), 1, 1).as("c"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("n_chars"),
+          min(md5(col("value"))).as("min_md5"),
+          max(md5(col("value"))).as("max_md5"))
+        .orderBy(col("c"))
+    },
+    oracle = Some(
+      "SELECT substring(text, 1, 1) AS c, count(*) AS n_lines, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        "min(md5(text)) AS min_md5, max(md5(text)) AS max_md5 " +
+        "FROM documents GROUP BY c ORDER BY c"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qscanOrc, qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
+    qscanOrc, qscanText, qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
 }
