@@ -705,10 +705,48 @@ object AggOps {
         "bit_or(user_id) AS bor, bit_xor(user_id) AS bxor " +
         "FROM events GROUP BY event_type ORDER BY event_type"))
 
+  /** Time-series downsampling to per-(day, type) OHLC bars — the resample
+    * step every metrics/feature pipeline runs before modeling. The whole
+    * bar is ONE partial-aggregable groupBy: open/close are `min_by`/
+    * `max_by` over a single strictly-unique BIGINT-scale order key
+    * (µs·2²⁴ + event_id — exact in DECIMAL(38,0) here and HUGEINT on the
+    * oracle; event_id < 2²⁴ up to sf ≈ 100), so first/last resolve
+    * map-side with no window sort anywhere. That is the 100 TB contrast
+    * to qwin_first_last's window form: a resample over N rows shuffles
+    * only the per-bar partial states (bars ≪ rows), never sorts raw rows.
+    * High/low/close/open are exact value PICKS (no double arithmetic);
+    * the bar's volume sum goes through the D2 decimal cast. */
+  private val qaggOhlc = QueryDef(
+    "qagg_ohlc",
+    build = (spark, sfDir) => {
+      val seq = unix_micros(col("ts")).cast(DecimalType(38, 0)) * 16777216 +
+        col("event_id")
+      Tables.events(spark, sfDir)
+        .select(col("ts").cast(DateType).as("day"), col("event_type"),
+          col("value"), seq.as("seq"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(
+          min_by(col("value"), col("seq")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("seq")).as("close"),
+          count(lit(1)).as("n_events"),
+          decStr(sum(d124(col("value"))).cast(DecimalType(38, 4))).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value, " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 16777216 + event_id AS seq " +
+        "FROM events) " +
+        "SELECT day, event_type, arg_min(value, seq) AS open, max(value) AS high, " +
+        "min(value) AS low, arg_max(value, seq) AS close, count(*) AS n_events, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
+        "FROM e GROUP BY day, event_type ORDER BY day, event_type"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
-    qaggMad, qaggBitwise)
+    qaggMad, qaggBitwise, qaggOhlc)
 }

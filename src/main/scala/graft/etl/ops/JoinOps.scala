@@ -446,8 +446,57 @@ object JoinOps {
         "FROM u JOIN d ON u.k IS NOT DISTINCT FROM d.k " +
         "ORDER BY u.user_id, u.k NULLS FIRST"))
 
+  /** INTERVAL-OVERLAP self-join — `a.start ≤ b.end AND b.start ≤ a.end` —
+    * the temporal-overlap shape (sessions × campaigns, entity time-overlap
+    * resolution) that `qjoin_range_binned`'s point-in-band bins don't
+    * cover: here BOTH sides are intervals. Each order becomes an activity
+    * window [orderdate, orderdate + (key mod 28)+1 days]; the query counts
+    * per-customer pairs of overlapping windows. Scale path: replicate each
+    * interval to every 32-day time bin it touches (duration ≤ 29 days →
+    * ≤ 2 bins, a bounded blowup) and join on the (customer, bin) EQUI-key
+    * with the overlap predicate as residual; a pair that overlaps shares
+    * the bin of `greatest(a.s, b.s)` (that instant lies inside both
+    * windows), so counting a pair ONLY in that bin dedupes multi-bin
+    * matches without a distinct. No nested loop, no cross product —
+    * PlanSpec pins the equi-join. At 100 TB the bin width is the knob:
+    * pick it ≈ the p99 interval length so replication stays ≤ 2×. */
+  private val qjoinInterval = QueryDef(
+    "qjoin_interval",
+    build = (spark, sfDir) => {
+      val binW = 32L
+      val iv = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          datediff(col("o_orderdate").cast(DateType),
+            lit("1992-01-01").cast(DateType)).cast(LongType).as("s"))
+        .withColumn("e", col("s") + col("k") % 28 + 1)
+      val binned = iv.withColumn("bin",
+        explode(sequence(expr(s"s div $binW"), expr(s"e div $binW"))))
+      val a = binned.select(col("k").as("a_k"), col("c").as("a_c"),
+        col("s").as("a_s"), col("e").as("a_e"), col("bin").as("a_bin"))
+      val b = binned.select(col("k").as("b_k"), col("c").as("b_c"),
+        col("s").as("b_s"), col("e").as("b_e"), col("bin").as("b_bin"))
+      a.join(b, col("a_c") === col("b_c") && col("a_bin") === col("b_bin")
+          && col("a_k") < col("b_k")
+          && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+          && expr(s"greatest(a_s, b_s) div $binW") === col("a_bin"))
+        .groupBy(col("a_c").as("o_custkey"))
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")) + 1)
+            .as("sum_overlap_days"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some(
+      "WITH iv AS (SELECT o_orderkey AS k, o_custkey AS c, " +
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s, " +
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 28 + 1 AS e " +
+        "FROM orders) " +
+        "SELECT a.c AS o_custkey, count(*) AS n_overlap, " +
+        "CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT) AS sum_overlap_days " +
+        "FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e " +
+        "GROUP BY a.c ORDER BY o_custkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
-    qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe)
+    qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval)
 }

@@ -1375,7 +1375,53 @@ object LlmOps {
         "SELECT pair, count(*) AS cnt FROM p GROUP BY pair " +
         "ORDER BY cnt DESC, pair LIMIT 20"))
 
+  /** INCREMENTAL corpus dedup — the daily-update shape: a new batch of
+    * documents (here the doc_id%10==7 slice) is deduped against the
+    * EXISTING corpus's fingerprint index, then within itself, and each
+    * incoming doc gets a disposition: `dup_corpus` (fingerprint already
+    * indexed), `dup_batch` (an earlier doc in the same batch owns it),
+    * or `new`. The fingerprint is the shared normalization's 40-char
+    * prefix (the fixture corpus has no full-text dups — qllm_dedup_norm
+    * is empty by design — but prefix collisions exist at every SF, so
+    * all three dispositions are exercised). Scale: the corpus side
+    * reduces to DISTINCT 16-byte md5 keys before any join (the
+    * "fingerprint index" a real pipeline persists — text is scanned
+    * once, never shuffled); the batch joins that index and its own
+    * min-id frame on the md5 equi-key. Both shuffles carry (16-byte fp,
+    * id) pairs only, and the batch side is the small one — at 100 TB
+    * corpus / 0.1% daily batch the two probes broadcast. */
+  private val qllmIncrDedup = QueryDef(
+    "qllm_incr_dedup",
+    build = (spark, sfDir) => {
+      val fps = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), md5(substring(snorm(col("text")), 1, 40)).as("fp"))
+      val incoming = fps.filter(col("doc_id") % 10 === 7)
+      val corpusFp = fps.filter(col("doc_id") % 10 =!= 7)
+        .select(col("fp")).distinct().withColumn("in_corpus", lit(1))
+      val batchMin = incoming.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+      incoming
+        .join(corpusFp, Seq("fp"), "left")
+        .join(batchMin, Seq("fp"))
+        .select(col("doc_id"),
+          when(col("in_corpus") === 1, lit("dup_corpus"))
+            .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+            .otherwise(lit("new")).as("status"),
+          col("fp").as("fp_md5"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      s"WITH fps AS (SELECT doc_id, md5(substring($dnormSql, 1, 40)) AS fp FROM documents), " +
+        "inc AS (SELECT * FROM fps WHERE doc_id % 10 = 7), " +
+        "corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 7), " +
+        "bmin AS (SELECT fp, min(doc_id) AS first_id FROM inc GROUP BY fp) " +
+        "SELECT i.doc_id, CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus' " +
+        "WHEN i.doc_id <> b.first_id THEN 'dup_batch' ELSE 'new' END AS status, " +
+        "i.fp AS fp_md5 " +
+        "FROM inc i LEFT JOIN corp c ON i.fp = c.fp JOIN bmin b ON i.fp = b.fp " +
+        "ORDER BY i.doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
+    qllmIncrDedup,
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,

@@ -462,4 +462,30 @@ class PlanSpec extends SparkFixture {
         s"document text entered a shuffle:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("qjoin_interval: the overlap self-join plans as an EQUI-join (bin in the keys)") {
+    // both sides are intervals: without the time-bin replication the only
+    // equi-key is the customer, and the overlap residual degenerates to a
+    // per-customer nested loop at scale. The bin must survive into the
+    // join keys and no nested-loop / cartesian node may appear.
+    val p = plan("qjoin_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop — binning was optimized away:\n$p")
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*_bin".r
+      .findFirstIn(p).isDefined,
+      s"bin column not in the equi-join keys:\n$p")
+  }
+
+  test("qagg_ohlc: the OHLC resample is one partial-aggregable groupBy — no window sort") {
+    // open/close are min_by/max_by over a unique order key, so the whole
+    // bar folds map-side: the plan must carry partial aggregation and NO
+    // WindowExec (the window form would sort every raw row per bar).
+    val exec = Registry.byName("qagg_ohlc").build(spark, sfTiny)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"OHLC resample planned a window sort:\n$p")
+    assert(raw"partial_min_by|HashAggregate\([^\n]*partial".r.findFirstIn(p).isDefined
+      || p.contains("partial"), s"no map-side partial aggregation in:\n$p")
+  }
 }
