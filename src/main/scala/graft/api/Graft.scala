@@ -637,6 +637,41 @@ object Graft {
     f.join(d, Seq(key, "__shard")).drop("__shard")
   }
 
+  /** Interval-overlap equi-join: rows of `a` and `b` sharing `key` whose
+    * integer intervals `[aStart, aEnd]`, `[bStart, bEnd]` overlap
+    * (`a.s ≤ b.e AND b.s ≤ a.e` — closed ends, touching counts). Each
+    * matching pair is emitted EXACTLY once.
+    *
+    * Scale path: both sides replicate to every `binWidth`-wide bin their
+    * interval touches and join on the (key, bin) EQUI-key with the overlap
+    * predicate as residual — never a per-key nested loop. A pair that
+    * overlaps shares the bin of `greatest(a.s, b.s)` (that instant lies in
+    * both intervals), so emitting it only there dedupes multi-bin matches
+    * without a distinct. Pick `binWidth` ≈ the p99 interval length: the
+    * replication factor is 1 + length/binWidth (≤ 2 for intervals shorter
+    * than a bin). Bins come from floor division, so negative coordinates
+    * bin correctly.
+    *
+    * The four interval column names must be distinct between the two
+    * inputs (rename before calling — this is a using-columns join on
+    * `key`, which must be the SAME name on both sides).
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bins(s: String, e: String) =
+      explode(sequence(floor(col(s) / binWidth).cast(LongType),
+        floor(col(e) / binWidth).cast(LongType)))
+    val ab = a.withColumn("__ivl_bin", bins(aStart, aEnd))
+    val bb = b.withColumn("__ivl_bin", bins(bStart, bEnd))
+    ab.join(bb, Seq(key, "__ivl_bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd)
+        && floor(greatest(col(aStart), col(bStart)) / binWidth).cast(LongType)
+          === col("__ivl_bin"))
+      .drop("__ivl_bin")
+  }
+
   // ------------------------------------------------------------------
   // Time series
   // ------------------------------------------------------------------

@@ -459,27 +459,24 @@ object JoinOps {
     * windows), so counting a pair ONLY in that bin dedupes multi-bin
     * matches without a distinct. No nested loop, no cross product —
     * PlanSpec pins the equi-join. At 100 TB the bin width is the knob:
-    * pick it ≈ the p99 interval length so replication stays ≤ 2×. */
+    * pick it ≈ the p99 interval length so replication stays ≤ 2×.
+    * Core is the library op [[graft.api.Graft.intervalOverlapJoin]]. */
   private val qjoinInterval = QueryDef(
     "qjoin_interval",
     build = (spark, sfDir) => {
-      val binW = 32L
       val iv = Tables.orders(spark, sfDir)
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           datediff(col("o_orderdate").cast(DateType),
             lit("1992-01-01").cast(DateType)).cast(LongType).as("s"))
         .withColumn("e", col("s") + col("k") % 28 + 1)
-      val binned = iv.withColumn("bin",
-        explode(sequence(expr(s"s div $binW"), expr(s"e div $binW"))))
-      val a = binned.select(col("k").as("a_k"), col("c").as("a_c"),
-        col("s").as("a_s"), col("e").as("a_e"), col("bin").as("a_bin"))
-      val b = binned.select(col("k").as("b_k"), col("c").as("b_c"),
-        col("s").as("b_s"), col("e").as("b_e"), col("bin").as("b_bin"))
-      a.join(b, col("a_c") === col("b_c") && col("a_bin") === col("b_bin")
-          && col("a_k") < col("b_k")
-          && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
-          && expr(s"greatest(a_s, b_s) div $binW") === col("a_bin"))
-        .groupBy(col("a_c").as("o_custkey"))
+      val a = iv.select(col("c"), col("k").as("a_k"), col("s").as("a_s"),
+        col("e").as("a_e"))
+      val b = iv.select(col("c"), col("k").as("b_k"), col("s").as("b_s"),
+        col("e").as("b_e"))
+      graft.api.Graft
+        .intervalOverlapJoin(a, b, "c", "a_s", "a_e", "b_s", "b_e", binWidth = 32L)
+        .filter(col("a_k") < col("b_k"))
+        .groupBy(col("c").as("o_custkey"))
         .agg(count(lit(1)).as("n_overlap"),
           sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")) + 1)
             .as("sum_overlap_days"))

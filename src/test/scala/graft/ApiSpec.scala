@@ -436,4 +436,27 @@ class ApiSpec extends SparkFixture {
     assert(out == Set(("a", 1, 0L), ("a", 2, 1L), ("a", 3, 1L),
       ("a", 4, 2L), ("a", 5, 2L), ("b", 10, 0L)))
   }
+
+  test("intervalOverlapJoin: exactly-once pairs — touching, bin-spanning, long, negative") {
+    val sp = spark
+    import sp.implicits._
+    // bin width 10. Cases per key:
+    //  k=1: [0,5]  vs [5,9]    touch at 5 (closed ends) -> overlap
+    //  k=1: [0,5]  vs [6,8]    disjoint -> no pair
+    //  k=2: [8,12] vs [11,14]  overlap [11,12] crosses the 10-bin boundary;
+    //                          both touch bins 0 and 1 -> must emit ONCE
+    //  k=3: [0,35] vs [30,31]  left spans 4 bins (longer than a bin) -> once
+    //  k=4: [-15,-6] vs [-8,-2] negative coords, floor-binned -> once
+    //  k=5: [0,3]  vs [20,25]  same key, far apart -> no pair
+    val a = Seq((1, 0, 5), (2, 8, 12), (3, 0, 35), (4, -15, -6), (5, 0, 3))
+      .toDF("k", "a_s", "a_e")
+    val b = Seq((1, 5, 9), (1, 6, 8), (2, 11, 14), (3, 30, 31), (4, -8, -2),
+      (5, 20, 25)).toDF("k", "b_s", "b_e")
+    val out = Graft.intervalOverlapJoin(a, b, "k", "a_s", "a_e", "b_s", "b_e",
+        binWidth = 10L)
+      .select(col("k"), col("a_s"), col("b_s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    // exactly one row per overlapping pair (no multi-bin double count)
+    assert(out.sorted == Seq((1, 0, 5), (2, 8, 11), (3, 0, 30), (4, -15, -8)))
+  }
 }
