@@ -628,6 +628,36 @@ object Graft {
     * ordinal inside the operator would cost exactly the per-key sort this
     * operator exists to avoid.
     */
+  /** Semi-join reduction via an explicit bloom runtime filter: aggregate
+    * `dim`'s join keys into one bloom filter (an ObjectHashAggregate whose
+    * merge is a bitwise OR — order-independent, so the bits are
+    * deterministic), ship it to every fact partition as a scalar subquery,
+    * and drop fact rows whose key CANNOT be in `dim` before the join's
+    * shuffle ever sees them. This is the same plan shape Spark's own
+    * `InjectRuntimeFilter` produces, built explicitly so it applies at any
+    * size (the optimizer's version gates on multi-GB scan thresholds that
+    * a library caller may want to override).
+    *
+    * At 100 TB this is the lever for a selective dim too big to broadcast
+    * as a hash relation but whose KEY SET fits a few MB of bloom bits: a
+    * 1% -selective dim turns the fact-side shuffle from 100 TB into ~1 TB
+    * (plus bloom false positives, bounded by `expectedItems` sizing; the
+    * join itself removes them, so the result is exact either way).
+    *
+    * Returns the pruned fact — callers still perform the join. */
+  def bloomPrune(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val bloomDf = dim.select(Bridge.column(
+      new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression(dimKey))),
+        Literal(expectedItems)).toAggregateExpression()).as("__bloom"))
+    fact.filter(Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(Bridge.analyzed(bloomDf)),
+      new XxHash64(Seq(Bridge.expression(factKey))))))
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     val f = fact.withColumn("__shard",

@@ -129,6 +129,56 @@ object ExtractFixtures {
     }
   }
 
+  /** Bucket count for the co-located join fixture. 8 buckets keeps one
+    * file per bucket at test scale; a 100 TB deployment sizes this to
+    * (table bytes / target file size) and both join sides MUST agree. */
+  val Buckets = 8
+
+  /** orders and lineitem written SORTED-BUCKETED by orderkey
+    * (`bucketBy(8).sortBy` + `saveAsTable`) — the pre-shuffled layout a
+    * 100 TB warehouse keeps its biggest fact tables in so that the
+    * fact⋈fact join runs with ZERO exchange on either side: bucket i of
+    * orders only ever meets bucket i of lineitem, and both arrive sorted.
+    * Returns the (orders, lineitem) catalog table names.
+    *
+    * The upfront `repartition(Buckets, key)` uses the same murmur3 hash
+    * family as the bucket spec, so each write task holds exactly one
+    * bucket → one file per bucket (the layout sorted-bucket reads need).
+    * Catalog entries are session-scoped while the files persist, so a
+    * later JVM re-attaches the existing layout via CREATE TABLE …
+    * CLUSTERED BY … LOCATION instead of rewriting it. */
+  def bucketedOrdersLineitem(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = math.abs(sfDir.hashCode).toString
+    (ensureBucketed(spark, sfDir, s"graft_orders_bkt_$tag", "orders_bucketed",
+       Tables.orders(spark, sfDir), Tables.ordersSchema, "o_orderkey"),
+     ensureBucketed(spark, sfDir, s"graft_lineitem_bkt_$tag", "lineitem_bucketed",
+       Tables.lineitem(spark, sfDir), Tables.lineitemSchema, "l_orderkey"))
+  }
+
+  private def ensureBucketed(
+      spark: SparkSession, sfDir: String, table: String, sub: String,
+      df: org.apache.spark.sql.DataFrame, schema: org.apache.spark.sql.types.StructType,
+      key: String): String = synchronized {
+    if (!spark.catalog.tableExists(table)) {
+      val dir = root(sfDir).resolve(sub)
+      val marker = dir.resolve("_GRAFT_FIXTURE_OK")
+      if (Files.exists(marker)) {
+        spark.sql(
+          s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS " +
+            s"LOCATION '${dir.toUri}'")
+      } else {
+        df.repartition(Buckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", dir.toString)
+          .saveAsTable(table)
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    table
+  }
+
   /** orders written `partitionBy(o_year)` — the genre's load-step layout.
     * Reading it back with a year filter must prune at the DIRECTORY level
     * (PartitionFilters, no data files of other years opened) — the

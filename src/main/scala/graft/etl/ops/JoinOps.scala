@@ -492,8 +492,67 @@ object JoinOps {
         "FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e " +
         "GROUP BY a.c ORDER BY o_custkey"))
 
+  /** Co-located fact⋈fact join over the SORTED-BUCKETED layout
+    * (ExtractFixtures.bucketedOrdersLineitem): both sides are pre-hashed
+    * into the same 8 buckets on the join key, so the SortMergeJoin runs
+    * with ZERO shuffle exchange under it — bucket i only ever meets
+    * bucket i. This is THE standing answer to the biggest join at 100 TB:
+    * pay the shuffle once at load time, then every subsequent join of the
+    * two facts is exchange-free (PlanSpec pins the no-Exchange shape).
+    * `hint("merge")` keeps the demonstration honest at test scale, where
+    * the orders side would otherwise fall under the broadcast threshold
+    * and hide the bucketing benefit. */
+  private val qjoinBucketed = QueryDef(
+    "qjoin_bucketed",
+    build = (spark, sfDir) => {
+      val (oT, lT) = graft.etl.ExtractFixtures.bucketedOrdersLineitem(spark, sfDir)
+      spark.table(oT).hint("merge")
+        .join(spark.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          decStr(sum(d124(col("l_extendedprice"))).cast(DecimalType(38, 4))).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some(
+      "SELECT o_orderstatus, count(*) AS n_items, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_price " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
+  /** Bloom-filter pruned fact⋈dim join (Graft.bloomPrune): the selective
+    * dim side's keys are aggregated into ONE bloom filter, shipped as a
+    * scalar subquery, and applied to the fact BEFORE its shuffle — the
+    * explicit form of Spark's InjectRuntimeFilter, usable below the
+    * optimizer's multi-GB thresholds. The join removes bloom false
+    * positives, so results are exact; the filter only shrinks the
+    * exchange. `hint("merge")` keeps the shuffle join the filter exists
+    * for (test scale would broadcast). PlanSpec pins might_contain above
+    * the fact scan and the bloom aggregate in the subquery. */
+  private val qjoinBloom = QueryDef(
+    "qjoin_bloom",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val dim = Tables.customer(spark, sfDir).filter(col("c_nationkey") === 3)
+      graft.api.Graft.bloomPrune(o, col("o_custkey"), dim, col("c_custkey"))
+        .hint("merge")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some(
+      "SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_nationkey = 3 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
-    qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval)
+    qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval,
+    qjoinBucketed, qjoinBloom)
 }

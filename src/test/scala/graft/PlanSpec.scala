@@ -214,6 +214,43 @@ class PlanSpec extends SparkFixture {
     }
   }
 
+  test("qjoin_bucketed: bucketed scans feed the join with zero exchange beneath it") {
+    // the declared co-located join: both scans must select real buckets and
+    // the SortMergeJoin subtree must contain NO shuffle — the layout IS the
+    // exchange, paid once at load time (the aggregate above it still
+    // shuffles on its own group key; only the join subtree is pinned)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = Registry.byName("qjoin_bucketed").build(spark, sfTiny).queryExecution
+      val p = qe.executedPlan.toString
+      assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(p).size == 2,
+        s"expected both sides bucket-selected:\n$p")
+      val smj = qe.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$p")
+      val shuffles = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"shuffle under the co-located join — bucketing not recognized:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qjoin_bloom: the bloom filter sits on the fact side BEFORE the join") {
+    // the runtime-filter contract: a might_contain predicate over the fact
+    // key must appear in the plan (fed by the bloom aggregate subquery),
+    // so non-matching fact rows die before the join's exchange — that
+    // pre-shuffle placement IS the 100 TB lever
+    val p = plan("qjoin_bloom")
+    assert(p.contains("might_contain"), s"no bloom runtime filter in plan:\n$p")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"bloom not built as a scalar subquery:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected the shuffle join the bloom exists for:\n$p")
+  }
+
   test("qjoin_range_binned: the band join plans as an EQUI-join on the bin") {
     // the whole point of binning: a bare |c - s| <= band condition leaves
     // Catalyst only the nation as equi-key (per-nation nested loop at
