@@ -628,6 +628,30 @@ object Graft {
     * ordinal inside the operator would cost exactly the per-key sort this
     * operator exists to avoid.
     */
+  /** Z-order (Morton) key: bit-interleave the low `bits` bits of two
+    * NON-NEGATIVE grid coordinates — bit i of `x` lands at position 2i,
+    * bit i of `y` at 2i+1. Sorting (or range-partitioning) a table by this
+    * key clusters rows so that a 2-D box predicate touches a contiguous-ish
+    * z-range instead of the whole table: a box aligned to a power-of-2
+    * quadrant is EXACTLY one contiguous z-interval (property-tested), and
+    * any box is a small union of such intervals. That is what makes
+    * parquet min/max row-group pruning work for BOTH filter columns at
+    * once — the data-layout lever (Delta/Iceberg `OPTIMIZE ZORDER BY`)
+    * re-expressed as a plain deterministic column.
+    *
+    * Built from codegen'd builtins (shift/and/or) only — no UDF; 2·bits
+    * terms fold into one whole-stage-codegen expression. Callers clamp
+    * coordinates into [0, 2^bits). */
+  def zorderKey(x: Column, y: Column, bits: Int = 10): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1, 31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x.cast(LongType), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y.cast(LongType), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Semi-join reduction via an explicit bloom runtime filter: aggregate
     * `dim`'s join keys into one bloom filter (an ObjectHashAggregate whose
     * merge is a bitwise OR — order-independent, so the bits are

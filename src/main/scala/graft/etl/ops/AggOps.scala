@@ -743,10 +743,50 @@ object AggOps {
         "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_value " +
         "FROM e GROUP BY day, event_type ORDER BY day, event_type"))
 
+  /** **no-oracle.** Count-min-sketch frequency estimates over corpus
+    * tokens — the mergeable heavy-hitter primitive
+    * (functions/CountMinAgg.scala): a depth×width counter matrix whose
+    * merge is cell-wise ADDITION, so the sketch bits (and every estimate)
+    * are identical under any partial-agg/merge order — unlike
+    * eviction-based summaries (space-saving), which are merge-order-
+    * sensitive at the margins and would break run-twice determinism.
+    * Probes are a fixed word list; probe hashes are computed by evaluating
+    * the engine's own XxHash64 at plan-build time, so they match the
+    * per-row `xxhash64(tok)` exactly. `hot` flags probes above 1% of all
+    * tokens — estimate ≥ true count always (counters only over-count), so
+    * no true heavy hitter can be missed. Sketch semantics have no
+    * cross-engine-exact SQL form → property-tested in PropertySpec
+    * (bounds + merge-order independence) instead of oracled.
+    *
+    * Scale: O(depth×width) state per executor regardless of corpus size;
+    * the exact alternative shuffles the full vocabulary. */
+  private val qaggCms = QueryDef(
+    "qagg_cms",
+    build = (spark, sfDir) => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+      val probeWords = Seq("table", "value", "key", "scan", "window", "stream", "vector", "the")
+      val probeHashes = probeWords.map(w =>
+        new XxHash64(Seq(CatLit.create(w, StringType))).eval(null).asInstanceOf[Long])
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks
+        .agg(
+          graft.functions.CountMinAgg.cms_estimates(xxhash64(col("tok")), probeHashes).as("ests"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("n_tokens"), posexplode(col("ests")).as(Seq("pos", "est_count")))
+        .select(
+          element_at(array(probeWords.map(lit): _*), col("pos") + 1).as("token"),
+          col("est_count"),
+          (col("est_count") * 100 > col("n_tokens")).as("hot"))
+        .orderBy(col("token"))
+    },
+    oracle = None)
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
-    qaggMad, qaggBitwise, qaggOhlc)
+    qaggMad, qaggBitwise, qaggOhlc, qaggCms)
 }

@@ -277,8 +277,40 @@ object SetOps {
         "FROM old FULL OUTER JOIN new ON old.k = new.k) " +
         "SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey"))
 
+  /** Z-order (Morton) clustering key over a 1024×1024 (user, value) grid —
+    * the data-LAYOUT op (`Graft.zorderKey`): sorting by the interleaved
+    * key clusters rows so 2-D box predicates touch a contiguous z-range
+    * (power-of-2-aligned boxes exactly — ApiSpec), which is what lets
+    * parquet min/max row-group pruning serve BOTH filter columns at once
+    * at 100 TB. The key is pure shift/and/or arithmetic, so the oracle
+    * states the identical unrolled expression and the `orderBy.limit`
+    * compiles to TakeOrderedAndProject (no global sort). Ties cannot
+    * occur: event_id is unique and last in the key. */
+  private val qsortZorder = QueryDef(
+    "qsort_zorder",
+    build = (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(
+          col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("gx"),
+          least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(1023L)).as("gy"))
+      e.withColumn("z", graft.api.Graft.zorderKey(col("gx"), col("gy"), bits = 10))
+        .orderBy(col("z"), col("event_id"))
+        .limit(200)
+    },
+    oracle = Some {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"(((gx >> $i) & 1) << ${2 * i})",
+        s"(((gy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      "WITH g AS (SELECT event_id, user_id % 1024 AS gx, " +
+        "least(greatest(CAST(floor(value) AS BIGINT), 0), 1023) AS gy FROM events) " +
+        s"SELECT event_id, gx, gy, $terms AS z FROM g " +
+        "ORDER BY z, event_id LIMIT 200"
+    })
+
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
     qsetIntersectAll, qsetExceptAll,
-    qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert, qsetCdcdiff)
+    qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert, qsetCdcdiff,
+    qsortZorder)
 }

@@ -459,4 +459,31 @@ class ApiSpec extends SparkFixture {
     // exactly one row per overlapping pair (no multi-bin double count)
     assert(out.sorted == Seq((1, 0, 5), (2, 8, 11), (3, 0, 30), (4, -15, -8)))
   }
+
+  test("zorderKey: exact Morton interleave; aligned quadrant is one contiguous z-range") {
+    val sp = spark
+    import sp.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val bits = 5 // full 32x32 grid — exhaustive
+    val cells = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .withColumn("z", Graft.zorderKey(col("x"), col("y"), bits))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y, bits), s"z($x,$y)")
+    }
+    // power-of-2-aligned quadrant (x in [0,15], y in [16,31]): membership in
+    // the box must equal membership in [z(0,16), z(15,31)] — the contiguity
+    // that makes min/max row-group pruning serve both columns at once
+    val lo = ref(0, 16, bits)
+    val hi = ref(15, 31, bits)
+    cells.foreach { case (x, y) =>
+      val inBox = x <= 15 && y >= 16
+      val inRange = got((x, y)) >= lo && got((x, y)) <= hi
+      assert(inBox == inRange, s"quadrant contiguity broken at ($x,$y)")
+    }
+  }
 }

@@ -317,4 +317,37 @@ class PropertySpec extends SparkFixture {
       assert(none.forall(_ == 0L), "minDf > corpus size must flag nothing")
     }
   }
+
+  test("count-min sketch: estimate >= true count, bounded slack, merge-order independent") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    val sp = spark
+    import sp.implicits._
+    // deterministic zipf-ish corpus: token i appears 200/i times
+    val words = (1 to 30).map(i => s"w$i")
+    val tokens = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(200 / (i + 1))(w) }
+    val n = tokens.size.toLong
+    val trueCounts = tokens.groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    val probes = Seq("w1", "w2", "w7", "w29", "absent_token")
+    val probeHashes = probes.map(w =>
+      new XxHash64(Seq(CatLit.create(w, StringType))).eval(null).asInstanceOf[Long])
+    def estimates(partitions: Int): Seq[Long] = {
+      val df = tokens.toDF("tok").repartition(partitions)
+      df.agg(graft.functions.CountMinAgg
+          .cms_estimates(xxhash64(col("tok")), probeHashes, depth = 4, width = 1024).as("e"))
+        .collect().head.getSeq[Long](0)
+    }
+    val est = estimates(1)
+    probes.zip(est).foreach { case (w, e) =>
+      val truth = trueCounts.getOrElse(w, 0L)
+      assert(e >= truth, s"$w: CMS must never undercount ($e < $truth)")
+      // per-row slack is the colliding mass (~n/width expected); depth-min
+      // keeps it tiny — allow a generous deterministic 16x cushion
+      assert(e - truth <= 16 * n / 1024 + 1, s"$w: slack ${e - truth} beyond bound")
+    }
+    // cell-wise-addition merge: any partitioning (merge order) gives the
+    // exact same sketch bits, hence identical estimates
+    assert(estimates(13) == est, "merge order changed the CMS estimates")
+    assert(estimates(4) == est, "merge order changed the CMS estimates")
+  }
 }

@@ -12,12 +12,12 @@ import graft.etl.Registry
 class RegistrySpec extends SparkFixture {
 
   private val noOracleAllowed =
-    Set("qagg_approxhll", "qllm_minhash", "qllm_simhash", "qmm_features", "qmm_resize",
-      "qmm_frames")
+    Set("qagg_approxhll", "qagg_cms", "qllm_minhash", "qllm_simhash", "qmm_features",
+      "qmm_resize", "qmm_frames")
 
-  test("inventory: the no-oracle set is EXACTLY the six sanctioned keys") {
+  test("inventory: the no-oracle set is EXACTLY the seven sanctioned keys") {
     // the sanctioned set may only change together with SURVEY §2.2's
-    // "exactly six are no-oracle" paragraph — a new no-oracle query (or a
+    // "exactly seven are no-oracle" paragraph — a new no-oracle query (or a
     // sanctioned one growing an oracle) must fail here loudly
     val actual = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(actual == noOracleAllowed,
