@@ -1031,4 +1031,44 @@ object Graft {
     df.join(buckets, part === col("__p") && value <=> col("__v"))
       .drop("__p", "__v")
   }
+
+  /** Per-key 2σ outliers with an EXACT cross-engine boundary decision:
+    * flags rows where (n·v − Σv)² > 4·(n·Σv² − (Σv)²), i.e. |v − mean| >
+    * 2σ, and reports z = (v − mean)/σ. All boundary arithmetic runs in
+    * SCALED-INTEGER units (value·10⁴ as an integer), so the predicate is
+    * an integer comparison no floating rounding can flip: Spark carries
+    * it in DECIMAL(38,0) (every product ≤ 4·10³⁶ for partitions up to
+    * 5·10¹⁰ rows with |v| < 10⁴) and an INT128 oracle (DuckDB HUGEINT,
+    * cap 1.7·10³⁸) agrees on every bit. The 10⁻⁴/10⁻⁸ unit scales cancel
+    * in z = devi/√di, so the reported z needs no rescaling. Overflow
+    * beyond the ~5·10¹⁰-rows-per-key bound is an ANSI cast ERROR, never
+    * a silent wrong answer (EdgeCaseSpec pins a 1.2M-row partition).
+    *
+    * Scale: ONE whole-partition window over `key` (no value ordering),
+    * one keyed shuffle; per-key window state is three scalars, never the
+    * value list. Single-event and constant-valued keys yield devi = di =
+    * 0, excluded by the strict inequality before any sqrt.
+    *
+    * Returns (id, key, val: DECIMAL(12,4), z: double). */
+  def anomalyZ(df: DataFrame, id: Column, key: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+    val v = df.select(id.as("id"), key.as("key"),
+        value.cast(DecimalType(12, 4)).as("val"))
+      .withColumn("__vi", (col("val") * lit(10000)).cast(DecimalType(9, 0)))
+    val m = v.select(col("id"), col("key"), col("val"), col("__vi"),
+      count(lit(1)).over(w).cast(DecimalType(12, 0)).as("__n"),
+      sum(col("__vi").cast(DecimalType(20, 0))).over(w)
+        .cast(DecimalType(20, 0)).as("__svi"),
+      sum((col("__vi") * col("__vi")).cast(DecimalType(27, 0))).over(w)
+        .cast(DecimalType(27, 0)).as("__svvi"))
+    val j = m
+      .withColumn("__devi",
+        (col("__n") * col("__vi") - col("__svi")).cast(DecimalType(20, 0)))
+      .withColumn("__di", col("__n") * col("__svvi") - col("__svi") * col("__svi"))
+    j.filter(col("__devi") * col("__devi") >
+        lit(4).cast(DecimalType(2, 0)) * col("__di"))
+      .select(col("id"), col("key"), col("val"),
+        round(col("__devi").cast(DoubleType) / sqrt(col("__di").cast(DoubleType)), 6)
+          .as("z"))
+  }
 }

@@ -329,59 +329,38 @@ object WindowOps {
     * (one correctly-rounded conversion per factor, 6 dp — VARCHAR route on
     * the oracle side). Single-event and constant-valued users yield
     * dev = d = 0, which the strict inequality excludes before any sqrt —
-    * no 0/0 path. Scale: ONE whole-partition window over user_id (no value
-    * ordering — the frame is the entire partition, so Spark only clusters
-    * rows by the key), one keyed shuffle; per-key window state is three
-    * scalars, never the value list.
+    * no 0/0 path.
     *
-    * Accumulator-width bound (deliberate, like qllm_mix_temp's 10^12 note):
-    * sv DECIMAL(18,4) holds |Σ value| < 10^14 — with |value| ≤ 10^4 that is
-    * ≥ 10^10 events PER USER before overflow (an ANSI error, never a wrong
-    * answer); svv DECIMAL(22,8) likewise holds 10^14 of Σ value². The
-    * widths can NOT simply be widened to DECIMAL(38,_): the exact-integer
-    * flag needs dev² and sv·sv to stay within 38 digits in BOTH engines —
-    * at (38,4) operands Spark would scale-round the square (38,6) and
-    * DuckDB would reject the 76-digit multiply — so the narrow widths are
-    * what keeps the comparison exact. A deployment expecting > 10^10 rows
-    * per key should pre-aggregate per (key, shard) first (the qagg_skew /
-    * saltedJoin pattern) rather than widen these. */
+    * Delegates to [[graft.api.Graft.anomalyZ]]: the boundary decision
+    * (n·v − Σv)² > 4·(n·Σv² − (Σv)²) runs entirely in SCALED-INTEGER
+    * units (value·10⁴), DECIMAL(38,0) on the Spark side vs INT128
+    * (HUGEINT) on the oracle side — exact for partitions up to ~5·10¹⁰
+    * rows, an ANSI error (never a wrong answer) beyond. The earlier
+    * DECIMAL(18,4)/(22,8) formulation overflowed at ~10⁶ large values
+    * per key; the integer-unit form removes that bound while KEEPING the
+    * comparison bit-exact in both engines (the 10⁻⁴/10⁻⁸ scales cancel
+    * in z = devi/√di). EdgeCaseSpec pins a 1.2M-row partition. */
   private val qwinAnomaly = QueryDef(
     "qwin_anomaly",
     build = (spark, sfDir) => {
-      val w = Window.partitionBy(col("user_id"))
-      val v = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"),
-          col("value").cast(DecimalType(12, 4)).as("val"))
-      val m = v.select(col("event_id"), col("user_id"), col("val"),
-        count(lit(1)).over(w).as("n"),
-        sum(col("val").cast(DecimalType(18, 4))).over(w)
-          .cast(DecimalType(18, 4)).as("sv"),
-        sum(col("val").cast(DecimalType(19, 4)) * col("val").cast(DecimalType(18, 4))).over(w)
-          .cast(DecimalType(22, 8)).as("svv"))
-      val j = m
-        .withColumn("dev",
-          (col("n").cast(DecimalType(10, 0)) * col("val").cast(DecimalType(18, 4)) - col("sv"))
-            .cast(DecimalType(18, 4)))
-        .withColumn("d",
-          (col("n").cast(DecimalType(10, 0)) * col("svv")
-            - col("sv").cast(DecimalType(19, 4)) * col("sv")).cast(DecimalType(22, 8)))
-      j.filter(col("dev") * col("dev") > lit(4).cast(DecimalType(2, 0)) * col("d"))
-        .select(col("event_id"), col("user_id"),
-          col("val").cast(StringType).as("value"),
-          round(col("dev").cast(DoubleType) / sqrt(col("d").cast(DoubleType)), 6).as("z"))
+      graft.api.Graft.anomalyZ(Tables.events(spark, sfDir),
+          col("event_id"), col("user_id"), col("value"))
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("val").cast(StringType).as("value"), col("z"))
         .orderBy(col("event_id"))
     },
     oracle = Some(
-      "WITH v AS (SELECT event_id, user_id, CAST(value AS DECIMAL(12,4)) AS val FROM events), " +
-        "m AS (SELECT event_id, user_id, val, " +
-        "count(*) OVER (PARTITION BY user_id) AS n, " +
-        "CAST(sum(CAST(val AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DECIMAL(18,4)) AS sv, " +
-        "CAST(sum(CAST(val AS DECIMAL(19,4)) * CAST(val AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DECIMAL(22,8)) AS svv FROM v), " +
-        "j AS (SELECT *, CAST(CAST(n AS DECIMAL(10,0)) * CAST(val AS DECIMAL(18,4)) - sv AS DECIMAL(18,4)) AS dev, " +
-        "CAST(CAST(n AS DECIMAL(10,0)) * svv - CAST(sv AS DECIMAL(19,4)) * sv AS DECIMAL(22,8)) AS d FROM m) " +
+      "WITH v AS (SELECT event_id, user_id, CAST(value AS DECIMAL(12,4)) AS val, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "m AS (SELECT event_id, user_id, val, vi, " +
+        "CAST(count(*) OVER w AS HUGEINT) AS n, " +
+        "CAST(sum(vi) OVER w AS HUGEINT) AS svi, " +
+        "CAST(sum(vi * vi) OVER w AS HUGEINT) AS svvi " +
+        "FROM v WINDOW w AS (PARTITION BY user_id)), " +
+        "j AS (SELECT *, n * vi - svi AS devi, n * svvi - svi * svi AS di FROM m) " +
         "SELECT event_id, user_id, CAST(val AS STRING) AS value, " +
-        "round(CAST(CAST(dev AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(d AS VARCHAR) AS DOUBLE)), 6) AS z " +
-        "FROM j WHERE dev * dev > CAST(4 AS DECIMAL(2,0)) * d ORDER BY event_id"))
+        "round(CAST(CAST(devi AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(di AS VARCHAR) AS DOUBLE)), 6) AS z " +
+        "FROM j WHERE devi * devi > 4 * di ORDER BY event_id"))
 
   /** Exponentially-weighted moving average (10-tap, α = ½) — time-series
     * smoothing as a FIR filter over lags, renormalized while the window

@@ -249,6 +249,27 @@ class EdgeCaseSpec extends SparkFixture {
     } finally out.unpersist()
   }
 
+  test("anomalyZ survives a 1.2M-row partition of near-max values (scaled-int accumulators)") {
+    // Σv² ≈ 1.2·10¹⁴ here — past the old DECIMAL(22,8) accumulator's 10¹⁴
+    // overflow point; the scaled-integer form must flag exactly the five
+    // planted outliers and nothing else, with no ANSI overflow.
+    val n = 1200000L
+    val base = spark.range(n).select(
+      col("id"), lit("u1").as("k"),
+      (lit(9998.0) + (col("id") % 2)).as("v"))
+    val outliers = spark.range(5).select(
+      (col("id") + n).as("id"), lit("u1").as("k"), lit(0.5).as("v"))
+    val out = Graft.anomalyZ(base.unionByName(outliers),
+      col("id"), col("k"), col("v")).cache()
+    try {
+      val flagged = out.select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(flagged == (n until n + 5).toSet, s"flagged ${flagged.size} rows")
+      // the planted outliers sit far below the mean (σ ≈ 20 once the
+      // outliers' own variance contribution is counted; z ≈ -490)
+      assert(out.filter(col("z") > -100.0).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("skew profiler: shares are descending, bounded, and skew factor >= 1") {
     val rows = graft.etl.Registry.byName("qagg_skew").build(spark, sfTiny).collect()
     assert(rows.length == 5)
