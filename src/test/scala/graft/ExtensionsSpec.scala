@@ -81,6 +81,33 @@ class ExtensionsSpec extends SparkFixture {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
   }
 
+  test("BandJoinRewrite: a user column sharing the __graft_bin prefix does not disable it") {
+    val sp = spark
+    import sp.implicits._
+    // fixpoint termination is tag-based; only the EXACT injected names
+    // (__graft_bin_l/_r) are backstopped, so a user column that merely
+    // shares the prefix — even one referenced in the join condition —
+    // must not suppress the rewrite
+    val left = Seq((1L, 0L, 7L), (2L, 99L, 8L), (3L, 260L, 7L))
+      .toDF("lid", "a", "__graft_binX")
+    val right = Seq((10L, 100L, 7L), (11L, 300L, 9L))
+      .toDF("rid", "b", "__graft_binY")
+    val cond = abs(col("a") - col("b")) <= lit(100L) &&
+      col("__graft_binX") === col("__graft_binY")
+    val naive = left.crossJoin(right).filter(cond).select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.plans.BandJoinRewrite.register(spark)
+    try {
+      val j = left.join(right, cond)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_bin_l"), s"prefix-named user column disabled the rewrite:\n$p")
+      val got = j.select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"got=$got naive=$naive")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandJoinRewrite)
+  }
+
   test("BandJoinRewrite: fires exactly once and replicates the statistically smaller side") {
     val sp = spark
     import sp.implicits._
