@@ -955,36 +955,43 @@ object LlmOps {
 
   /** Sequence packing (concat-and-chop) — the step that turns a filtered
     * corpus into fixed-length training windows: documents are concatenated
-    * in deterministic (source, doc_id) order and chopped into L=512-token
-    * contexts; each document reports the packs it spans and its offset in
-    * the first one. Packing is per-SOURCE (one pack stream per shard key),
-    * which is how distributed packing actually runs — a single global
-    * concat order would serialize the corpus through one task. The window
-    * is a partitioned running sum (one long of state); pack ids derive
-    * from integral `div`/`%` — all-integer, exact on both engines.
-    * Unlike qllm_budget, this prefix order is doc_id-sequential per shard
-    * (not value-decomposable); at 100 TB the shard key must be finer than
-    * the fixture's ~20 sources — production packs per (source, file-chunk),
-    * the same plan with a higher-cardinality partition key. */
+    * in deterministic doc_id order and chopped into L=512-token contexts;
+    * each document reports the packs it spans and its offset in the first
+    * one. Packing is per (source, SHARD), shard = `doc_id div 32` — the
+    * "file-chunk" decomposition distributed packing actually uses: each
+    * contiguous doc_id range packs independently with SHARD-LOCAL pack
+    * ids (a global pack id would re-serialize the stream through one
+    * cumulative count; consumers address packs as (source, shard,
+    * pack_first), all in the output). A plain per-source window would
+    * funnel a 100 TB single-source corpus through ONE task; here
+    * parallelism scales with the corpus (|shards| grows with data), at
+    * the standard cost that each shard's final pack may be partially
+    * filled. The window is a partitioned running sum (one long of
+    * state); pack ids derive from integral `div`/`%` — all-integer,
+    * exact on both engines (shard derivation assumes non-negative
+    * doc_id, pinned at fixture generation; Spark `div` truncates where
+    * DuckDB `//` floors, which only diverges below zero). */
   private val qllmPack = QueryDef(
     "qllm_pack",
     build = (spark, sfDir) => {
       val t = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"),
           size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .withColumn("shard", expr("doc_id div 32"))
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          col("start_tok"),
           expr("start_tok div 512").as("pack_first"),
           expr("(start_tok + n_tokens - 1) div 512").as("pack_last"),
           (col("start_tok") % lit(512L)).as("pack_offset"))
         .orderBy(col("source"), col("doc_id"))
     },
     oracle = Some(
-      "WITH t AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
-        "c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
-        "SELECT doc_id, source, n_tokens, start_tok, " +
+      "WITH t AS (SELECT doc_id, source, doc_id // 32 AS shard, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
+        "SELECT doc_id, source, shard, n_tokens, start_tok, " +
         "start_tok // 512 AS pack_first, (start_tok + n_tokens - 1) // 512 AS pack_last, " +
         "start_tok % 512 AS pack_offset " +
         "FROM c ORDER BY source, doc_id"))

@@ -322,6 +322,27 @@ class PlanSpec extends SparkFixture {
       s"band join still nest-loops:\n$p")
   }
 
+  test("qllm_pack: the pack window partitions by (source, shard), not source alone") {
+    // a per-source pack stream funnels a 100 TB single-source corpus
+    // through one task; the shard key must be in every window's
+    // partition spec so parallelism scales with the data
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Registry.byName("qllm_pack").build(spark, sfTiny)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"no window in qllm_pack plan:\n$exec")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(keys == Set("source", "shard"),
+          s"pack window partitions by $keys, not (source, shard):\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("qstream_join: the interval join keeps its equi-key (no nested loop)") {
     // the range condition must ride as a residual on the user_id equi-join;
     // losing the equi-key would nest-loop every user pair
