@@ -217,6 +217,75 @@ class ApiSpec extends SparkFixture {
     assert(mean >= 0.8, s"IVF recall@10 too low on clustered data: $recalls")
   }
 
+  test("mixture-of-Gaussians recall gate: PQ(16×16) and trained IVF reach recall@10 ≥ 0.9") {
+    val sp = spark
+    import sp.implicits._
+    // Deterministic mixture of Gaussians: 8 clusters (center = one-hot
+    // comb over d % 8) × 110 points, noise from Box–Muller over sin-hash
+    // uniforms — no RNG state, same fixture every run. Each of 5 query
+    // points gets 10 planted near-duplicates (σ=0.02 vs the cluster's
+    // σ=0.25), so the TRUE top-10 is margin-separated (L2² ≈ 0.05 vs ≈ 8)
+    // and the 0.9 bar grades the INDEX, not tie-breaking luck — the
+    // failure mode the old "recall is data luck" caveat documented.
+    val dim = 64
+    val nC = 8
+    val queries = Seq(50, 151, 252, 353, 454)
+    def gauss(i: Int, d: Int, salt: Double): Double = {
+      def u(f1: Double, f2: Double) =
+        math.abs(math.sin(i * f1 + d * f2 + salt) * 43758.5453) % 1.0
+      math.sqrt(-2.0 * math.log(math.max(u(127.1, 311.7), 1e-12))) *
+        math.cos(2 * math.Pi * u(269.5, 183.3))
+    }
+    def emb(i: Int): Array[Double] = {
+      val c = i % nC
+      // ids sharing the query's residue mod 80 form its near-dup group
+      val anchor = queries.find(q => q % 80 == i % 80)
+      Array.tabulate(dim) { d =>
+        val center = if (d % nC == c) 1.0 else 0.0
+        anchor match {
+          case Some(q) => center + 0.25 * gauss(q, d, 0.0) + 0.02 * gauss(i, d, 7.3)
+          case None => center + 0.25 * gauss(i, d, 0.0)
+        }
+      }
+    }
+    // 880 ids → every mod-80 residue class holds 11 members (query + 10
+    // dups), so the full true top-10 is planted, not noise-determined
+    val n = nC * 110
+    val all = (0 until n).map(i => (i.toLong, emb(i)))
+    val vectors = all.toDF("vec_id", "emb")
+    def l2Top10(qid: Int): Set[Long] = {
+      val q = emb(qid)
+      all.filter(_._1 != qid).map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    }
+    // PQ: m=16 blocks of 4 dims, 16 codewords each
+    val books = Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 16, k = 16, iters = 3)
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    val pqRecalls = queries.map { qid =>
+      val q = vectors.filter(col("vec_id") === qid.toLong).select(col("emb"))
+      val got = Graft.pqTopK(codes.filter(col("vec_id") =!= qid.toLong), books, q, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (got intersect l2Top10(qid)).size / 10.0
+    }
+    assert(pqRecalls.sum / pqRecalls.size >= 0.9,
+      s"PQ(16x16) recall@10 too low: $pqRecalls")
+    // trained IVF at nprobe=2 of 8 cells, cosine ground truth
+    val cents = Graft.kmeansCentroids(vectors, col("vec_id"), col("emb"), k = 8, iters = 3)
+    val ivfRecalls = queries.map { qid =>
+      val q = vectors.filter(col("vec_id") === qid.toLong)
+        .select(col("emb").as("embedding"))
+      val want = Graft.topKByCosine(vectors.filter(col("vec_id") =!= qid.toLong),
+        col("vec_id"), col("emb"), q, 10).collect().map(_.getLong(0)).toSet
+      val got = Graft.ivfSearch(vectors.filter(col("vec_id") =!= qid.toLong),
+        col("vec_id"), col("emb"), cents, q, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSet
+      (want intersect got).size / 10.0
+    }
+    assert(ivfRecalls.sum / ivfRecalls.size >= 0.9,
+      s"IVF recall@10 too low: $ivfRecalls")
+  }
+
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
     val sp = spark
     import sp.implicits._
