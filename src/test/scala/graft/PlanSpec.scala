@@ -322,6 +322,53 @@ class PlanSpec extends SparkFixture {
       s"band join still nest-loops:\n$p")
   }
 
+  test("z-order layout actually skips row groups for a 2-D box predicate") {
+    // the claim behind qsort_zorder: sorting by the Morton key clusters
+    // BOTH coordinates into every file, so parquet min/max stats prune a
+    // 2-D box down to the few files whose z-range intersects it — where a
+    // single-column sort only ever prunes on that one column. Measured
+    // here off the scan's actual output rows (post row-group pruning),
+    // not asserted in prose: 256×256 grid, 64 one-row-group files per
+    // layout, box = [0,31]² (1/64 of the space).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      val grid = spark.range(65536L).select(
+        (col("id") % 256).as("gx"), (col("id") / 256).cast("long").as("gy"))
+      grid.withColumn("zkey", graft.api.Graft.zorderKey(col("gx"), col("gy"), bits = 8))
+        .repartitionByRange(64, col("zkey")).sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite").parquet(s"$dir/zorder")
+      grid.repartitionByRange(64, col("gx")).sortWithinPartitions(col("gx"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      def scannedRows(path: String): Long = {
+        val df = spark.read.parquet(path)
+          .filter(col("gx").between(0, 31) && col("gy").between(0, 31))
+        assert(df.count() == 1024) // both layouts return the same box
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.getOrElse(fail("no FileSourceScanExec"))
+        scan.metrics("numOutputRows").value
+      }
+      val zRows = scannedRows(s"$dir/zorder")
+      val linRows = scannedRows(s"$dir/linear")
+      // z-layout: the box is one contiguous z-interval (z 0..1023) → only
+      // the ~2-4 sampled-boundary files overlapping it survive stats
+      // pruning; gx-layout: gy prunes nothing, so every file spanning
+      // gx∈[0,31] is read
+      assert(zRows <= 4096, s"z-ordered scan read $zRows rows (no skipping?)")
+      assert(linRows >= 4096, s"linear layout unexpectedly pruned to $linRows rows")
+      assert(zRows * 2 <= linRows,
+        s"z-order gave no row-group skipping advantage: z=$zRows linear=$linRows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("qllm_pack: the pack window partitions by (source, shard), not source alone") {
     // a per-source pack stream funnels a 100 TB single-source corpus
     // through one task; the shard key must be in every window's
