@@ -629,7 +629,13 @@ object AggOps {
     build = (spark, sfDir) => {
       val e = Tables.events(spark, sfDir)
         .select(col("event_type"), col("value").cast(DecimalType(12, 4)).as("v"))
+      // the (type, value) histogram is the ONLY pass over raw events and
+      // is domain-bounded; materializing it (localCheckpoint) lets the
+      // n / cum / dev / final branches reuse one exchange instead of
+      // re-running scan+aggregate per branch — the static plan drops
+      // from 33 Exchange nodes to single digits (PlanSpec pins < 10)
       val vc = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val n = vc.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
       val cw = Window.partitionBy(col("event_type")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -647,7 +653,10 @@ object AggOps {
         .groupBy(col("event_type"), col("dev2")).agg(sum(col("cnt")).as("cnt"))
       val dw = Window.partitionBy(col("event_type")).orderBy(col("dev2"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // same move for the deviation histogram: mad and the outlier count
+      // both read it
       val dcum = dev.withColumn("cum", sum(col("cnt")).over(dw)).join(broadcast(n), "event_type")
+        .localCheckpoint()
       val mad = dcum.groupBy(col("event_type"))
         .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("dev2"))) +
           min(when(col("cum") >= expr("(n + 2) div 2"), col("dev2"))))
@@ -656,7 +665,9 @@ object AggOps {
         .groupBy(col("event_type"))
         .agg(sum(when(col("dev2") * 2 > col("madsum") * 3, col("cnt")).otherwise(lit(0L)))
           .as("n_outliers"))
-      n.join(med, "event_type").join(mad, "event_type").join(out, "event_type")
+      // per-type scalars: broadcast the stitch joins, no shuffles
+      n.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .join(broadcast(out), "event_type")
         .select(col("event_type"), col("n"),
           decStr((col("medsum") * lit(BigDecimal("0.5"))).cast(DecimalType(38, 6))).as("median"),
           decStr((col("madsum") * lit(BigDecimal("0.25"))).cast(DecimalType(38, 6))).as("mad"),

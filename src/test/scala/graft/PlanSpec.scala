@@ -322,6 +322,21 @@ class PlanSpec extends SparkFixture {
       s"band join still nest-loops:\n$p")
   }
 
+  test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {
+    // the median/MAD/outlier branches all re-read the two value
+    // histograms; without materialization the static plan duplicated the
+    // whole subtree per branch (33 Exchange nodes, ~10 stages of pure
+    // overhead). The checkpoints make reuse structural.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qagg_mad").build(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      val exchanges = raw"(?<!Reused)Exchange".r.findAllIn(p).size
+      assert(exchanges < 10, s"$exchanges exchanges in qagg_mad plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("z-order layout actually skips row groups for a 2-D box predicate") {
     // the claim behind qsort_zorder: sorting by the Morton key clusters
     // BOTH coordinates into every file, so parquet min/max stats prune a
@@ -521,10 +536,13 @@ class PlanSpec extends SparkFixture {
         windows.foreach { w =>
           assert(w.partitionSpec.nonEmpty, s"$q: global (single-partition) window:\n$exec")
           // a ReusedExchange child is the aggregated frame computed once and
-          // shared across branches — same domain bounding, cheaper plan
+          // shared across branches; an RDD scan is a localCheckpoint of
+          // that same histogram (qagg_mad) — same domain bounding,
+          // cheaper plan either way
           assert(w.collectFirst {
             case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
             case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+            case c: org.apache.spark.sql.execution.RDDScanExec => c
           }.nonEmpty, s"$q: window input not value-aggregated:\n$exec")
         }
       }
