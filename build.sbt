@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Plan-pinning suites (PlanSpec, ExtensionsSpec) toggle session-global
+// SQL confs (spark.sql.adaptive.enabled) around assertions on the shared
+// SparkSession; parallel suite execution inside the forked JVM would let
+// concurrent tests observe AQE off. Pin the (default) sequential mode so
+// a future build tweak can't silently break that invariant.
+Test / testForkedParallel := false
 run / fork := true
 // Pass forked run output through VERBATIM (no "[info] " line prefix):
 // the bench/verify harness tail-parses the JSON status line from run

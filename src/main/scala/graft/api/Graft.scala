@@ -357,9 +357,19 @@ object Graft {
     val v = raw.withColumn("__norm", norm)
       .filter(col("__norm") > 0)
       .select(col("vec_id"), transform(col("__v"), x => x / col("__norm")).as("__v"))
+    // k-row seed frame: partition by a constant-valued key so the
+    // (intentionally single-partition, metadata-scale) window doesn't
+    // raise WindowExec's "No Partition Defined" warning — a real
+    // unpartitioned window over data must stay the only thing that does.
+    // The key must be NON-FOLDABLE (xxhash64(col) & 0, not lit(0)):
+    // EliminateWindowPartitions folds literal partition keys right back
+    // to the unpartitioned form.
     var centroids = v.orderBy(col("vec_id")).limit(k)
       .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
+        (row_number().over(Window
+          .partitionBy(xxhash64(col("vec_id")).bitwiseAND(lit(0L)))
+          .orderBy(col("vec_id"))) - 1)
+          .cast(IntegerType))
       .select(col("cid"), col("__v").as("c_emb"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
@@ -542,11 +552,17 @@ object Graft {
       .filter(orderCol.isNotNull && !isnan(ordD))
       .select(ordD.as("__v"))
     // exact cumulative counts over the sample's DISTINCT values: the frame
-    // is ≤ sample-size rows, so the unpartitioned window is metadata-scale
+    // is ≤ sample-size rows, so the single-partition window is
+    // metadata-scale. The constant-valued partition key (non-foldable —
+    // EliminateWindowPartitions folds a bare literal away) keeps the plan
+    // identical while not tripping WindowExec's unpartitioned-window
+    // warning, which must stay reserved for real mistakes.
     val valCounts = sample.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val cum = valCounts
       .withColumn("__cum", sum(col("__c")).over(
-        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(xxhash64(col("__v")).bitwiseAND(lit(0L)))
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(valCounts.agg(sum(col("__c")).cast(DoubleType).as("__s"))))
     // value v is the boundary for every quantile cut j/buckets its
     // cumulative count crosses: cuts in (k_prev, k] where k = #cuts ≤ cum
@@ -640,14 +656,21 @@ object Graft {
     * re-expressed as a plain deterministic column.
     *
     * Built from codegen'd builtins (shift/and/or) only — no UDF; 2·bits
-    * terms fold into one whole-stage-codegen expression. Callers clamp
-    * coordinates into [0, 2^bits). */
+    * terms fold into one whole-stage-codegen expression. Each coordinate
+    * is masked to its low `bits` bits up front: callers are told to clamp
+    * into [0, 2^bits), but an unclamped NEGATIVE coordinate would
+    * otherwise sign-extend through the arithmetic shift and interleave
+    * garbage — the mask makes the key well-defined (mod 2^bits) for any
+    * input instead. */
   def zorderKey(x: Column, y: Column, bits: Int = 10): Column = {
     require(bits >= 1 && bits <= 31, s"bits in [1, 31], got $bits")
+    val mask = (1L << bits) - 1
+    val xm = x.cast(LongType).bitwiseAND(lit(mask))
+    val ym = y.cast(LongType).bitwiseAND(lit(mask))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(x.cast(LongType), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(y.cast(LongType), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_.bitwiseOR(_))
   }
@@ -668,7 +691,16 @@ object Graft {
     * (plus bloom false positives, bounded by `expectedItems` sizing; the
     * join itself removes them, so the result is exact either way).
     *
-    * Returns the pruned fact — callers still perform the join. */
+    * Returns the pruned fact — callers still perform the join.
+    *
+    * Caller contract: `dim`'s analyzed plan is embedded AS-IS inside the
+    * scalar subquery, and callers typically re-join the very same `dim`
+    * DataFrame afterwards, so the subquery and the outer join share
+    * attribute ids. Spark's subquery handling keeps them distinct in the
+    * join shapes this library uses (PlanSpec-pinned), but for exotic
+    * caller plans — e.g. a self-join where `fact` already embeds `dim`'s
+    * subtree — pass a FRESH `dim` (re-read the source, or rebuild the
+    * DataFrame) so the ids cannot alias. */
   def bloomPrune(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
       expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery, XxHash64, BloomFilterMightContain}

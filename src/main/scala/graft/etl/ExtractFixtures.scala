@@ -31,9 +31,17 @@ object ExtractFixtures {
 
   private val ready = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Path-derived tag safe for identifiers and dir names: hex MD5 prefix
+    * of the full path. (`math.abs(hashCode)` was wrong twice over:
+    * abs(Int.MinValue) is still negative, and two sfDir paths can collide
+    * — silently attaching a catalog table to another directory's data.) */
+  private def pathTag(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   private def root(sfDir: String): Path =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_extract_v2_${math.abs(sfDir.hashCode)}")
+      s"graft_extract_v2_${pathTag(sfDir)}")
 
   private def ensure(dir: Path)(write: => Unit): String = {
     ready.computeIfAbsent(dir.toString, { _ =>
@@ -148,7 +156,7 @@ object ExtractFixtures {
     * later JVM re-attaches the existing layout via CREATE TABLE …
     * CLUSTERED BY … LOCATION instead of rewriting it. */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String): (String, String) = {
-    val tag = math.abs(sfDir.hashCode).toString
+    val tag = pathTag(sfDir)
     (ensureBucketed(spark, sfDir, s"graft_orders_bkt_$tag", "orders_bucketed",
        Tables.orders(spark, sfDir), Tables.ordersSchema, "o_orderkey"),
      ensureBucketed(spark, sfDir, s"graft_lineitem_bkt_$tag", "lineitem_bucketed",

@@ -302,7 +302,9 @@ object SetOps {
       val terms = (0 until 10).flatMap(i => Seq(
         s"(((gx >> $i) & 1) << ${2 * i})",
         s"(((gy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
-      "WITH g AS (SELECT event_id, user_id % 1024 AS gx, " +
+      // ((x % m) + m) % m = Spark's pmod for any sign; DuckDB's bare `%`
+      // matches pmod only for non-negative user_id — don't rely on that
+      "WITH g AS (SELECT event_id, ((user_id % 1024) + 1024) % 1024 AS gx, " +
         "least(greatest(CAST(floor(value) AS BIGINT), 0), 1023) AS gy FROM events) " +
         s"SELECT event_id, gx, gy, $terms AS z FROM g " +
         "ORDER BY z, event_id LIMIT 200"
