@@ -432,10 +432,14 @@ object JoinOps {
     build = (spark, sfDir) => {
       val e = Tables.events(spark, sfDir)
         .select(col("user_id"), expr("nullif(event_type, 'click')").as("k"))
+      // the dim side renames its key: both frames derive from `e`, and
+      // u("k") <=> d("k") would resolve to ONE attribute (Spark's
+      // "trivially true equals predicate" warning, self-join ambiguity)
       val d = e.groupBy(col("k")).agg(count(lit(1)).as("n_events"))
+        .withColumnRenamed("k", "dk")
       val u = e.groupBy(col("user_id"), col("k")).agg(count(lit(1)).as("n_user"))
-      u.join(d, u("k") <=> d("k"))
-        .select(u("user_id"), u("k").as("k"), u("n_user"), d("n_events"))
+      u.join(d, col("k") <=> col("dk"))
+        .select(col("user_id"), col("k"), col("n_user"), col("n_events"))
         .orderBy(col("user_id"), col("k").asc_nulls_first)
     },
     oracle = Some(
