@@ -322,6 +322,32 @@ class PlanSpec extends SparkFixture {
       s"band join still nest-loops:\n$p")
   }
 
+  test("full inventory: zero CartesianProduct; BNLJ only at declared 1-row/cross sites") {
+    // PERF.md's shuffle audit as a permanent gate, not prose: an
+    // accidental non-equi join (the classic 100 TB killer) anywhere in
+    // the 148-query inventory fails the suite. BNLJ is tolerated ONLY
+    // where a side is a deliberate 1-row scalar frame (totals,
+    // thresholds, query vectors) or the query IS a declared cross join.
+    // qjoin_cross IS a declared cross join; every other entry cross-joins
+    // a deliberate ≤ k-row scalar frame (query vector, grand totals, bin
+    // bounds, sampled boundaries, vocab size, temperature weights) into a
+    // projection — the broadcast side is metadata, not data
+    val allowedBnlj = Set(
+      "qjoin_cross", "qagg_histogram", "qagg_skew", "qwin_ntile_dist",
+      "qllm_simsearch", "qllm_label_knn", "qllm_cos_neardup", "qllm_srp_lsh",
+      "qllm_ivf", "qllm_tfidf", "qllm_vocab", "qllm_surprisal",
+      "qllm_mix_temp", "qllm_ppl_bucket", "qllm_bigram_lm")
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(q.name)
+      if (cart) Some(s"${q.name}: CartesianProduct")
+      else if (bnlj) Some(s"${q.name}: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"unexpected non-equi join plans:\n${offenders.mkString("\n")}")
+  }
+
   test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {
     // the median/MAD/outlier branches all re-read the two value
     // histograms; without materialization the static plan duplicated the
