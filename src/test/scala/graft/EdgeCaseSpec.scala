@@ -270,6 +270,40 @@ class EdgeCaseSpec extends SparkFixture {
     } finally out.unpersist()
   }
 
+  test("anomalyZ matches an exact integer reference on signed values, ties, and solo keys") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic signed 2-decimal values (the fixture events are all
+    // non-negative — signs only get exercised here), plus exact ties
+    // (i % 50 collapses values) and two single-row keys
+    // mostly |v| < 100 with planted ±9999 spikes so real outliers exist
+    val cents = (0 until 500).map { i =>
+      if (i % 70 == 3) (if (i % 140 == 3) 999900L else -999900L)
+      else (math.sin((i % 50) * 13.7) * 9999).toLong
+    }
+    val rows = (0 until 500).map(i => (i.toLong, s"k${i % 7}", cents(i) / 100.0)) ++
+      Seq((9001L, "solo1", 42.42), (9002L, "solo2", -7.77))
+    val got = Graft.anomalyZ(rows.toDF("id", "k", "v"), col("id"), col("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // reference in pure integer units — the same math the query claims
+    def vi(v: Double): BigInt = BigInt(math.round(v * 100)) * 100
+    val byKey = rows.groupBy(_._2)
+    val want = rows.flatMap { case (id, k, v) =>
+      val g = byKey(k)
+      val n = BigInt(g.size)
+      val svi = g.map(r => vi(r._3)).sum
+      val svvi = g.map { r => val x = vi(r._3); x * x }.sum
+      val devi = n * vi(v) - svi
+      val di = n * svvi - svi * svi
+      if (devi * devi > 4 * di)
+        Some(id -> BigDecimal(devi.toDouble / math.sqrt(di.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.toMap
+    assert(got.nonEmpty && got == want,
+      s"${got.size} flagged vs ${want.size} expected; diff=${(got.toSet diff want.toSet).take(5)}")
+  }
+
   test("skew profiler: shares are descending, bounded, and skew factor >= 1") {
     val rows = graft.etl.Registry.byName("qagg_skew").build(spark, sfTiny).collect()
     assert(rows.length == 5)
