@@ -675,6 +675,25 @@ object Graft {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** The table-maintenance companion to [[zorderKey]] — the
+    * `OPTIMIZE ZORDER BY (x, y)` equivalent as a plain transformation:
+    * range-partition into `files` roughly equal z-ranges and sort within
+    * each, so every written file carries narrow min/max stats on BOTH
+    * coordinates and a 2-D box predicate prunes to the few files whose
+    * z-interval it intersects (PlanSpec measures the row-group skipping
+    * against a single-column layout). Write the result straight out:
+    * one file per partition, each one contiguous z-range. Combine with
+    * [[compact]]'s row-budget sizing by choosing
+    * `files = ceil(rows / targetRows)`. */
+  def zorderLayout(df: DataFrame, x: Column, y: Column, files: Int,
+      bits: Int = 10): DataFrame = {
+    require(files > 0, s"files must be positive, got $files")
+    df.withColumn("__graft_z", zorderKey(x, y, bits))
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+
   /** Semi-join reduction via an explicit bloom runtime filter: aggregate
     * `dim`'s join keys into one bloom filter (an ObjectHashAggregate whose
     * merge is a bitwise OR — order-independent, so the bits are

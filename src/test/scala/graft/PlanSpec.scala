@@ -379,8 +379,7 @@ class PlanSpec extends SparkFixture {
     try {
       val grid = spark.range(65536L).select(
         (col("id") % 256).as("gx"), (col("id") / 256).cast("long").as("gy"))
-      grid.withColumn("zkey", graft.api.Graft.zorderKey(col("gx"), col("gy"), bits = 8))
-        .repartitionByRange(64, col("zkey")).sortWithinPartitions(col("zkey"))
+      graft.api.Graft.zorderLayout(grid, col("gx"), col("gy"), files = 64, bits = 8)
         .write.mode("overwrite").parquet(s"$dir/zorder")
       grid.repartitionByRange(64, col("gx")).sortWithinPartitions(col("gx"))
         .write.mode("overwrite").parquet(s"$dir/linear")
