@@ -573,9 +573,14 @@ object Graft {
         least(lit(buckets - 1L),
           floor((col("__cum") - col("__c")) * buckets / col("__s")).cast(LongType)))
       .filter(col("__k") > col("__kprev"))
+    // ONE-row boundary frame: localCheckpoint so the two consumers of the
+    // bucketed output (per-bucket counts and the final rank join) don't
+    // each replay the whole sample→cum→marks subtree in the static plan
+    // (the qagg_mad treatment; this frame is ≤ `buckets` doubles)
     val boundsArr = marks
       .select(explode(expr("array_repeat(__v, CAST(__k - __kprev AS INT))")).as("__b"))
       .agg(sort_array(collect_list(col("__b"))).as("__bounds"))
+      .localCheckpoint()
     df.crossJoin(broadcast(boundsArr))
       .withColumn("__bucket",
         when(orderCol.isNull,
