@@ -555,4 +555,27 @@ class ApiSpec extends SparkFixture {
       assert(inBox == inRange, s"quadrant contiguity broken at ($x,$y)")
     }
   }
+
+  test("zorderKey: out-of-range coordinates are masked mod 2^bits, negatives included") {
+    val sp = spark
+    import sp.implicits._
+    val bits = 5
+    val mod = 1L << bits
+    // every input must produce the same key as its value mod 2^bits — a
+    // negative coordinate must NOT sign-extend through the shifts
+    val inputs = Seq(
+      (-1L, 0L), (0L, -1L), (-32L, -32L), (-7L, 40L),
+      (Long.MinValue, 3L), (33L, 64L), (Long.MaxValue, Long.MinValue))
+    val df = inputs.toDF("x", "y")
+      .withColumn("z_raw", Graft.zorderKey(col("x"), col("y"), bits))
+      .withColumn("z_mod",
+        Graft.zorderKey(pmod(col("x"), lit(mod)), pmod(col("y"), lit(mod)), bits))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"mask semantics broken at (${r.getLong(0)}, ${r.getLong(1)})")
+      // key stays within the 2*bits-bit range whatever the input
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << (2 * bits)))
+    }
+  }
 }
