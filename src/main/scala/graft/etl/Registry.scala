@@ -22,6 +22,7 @@ object Registry {
       ops.WindowOps.defs ++
       ops.SetOps.defs ++
       ops.ScalarOps.defs ++
+      ops.GraphOps.defs ++
       ops.LlmOps.defs ++
       ops.StreamOps.defs ++
       ops.UdfOps.defs ++

@@ -1,0 +1,193 @@
+package graft.etl.ops
+
+import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.L graph analytics over the co-purchase graph.
+  *
+  * The graph: parts are nodes; an undirected edge connects two parts that
+  * appear in the same order (distinct (order, part) first, then per-order
+  * pairing with `src < dst` as the canonical orientation). This is the
+  * web-graph shape of a crawl pipeline (PageRank-style quality scoring of
+  * crawl sources, link-farm detection via clustering coefficients) mapped
+  * onto the fixture star schema.
+  *
+  * Scale:
+  *   - Edge derivation: per-order pair fanout is bounded by lines-per-order
+  *     (≤ 7 in the TPC-H shape; a df-cap on order size — the
+  *     `jaccardCandidates` pattern — bounds it under skew), and the
+  *     `distinct` on (order, part) runs BEFORE pairing, so the pair join
+  *     shuffles keys, never payloads.
+  *   - Degree / PageRank iterate keyed shuffles of (node, long) pairs only;
+  *     at 100 TB the edge table would be bucketed by `src` so every
+  *     iteration reuses the layout and shuffles nothing but the rank column.
+  *   - Triangle counting runs on a declared subgraph (p_size < 10 — the
+  *     filter pushes to the part scan) with the `a < b < c` orientation
+  *     bounding wedge fanout by ORIENTED degree; the production-scale
+  *     refinement (orient low-degree → high-degree so hubs never fan out)
+  *     keeps the same plan shape.
+  *
+  * Determinism (§2.1): every metric is integer arithmetic (counts, `div`) or
+  * a single IEEE division of exact integers — no fp accumulation anywhere.
+  * PageRank runs in integer micro-units (total mass 10^12) with truncating
+  * division on BOTH engines, so 3 unrolled iterations are bit-exact.
+  */
+object GraphOps {
+
+  /** Canonical (src < dst) co-purchase edges, distinct. */
+  private def edges(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.select(col("ok"), col("pk").as("src"))
+      .join(lp.select(col("ok").as("ok2"), col("pk").as("dst")),
+        col("ok") === col("ok2") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  private val edgesCte =
+    "lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM lp a " +
+      "JOIN lp b ON a.ok = b.ok AND a.pk < b.pk)"
+
+  /** Degree distribution: per-node degree bucketed by 10. Degrees come from
+    * exploding each undirected edge to both endpoints (edges are distinct,
+    * so no double count); the histogram is metadata-scale output however
+    * large the graph. */
+  private val qgraphDegree = QueryDef(
+    "qgraph_degree",
+    build = (spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      val deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("degree"))
+      deg.groupBy(expr("degree div 10").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          min(col("degree")).as("min_degree"),
+          max(col("degree")).as("max_degree"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(
+      s"WITH $edgesCte, " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) both_ends GROUP BY v) " +
+        "SELECT degree // 10 AS bucket, CAST(count(*) AS BIGINT) AS n_parts, " +
+        "min(degree) AS min_degree, max(degree) AS max_degree " +
+        "FROM deg GROUP BY degree // 10 ORDER BY bucket"))
+
+  /** Triangle census on the p_size < 10 subgraph: triangle count via the
+    * oriented 3-way self-join (a < b < c enumerates each triangle exactly
+    * once), wedge count from degrees (Σ d·(d−1)/2 — exact integers), and the
+    * global clustering coefficient 3·triangles/wedges as ONE IEEE division
+    * of exact integers. */
+  private val qgraphTriangles = QueryDef(
+    "qgraph_triangles",
+    build = (spark, sfDir) => {
+      val small = Tables.part(spark, sfDir)
+        .filter(col("p_size") < 10)
+        .select(col("p_partkey"))
+      val e = edges(spark, sfDir)
+        .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
+        .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+        .join(e.select(col("src").as("b2"), col("dst").as("c")), col("b") === col("b2"))
+        .select(col("a"), col("b"), col("c"))
+      val tri = wedges
+        .join(e.select(col("src").as("a2"), col("dst").as("c2")),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("degree"))
+      val stats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(degree * (degree - 1) div 2)").as("n_wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      nEdges.crossJoin(stats).crossJoin(tri)
+        .withColumn("global_cc",
+          when(col("n_wedges") > 0,
+            (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double")))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"), col("global_cc"))
+    },
+    oracle = Some(
+      "WITH small AS (SELECT p_partkey FROM part WHERE p_size < 10), " +
+        "lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM lp a " +
+        "JOIN lp b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "e AS (SELECT src, dst FROM e0 " +
+        "WHERE src IN (SELECT p_partkey FROM small) AND dst IN (SELECT p_partkey FROM small)), " +
+        "tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 " +
+        "JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e) both_ends GROUP BY v), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg), " +
+        "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) " +
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+        "CASE WHEN n_wedges > 0 THEN CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) END AS global_cc " +
+        "FROM ne CROSS JOIN st CROSS JOIN tri"))
+
+  /** 3-iteration PageRank (damping 0.85) in exact integer micro-units:
+    * total mass 10^12, per-node share and every contribution computed with
+    * truncating integer division — identical on both engines, so the ranks
+    * are bit-exact with no fp anywhere. Per iteration: one keyed join of
+    * the directed edge list to the rank table + one keyed aggregate — the
+    * two-shuffle loop body a bucketed layout would reduce to rank-only
+    * shuffles at 100 TB. Top-20 by (rank desc, node) via TakeOrdered. */
+  private val qgraphPagerank = QueryDef(
+    "qgraph_pagerank",
+    build = (spark, sfDir) => {
+      val e = edges(spark, sfDir)
+      val dir = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val dird = dir.join(deg, Seq("src"))
+      val nRow = deg.agg(count(lit(1)).as("n"))
+      // every node appears in deg (symmetric graph: in-degree == out-degree
+      // > 0), so deg doubles as the node list and nothing dangles. Each
+      // frame below renames through fresh aliases so the rank table never
+      // shares attribute ids with the edge subtree it joins (self-join
+      // ambiguity guard).
+      val nodes = deg.select(col("src").as("v")).crossJoin(broadcast(nRow))
+      var pr = nodes.select(col("v"), expr("1000000000000 div n").as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = dird
+          .join(pr, dird("src") === pr("v"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("dst").as("cv"), col("s"))
+        pr = nodes
+          .join(contrib, col("v") === col("cv"), "left")
+          .select(
+            col("v"),
+            (expr("(15 * (1000000000000 div n)) div 100") +
+              expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("v")).limit(20)
+    },
+    oracle = Some {
+      def iter(prev: String, out: String): String =
+        s"c$out AS (SELECT d.dst AS cv, sum($prev.pr // deg.deg) AS s FROM d " +
+          s"JOIN $prev ON d.src = $prev.v JOIN deg ON d.src = deg.src GROUP BY d.dst), " +
+          s"$out AS (SELECT nodes.v, (15 * (1000000000000 // n)) // 100 + " +
+          s"(85 * COALESCE(c$out.s, 0)) // 100 AS pr " +
+          s"FROM nodes LEFT JOIN c$out ON nodes.v = c$out.cv)"
+      s"WITH $edgesCte, " +
+        "d AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY src), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg), " +
+        "nodes AS (SELECT src AS v, n FROM deg CROSS JOIN nn), " +
+        "p0 AS (SELECT v, 1000000000000 // n AS pr FROM nodes), " +
+        iter("p0", "p1") + ", " + iter("p1", "p2") + ", " + iter("p2", "p3") + " " +
+        "SELECT v, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY pr DESC, v LIMIT 20"
+    })
+
+  def defs: Seq[QueryDef] = Seq(qgraphDegree, qgraphTriangles, qgraphPagerank)
+}

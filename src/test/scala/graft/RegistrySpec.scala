@@ -36,7 +36,7 @@ class RegistrySpec extends SparkFixture {
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val surveyKeys =
       ("`(q(?:scan|sink|filter|project|join|agg|win|sort|set|dedup|str|date|math|json|array|map" +
-        "|explode|llm|stream|udf|udaf|udtf|mm)_[a-z0-9_]+)`").r
+        "|explode|llm|stream|udf|udaf|udtf|mm|graph)_[a-z0-9_]+)`").r
         .findAllMatchIn(survey).map(_.group(1)).toSet
     val registryKeys = Registry.all.map(_.name).toSet
     assert(registryKeys.subsetOf(surveyKeys),
