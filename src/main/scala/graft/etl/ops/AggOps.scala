@@ -794,10 +794,46 @@ object AggOps {
     },
     oracle = None)
 
+  /** Frequent-pair mining (market basket over event types): users who
+    * exhibit BOTH behaviors, per unordered type pair, with exact support.
+    *
+    * Scale: the `distinct` on (user, type) runs BEFORE pairing, so the
+    * per-user pair fanout is bounded by |types| choose 2 (a small domain),
+    * never by the user's raw event count — the same distinct-first shape
+    * as the co-purchase edge derivation (§2.L). Support = one IEEE
+    * division of exact integer counts → bit-identical doubles. */
+  private val qaggFreqpairs = QueryDef(
+    "qagg_freqpairs",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val ut = ev.select(col("user_id"), col("event_type")).distinct()
+      val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id").as("u2"), col("event_type").as("type_b")),
+          col("user_id") === col("u2") && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+      val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
+      pairs.crossJoin(broadcast(total))
+        .select(col("type_a"), col("type_b"), col("n_users"),
+          (col("n_users").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("support"))
+        .orderBy(col("n_users").desc, col("type_a"), col("type_b"))
+    },
+    oracle = Some(
+      "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM events) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS support " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "CROSS JOIN tot " +
+        "GROUP BY a.event_type, b.event_type, n_total " +
+        "ORDER BY n_users DESC, type_a, type_b"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
-    qaggMad, qaggBitwise, qaggOhlc, qaggCms)
+    qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs)
 }

@@ -554,9 +554,64 @@ object JoinOps {
         "WHERE c_nationkey = 3 " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"))
 
+  /** Grid-binned 2-D spatial containment join — the geospatial sibling of
+    * the 1-D band bin (`qjoin_range_binned`) and the interval bin
+    * (`qjoin_interval`): points (derived from events) counted per query
+    * box (derived from nation). Each BOX replicates to every grid cell it
+    * covers (16×64 cells; a box spans ≤ 2×2 of them), each POINT maps to
+    * exactly ONE cell, the join is EQUI on (cx, cy) with exact containment
+    * as residual — a point meets a box in at most one cell, so no
+    * post-join dedup is needed. At 100 TB the cell-replicated box table is
+    * the broadcast side and no point is ever shuffled for a cell no box
+    * covers; the oracle runs the PLAIN containment theta-join (binned ≡
+    * naive is the point being proven). All coordinates are non-negative
+    * integers (user_id mod + floor of a non-negative value), so truncating
+    * and flooring division agree and `%` matches across engines. Boxes
+    * with no points surface with zero counts via the final left join. */
+  private val qjoinSpatialGrid = QueryDef(
+    "qjoin_spatial_grid",
+    build = (spark, sfDir) => {
+      val boxes = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").cast(LongType).as("box_id"))
+        .withColumn("x0", (col("box_id") * 7) % 80)
+        .withColumn("y0", (col("box_id") * 37) % 500)
+        .withColumn("x1", col("x0") + 15)
+        .withColumn("y1", col("y0") + 60)
+      val cellBoxes = boxes
+        .withColumn("cx", explode(expr("sequence(x0 div 16, x1 div 16)")))
+        .withColumn("cy", explode(expr("sequence(y0 div 64, y1 div 64)")))
+      val pts = Tables.events(spark, sfDir)
+        .select(col("user_id"), (col("user_id") % 100).as("px"),
+          floor(col("value")).as("py"))
+        .withColumn("cx", expr("px div 16"))
+        .withColumn("cy", expr("py div 64"))
+      val hits = pts.join(broadcast(cellBoxes), Seq("cx", "cy"))
+        .filter(col("px").between(col("x0"), col("x1")) &&
+          col("py").between(col("y0"), col("y1")))
+        .groupBy(col("box_id"))
+        .agg(count(lit(1)).as("np"), countDistinct(col("user_id")).as("nu"))
+      boxes.select(col("box_id"))
+        .join(hits, Seq("box_id"), "left")
+        .select(col("box_id"),
+          coalesce(col("np"), lit(0L)).as("n_points"),
+          coalesce(col("nu"), lit(0L)).as("n_users"))
+        .orderBy(col("box_id"))
+    },
+    oracle = Some(
+      "WITH boxes AS (SELECT CAST(n_nationkey AS BIGINT) AS box_id, " +
+        "(CAST(n_nationkey AS BIGINT) * 7) % 80 AS x0, " +
+        "(CAST(n_nationkey AS BIGINT) * 37) % 500 AS y0 FROM nation), " +
+        "b2 AS (SELECT box_id, x0, y0, x0 + 15 AS x1, y0 + 60 AS y1 FROM boxes), " +
+        "pts AS (SELECT user_id, user_id % 100 AS px, CAST(floor(value) AS BIGINT) AS py FROM events) " +
+        "SELECT b2.box_id, CAST(count(pts.user_id) AS BIGINT) AS n_points, " +
+        "CAST(count(DISTINCT pts.user_id) AS BIGINT) AS n_users " +
+        "FROM b2 LEFT JOIN pts ON pts.px BETWEEN b2.x0 AND b2.x1 " +
+        "AND pts.py BETWEEN b2.y0 AND b2.y1 " +
+        "GROUP BY b2.box_id ORDER BY box_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
     qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval,
-    qjoinBucketed, qjoinBloom)
+    qjoinBucketed, qjoinBloom, qjoinSpatialGrid)
 }

@@ -1436,5 +1436,50 @@ object LlmOps {
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
-    qllmBpePairs)
+    qllmBpePairs, qllmNovelty)
+
+  /** Per-document n-gram NOVELTY — what fraction of a doc's content is
+    * first seen in IT rather than any earlier document (doc_id order =
+    * ingestion order): the marginal-contribution score a curation pipeline
+    * uses to rank candidate sources, the soft complement of hard dedup.
+    * A gram's "owner" is min(doc_id) over the docs containing it; a doc's
+    * novelty is the fraction of its distinct 5-grams it owns.
+    *
+    * Scale: grams are hashed to longs before any shuffle (the
+    * qllm_decontam trick — the string-side oracle agrees modulo 2⁻⁶⁴
+    * collisions); per-doc distinct runs map-side via array_distinct; the
+    * min-owner aggregate and the join back are both keyed on the gram
+    * hash. Novelty = one IEEE division of exact integer counts. */
+  private val qllmNovelty = QueryDef(
+    "qllm_novelty",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+      val grams = docs.select(col("doc_id"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 4), i -> xxhash64(array_join(slice(w, i, 5), ' '))))"))
+          .as("g"))
+      val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(owner, "g")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents), " +
+        "raw AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4), " +
+        "i -> array_to_string(w[i:i+4], ' '))) AS g FROM d WHERE len(w) >= 5), " +
+        "g AS (SELECT DISTINCT doc_id, g FROM raw), " +
+        "f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS novelty " +
+        "FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY doc_id"))
 }

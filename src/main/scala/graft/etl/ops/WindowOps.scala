@@ -443,8 +443,61 @@ object WindowOps {
         "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd " +
         "FROM events ORDER BY event_id"))
 
+  /** Rolling OLS regression slope (trailing 10 events) — the local-trend
+    * feature of a time-series pipeline. x = per-user event index
+    * (row_number), y = value in exact scale-4 integer units (the
+    * qwin_anomaly trick); the five moments n, Σx, Σy, Σxy, Σx² are INTEGER
+    * sums over the 10-row frame, so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is
+    * ONE IEEE division of exact integers → bit-identical doubles, no
+    * rounding step. The denominator is positive whenever n ≥ 2 (x values
+    * are distinct by construction); single-row windows emit NULL.
+    *
+    * Cross-engine exactness bound: every moment product must stay below
+    * 2^53 so the BIGINT→DOUBLE casts are exact on both engines — holds
+    * through x ~ 10^5 per key at scale-4 units ≤ 10^7; beyond that, carry
+    * the moments as DECIMAL(38,0) and route the division through VARCHAR
+    * (the qagg_corr pattern). Scale: ONE partitioned sorted window — the
+    * row_number and all five frame sums share a single sort, no joins. */
+  private val qwinSlope = QueryDef(
+    "qwin_slope",
+    build = (spark, sfDir) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val frame = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
+        .withColumn("rn", row_number().over(ord))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(frame).as("n"),
+          sum(col("rn")).over(frame).as("sx"),
+          sum(col("vi")).over(frame).as("sy"),
+          sum(col("rn") * col("vi")).over(frame).as("sxy"),
+          sum(col("rn") * col("rn")).over(frame).as("sxx"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("n"),
+          when(col("n") >= 2,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+            .as("slope"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "x AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM b), " +
+        "m AS (SELECT event_id, user_id, ts_us, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n, " +
+        "CAST(sum(rn) OVER w AS BIGINT) AS sx, " +
+        "CAST(sum(vi) OVER w AS BIGINT) AS sy, " +
+        "CAST(sum(rn * vi) OVER w AS BIGINT) AS sxy, " +
+        "CAST(sum(rn * rn) OVER w AS BIGINT) AS sxx " +
+        "FROM x WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, ts_us, n, " +
+        "CASE WHEN n >= 2 THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope " +
+        "FROM m ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak, qwinAnomaly, qwinEma, qwinDist)
+    qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope)
 }
