@@ -336,7 +336,11 @@ class PlanSpec extends SparkFixture {
       "qjoin_cross", "qagg_histogram", "qagg_skew", "qwin_ntile_dist",
       "qllm_simsearch", "qllm_label_knn", "qllm_cos_neardup", "qllm_srp_lsh",
       "qllm_ivf", "qllm_tfidf", "qllm_vocab", "qllm_surprisal",
-      "qllm_mix_temp", "qllm_ppl_bucket", "qllm_bigram_lm")
+      "qllm_mix_temp", "qllm_ppl_bucket", "qllm_bigram_lm",
+      // round 7: 1-row scalar frames again — distinct-user total
+      // (freqpairs), node-count mass base (pagerank), triangle/wedge/edge
+      // census rows (triangles)
+      "qagg_freqpairs", "qgraph_pagerank", "qgraph_triangles")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
