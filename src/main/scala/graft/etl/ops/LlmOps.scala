@@ -1436,7 +1436,47 @@ object LlmOps {
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
-    qllmBpePairs, qllmNovelty)
+    qllmBpePairs, qllmNovelty, qllmRouge2)
+
+  /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
+    * computation a data pipeline runs at corpus scale (summary-vs-source
+    * or candidate-vs-reference scoring), expressed over distinct word
+    * bigrams: precision = overlap/|A|, recall = overlap/|B|,
+    * F1 = 2·overlap/(|A|+|B|). Pairs come from the SAME df-capped
+    * posting-list inverted index as qllm_ngram_jaccard (hashed shingles,
+    * no text in shuffles, never all-pairs); every metric is one IEEE
+    * division of exact integer counts → bit-identical doubles. */
+  private val qllmRouge2 = QueryDef(
+    "qllm_rouge2",
+    build = (spark, sfDir) => {
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+          (col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType)).as("rouge2_p"),
+          (col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType)).as("rouge2_r"),
+          ((col("n_common") * 2).cast(DoubleType) /
+            (col("n_a") + col("n_b")).cast(DoubleType)).as("rouge2_f1"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b, " +
+        "CAST(n_common AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) AS rouge2_p, " +
+        "CAST(n_common AS DOUBLE) / CAST(cb.n_sh AS DOUBLE) AS rouge2_r, " +
+        "CAST(n_common * 2 AS DOUBLE) / CAST(ca.n_sh + cb.n_sh AS DOUBLE) AS rouge2_f1 " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 4 >= ca.n_sh + cb.n_sh - n_common " +
+        "ORDER BY doc_a, doc_b"))
 
   /** Per-document n-gram NOVELTY — what fraction of a doc's content is
     * first seen in IT rather than any earlier document (doc_id order =

@@ -263,7 +263,43 @@ object ScanOps {
         "min(md5(text)) AS min_md5, max(md5(text)) AS max_md5 " +
         "FROM documents GROUP BY c ORDER BY c"))
 
+  /** Correlated-subquery surface — the SQL-text entry point (SURVEY §3.2)
+    * exercising Catalyst's RewriteCorrelatedScalarSubquery + exists→semi
+    * decorrelation (§4): customers strictly above their own nation's
+    * average balance, in nations carrying at least one negative-balance
+    * customer. The average compare is multiplied through by the (always
+    * positive) member count so both sides stay EXACT decimals — no
+    * division, no fp, engine-independent. Catalyst decorrelates both
+    * subqueries into per-nation aggregates + equi-joins, so the executed
+    * plan is the same keyed-shuffle shape a hand-written join would give —
+    * declared here precisely to pin that the declarative form pays no
+    * nested-loop penalty (the full-inventory BNLJ audit covers it). */
+  private val qfilterSubquery = QueryDef(
+    "qfilter_subquery",
+    build = (spark, sfDir) => {
+      Tables.customer(spark, sfDir).createOrReplaceTempView("graft_sub_customer")
+      spark.sql(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM graft_sub_customer c " +
+          "WHERE CAST(c_acctbal AS DECIMAL(12,4)) * (SELECT COUNT(*) FROM graft_sub_customer c2 " +
+          "WHERE c2.c_nationkey = c.c_nationkey) > " +
+          "(SELECT SUM(CAST(c_acctbal AS DECIMAL(12,4))) FROM graft_sub_customer c3 " +
+          "WHERE c3.c_nationkey = c.c_nationkey) " +
+          "AND EXISTS (SELECT 1 FROM graft_sub_customer c4 " +
+          "WHERE c4.c_nationkey = c.c_nationkey AND c4.c_acctbal < 0) " +
+          "ORDER BY c_custkey")
+    },
+    oracle = Some(
+      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer c " +
+        "WHERE CAST(c_acctbal AS DECIMAL(12,4)) * (SELECT COUNT(*) FROM customer c2 " +
+        "WHERE c2.c_nationkey = c.c_nationkey) > " +
+        "(SELECT SUM(CAST(c_acctbal AS DECIMAL(12,4))) FROM customer c3 " +
+        "WHERE c3.c_nationkey = c.c_nationkey) " +
+        "AND EXISTS (SELECT 1 FROM customer c4 " +
+        "WHERE c4.c_nationkey = c.c_nationkey AND c4.c_acctbal < 0) " +
+        "ORDER BY c_custkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qscanOrc, qscanText, qscanEvolution, qsinkPartitioned, qfilterPredicates, qprojectExpr)
+    qscanOrc, qscanText, qscanEvolution, qsinkPartitioned, qfilterPredicates,
+    qprojectExpr, qfilterSubquery)
 }
