@@ -90,10 +90,16 @@ object GraphOps {
       val small = Tables.part(spark, sfDir)
         .filter(col("p_size") < 10)
         .select(col("p_partkey"))
+      // The filtered edge set feeds THREE consumers (wedge join left side,
+      // triangle-closing join, degree explode); materialize it once instead
+      // of re-running the distinct + order self-join + two broadcast filters
+      // per consumer — at 100 TB this is "stage the subgraph to fast storage
+      // before the multi-pass census", the standard triangle-counting shape.
       val e = edges(spark, sfDir)
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
+        .localCheckpoint()
       val wedges = e.select(col("src").as("a"), col("dst").as("b"))
         .join(e.select(col("src").as("b2"), col("dst").as("c")), col("b") === col("b2"))
         .select(col("a"), col("b"), col("c"))
@@ -144,9 +150,20 @@ object GraphOps {
   private val qgraphPagerank = QueryDef(
     "qgraph_pagerank",
     build = (spark, sfDir) => {
+      // Materialize the degree-annotated directed edge list ONCE: the three
+      // unrolled iterations each reference `dird` and `nodes`, and without a
+      // checkpoint every iteration's subtree re-derives the distinct +
+      // self-join edge pipeline (ReusedExchange only dedups identical
+      // exchanges within one stage graph, not the full scan+join chain).
+      // At 100 TB this is the canonical PageRank layout: stage the adjacency
+      // list bucketed by src once, then iterate rank-only shuffles over it.
+      // `deg` is checkpointed too — it doubles as the node list and appears
+      // in every iteration's dangling-mass left join.
       val e = edges(spark, sfDir)
       val dir = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       val dird = dir.join(deg, Seq("src"))
       val nRow = deg.agg(count(lit(1)).as("n"))
       // every node appears in deg (symmetric graph: in-degree == out-degree
