@@ -206,5 +206,67 @@ object GraphOps {
         "SELECT v, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY pr DESC, v LIMIT 20"
     })
 
-  def defs: Seq[QueryDef] = Seq(qgraphDegree, qgraphTriangles, qgraphPagerank)
+  /** k-core peeling (k=100, 3 unrolled rounds): repeatedly drop nodes of
+    * degree < k and the edges touching them; emit (round, n_nodes,
+    * n_edges) after 0..3 peels. The co-purchase graph's mean degree is
+    * ~115 at every SF (edges/nodes is set by lines-per-order, not scale),
+    * so k=100 peels a real shell each round and the graph collapses by
+    * round 3 — the census shape a link-farm / dense-community detector
+    * runs before clustering.
+    *
+    * Scale: each round is one degree aggregate plus two key-only
+    * semi-joins of the edge list against the (node) keep-set, all keyed
+    * shuffles — the textbook distributed k-core loop. The shrinking edge
+    * frame is localCheckpoint'ed per round (the dedupClusters pattern) so
+    * round r+1 reads round r's materialization instead of replaying the
+    * whole peel chain; at 100 TB each round's edge set would stage to the
+    * cluster store bucketed by src for the same reason. Output is 4
+    * integer-only rows regardless of graph size. */
+  private val qgraphKcore = QueryDef(
+    "qgraph_kcore",
+    build = (spark, sfDir) => {
+      val k = 100
+      def summary(ecur: DataFrame, round: Int): DataFrame = {
+        val nodes = ecur.select(col("src").as("v"))
+          .unionAll(ecur.select(col("dst").as("v")))
+          .agg(count_distinct(col("v")).as("n_nodes"))
+        val nEdges = ecur.agg(count(lit(1)).as("n_edges"))
+        nodes.crossJoin(nEdges).select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      var ecur = edges(spark, sfDir).localCheckpoint()
+      var out = Seq(summary(ecur, 0))
+      for (r <- 1 to 3) {
+        val keep = ecur.select(col("src").as("v"))
+          .unionAll(ecur.select(col("dst").as("v")))
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("v"))
+        ecur = ecur
+          .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        out = out :+ summary(ecur, r)
+      }
+      out.reduce(_ unionAll _).orderBy(col("round"))
+    },
+    oracle = Some {
+      def peel(prev: String, out: String): String =
+        s"k$out AS (SELECT v FROM (SELECT src AS v FROM $prev UNION ALL " +
+          s"SELECT dst AS v FROM $prev) t GROUP BY v HAVING count(*) >= 100), " +
+          s"$out AS (SELECT e.src, e.dst FROM $prev e " +
+          s"JOIN k$out a ON e.src = a.v JOIN k$out b ON e.dst = b.v)"
+      def row(tab: String, r: Int): String =
+        s"SELECT $r AS round, " +
+          s"(SELECT CAST(count(DISTINCT v) AS BIGINT) FROM " +
+          s"(SELECT src AS v FROM $tab UNION ALL SELECT dst AS v FROM $tab) t) AS n_nodes, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM $tab) AS n_edges"
+      s"WITH $edgesCte, " +
+        peel("e", "e1") + ", " + peel("e1", "e2") + ", " + peel("e2", "e3") + " " +
+        row("e", 0) + " UNION ALL " + row("e1", 1) + " UNION ALL " +
+        row("e2", 2) + " UNION ALL " + row("e3", 3) + " ORDER BY round"
+    })
+
+  def defs: Seq[QueryDef] = Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore)
 }

@@ -496,8 +496,59 @@ object WindowOps {
         "CASE WHEN n >= 2 THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope " +
         "FROM m ORDER BY event_id"))
 
+  /** One-sided CUSUM change-point detection per user (drift K=60.00,
+    * threshold H=300.00): the classic S_i = max(0, S_{i-1} + (x_i − K))
+    * recursion looks inherently sequential, but has the closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) over the drift-adjusted prefix sum
+    * P — two stacked running windows on ONE per-user sort, no recursion,
+    * no UDF. Values go through the scale-4 integer trick (exact: fixture
+    * values carry ≤ 2 decimals), so prefix sums, running mins and the
+    * alarm predicate S > H are all BIGINT arithmetic — bit-identical
+    * cross-engine, no fp drift over arbitrarily long histories.
+    *
+    * Output is a per-user summary (alarm count, peak statistic, first
+    * alarm position), so result size is |users| however long the event
+    * history. Scale: the window partitions by user — bounded by per-user
+    * event count, the same contract every per-entity timeline op here
+    * carries; the final aggregate is partial-aggregable. Long-range
+    * bound: |P| grows ≤ 5·10⁶/event, so 10¹¹ events per user fit long. */
+  private val qwinCusum = QueryDef(
+    "qwin_cusum",
+    build = (spark, sfDir) => {
+      val kDrift = 600000L  // 60.00 in scale-4 units
+      val hAlarm = 3000000L // 300.00 in scale-4 units
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("pre", sum(col("vi") - lit(kDrift)).over(run))
+        .withColumn("cusum", col("pre") - least(lit(0L), min(col("pre")).over(run)))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("cusum") > hAlarm, 1L).otherwise(0L)).as("n_alarms"),
+          max(col("cusum")).as("max_cusum"),
+          min(when(col("cusum") > hAlarm, col("rn"))).as("first_alarm_rn"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "x AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM b), " +
+        "p AS (SELECT *, CAST(sum(vi - 600000) OVER w AS BIGINT) AS pre FROM x " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s AS (SELECT *, pre - least(0, min(pre) OVER w) AS cusum FROM p " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(count(*) FILTER (WHERE cusum > 3000000) AS BIGINT) AS n_alarms, " +
+        "max(cusum) AS max_cusum, min(rn) FILTER (WHERE cusum > 3000000) AS first_alarm_rn " +
+        "FROM s GROUP BY user_id ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope)
+    qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum)
 }

@@ -357,6 +357,50 @@ class EdgeCaseSpec extends SparkFixture {
     assert(out == Set(2L)) // the 2-word doc has no 3-grams and no row
   }
 
+  test("cusum closed form equals the sequential max(0, S+d) recursion, negatives included") {
+    // qwin_cusum relies on S_i = P_i - min(0, min_{j<=i} P_j); validate the
+    // identity against the direct recursion on a series that exercises
+    // resets (deep negative runs), immediate alarms, and a P that dips
+    // below zero before its running min does.
+    val xs = Seq(5L, -9L, 3L, 4L, -20L, 7L, 7L, -1L, 30L, -50L, 2L)
+    val direct = xs.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val sp = spark
+    import sp.implicits._
+    val d = xs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("rn", "d")
+    val run = Window.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val closed = d
+      .withColumn("pre", sum(col("d")).over(run))
+      .withColumn("s", col("pre") - least(lit(0L), min(col("pre")).over(run)))
+      .orderBy(col("rn")).collect().map(_.getAs[Long]("s")).toSeq
+    assert(closed == direct)
+  }
+
+  test("kcore peel summary is monotone and every survivor keeps degree >= k") {
+    // tiny handcrafted graph: a K5 clique (every degree 4) plus a pendant
+    // chain 10-11-12 hanging off node 1. k=3 must peel the chain in two
+    // rounds and leave the clique intact forever.
+    val sp = spark
+    import sp.implicits._
+    val clique = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val e0 = (clique ++ Seq((1L, 10L), (10L, 11L), (11L, 12L))).toDF("src", "dst")
+    def peel(e: org.apache.spark.sql.DataFrame, k: Int) = {
+      val keep = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg")).filter(col("deg") >= k).select("v")
+      e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")) // using-column joins move the key first
+    }
+    val e1 = peel(e0, 3); val e2 = peel(e1, 3); val e3 = peel(e2, 3)
+    // chain degrees in e0 are 10->2, 11->2, 12->1: all below k, so every
+    // chain edge drops in round 1 and only the clique's 10 edges remain
+    assert(e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == clique.toSet)
+    assert(e2.count() == 10 && e3.count() == 10) // K5 is a fixed point of the 3-core peel
+    val deg = e3.select(col("src").as("v")).unionAll(e3.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")).collect()
+    assert(deg.forall(_.getAs[Long]("deg") >= 3))
+  }
+
   test("valueBuckets: null values join null-safely and land in bucket 0 (nulls-first order)") {
     val sp = spark
     import sp.implicits._

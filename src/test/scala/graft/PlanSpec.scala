@@ -340,7 +340,9 @@ class PlanSpec extends SparkFixture {
       // round 7: 1-row scalar frames again — distinct-user total
       // (freqpairs), node-count mass base (pagerank), triangle/wedge/edge
       // census rows (triangles)
-      "qagg_freqpairs", "qgraph_pagerank", "qgraph_triangles")
+      "qagg_freqpairs", "qgraph_pagerank", "qgraph_triangles",
+      // kcore: per-round (n_nodes × n_edges) 1-row census rows
+      "qgraph_kcore")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
