@@ -830,10 +830,62 @@ object AggOps {
         "GROUP BY a.event_type, b.event_type, n_total " +
         "ORDER BY n_users DESC, type_a, type_b"))
 
+  /** Weighted quantiles (p25/median/p75 of extended price, weighted by
+    * quantity) per return flag — the sample-weighting primitive of a
+    * training-mix pipeline (each record carries a weight; quantiles must
+    * respect it, not row counts). Definition: q-th weighted quantile =
+    * MIN value v with cumweight(v)·100 ≥ q·totweight — pure integer
+    * predicates on exact scale-0 weights (fixture quantities are whole
+    * numbers; the d124 cast + LongType pin makes that explicit).
+    *
+    * Scale: the cumulative frame is VALUE-aggregated (the qagg_percentile
+    * trick — groupBy (flag, price) first), so the window sorts distinct
+    * prices per flag, never raw rows; the quantile picks are conditional
+    * mins over that frame — no collect, no per-key array. */
+  private val qaggWquantile = QueryDef(
+    "qagg_wquantile",
+    build = (spark, sfDir) => {
+      val vw = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          d124(col("l_extendedprice")).as("price"),
+          d124(col("l_quantity")).cast(LongType).as("w"))
+        .groupBy(col("flag"), col("price"))
+        .agg(sum(col("w")).as("cw"))
+      val cum = Window.partitionBy(col("flag")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("flag"))
+      val frame = vw
+        .withColumn("cum", sum(col("cw")).over(cum))
+        .withColumn("tot", sum(col("cw")).over(tot))
+      frame.groupBy(col("flag"))
+        .agg(
+          max(col("tot")).as("total_weight"),
+          min(when(col("cum") * 100 >= col("tot") * 25, col("price"))).as("wq25"),
+          min(when(col("cum") * 100 >= col("tot") * 50, col("price"))).as("wq50"),
+          min(when(col("cum") * 100 >= col("tot") * 75, col("price"))).as("wq75"))
+        .select(col("flag"), col("total_weight"),
+          decStr(col("wq25")).as("w_p25"),
+          decStr(col("wq50")).as("w_median"),
+          decStr(col("wq75")).as("w_p75"))
+        .orderBy(col("flag"))
+    },
+    oracle = Some(
+      "WITH vw AS (SELECT l_returnflag AS flag, CAST(l_extendedprice AS DECIMAL(12,4)) AS price, " +
+        "CAST(CAST(l_quantity AS DECIMAL(12,4)) AS BIGINT) AS w FROM lineitem), " +
+        "g AS (SELECT flag, price, CAST(sum(w) AS BIGINT) AS cw FROM vw GROUP BY flag, price), " +
+        "c AS (SELECT *, CAST(sum(cw) OVER (PARTITION BY flag ORDER BY price " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(cw) OVER (PARTITION BY flag) AS BIGINT) AS tot FROM g) " +
+        "SELECT flag, max(tot) AS total_weight, " +
+        "CAST(min(CASE WHEN cum * 100 >= tot * 25 THEN price END) AS STRING) AS w_p25, " +
+        "CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN price END) AS STRING) AS w_median, " +
+        "CAST(min(CASE WHEN cum * 100 >= tot * 75 THEN price END) AS STRING) AS w_p75 " +
+        "FROM c GROUP BY flag ORDER BY flag"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
-    qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs)
+    qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile)
 }

@@ -1436,7 +1436,7 @@ object LlmOps {
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
-    qllmBpePairs, qllmNovelty, qllmRouge2)
+    qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu)
 
   /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
     * computation a data pipeline runs at corpus scale (summary-vs-source
@@ -1522,4 +1522,146 @@ object LlmOps {
         "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE) AS novelty " +
         "FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY doc_id"))
+
+  /** Per-document DUPLICATED-CONTENT fraction — the exact-substring dedup
+    * decision metric (Lee et al.-style: drop or trim docs whose content is
+    * mostly present elsewhere): fraction of a doc's distinct 8-grams that
+    * occur in ≥ 2 documents, with an integer-predicate keep/drop verdict
+    * (drop when 2·n_shared ≥ n_grams, i.e. ≥ half the content is
+    * duplicated). Complements qllm_novelty (first-seen ownership) with
+    * SHARED-ness — a doc can be 100% novel-owner yet 100% shared.
+    *
+    * Scale: grams are hashed to longs before any shuffle (the decontam
+    * trick; the string-side oracle agrees modulo 2⁻⁶⁴ collisions), per-doc
+    * distinct runs map-side via array_distinct, and the gram→doc-count
+    * aggregate is partial-aggregable; nothing is quadratic in docs. */
+  private val qllmDupfrac = QueryDef(
+    "qllm_dupfrac",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val grams = docs.select(col("doc_id"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' '))))"))
+          .as("g"))
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      grams.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+            .as("dup_frac"),
+          when(col("n_shared") * 2 >= col("n_grams"), lit("drop"))
+            .otherwise(lit("keep")).as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents), " +
+        "raw AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS g FROM d WHERE len(w) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, g FROM raw), " +
+        "f AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY g) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, " +
+        "CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS dup_frac, " +
+        "CASE WHEN sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 2 >= count(*) " +
+        "THEN 'drop' ELSE 'keep' END AS verdict " +
+        "FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY doc_id"))
+
+  /** BLEU-style CLIPPED n-gram precision between near-dup candidate pairs
+    * (machine-translation / generation eval at corpus scale): unlike
+    * qllm_rouge2's distinct-set overlap, BLEU counts MULTISETS — each
+    * candidate token counts at most min(count_cand, count_ref) times —
+    * so "the the the" no longer scores 1.0 against one "the". p1/p2 are
+    * Σ min-counts over unigram/bigram types ÷ candidate token counts, each
+    * ONE IEEE division of exact integers (no exp/geomean — cross-engine
+    * transcendentals are not bit-stable; callers compose BLEU-N from the
+    * emitted exact parts).
+    *
+    * Scale: per-doc (gram-hash, count) tables are partial-aggregable;
+    * pairs come from the SAME df-capped posting-list index as
+    * qllm_rouge2 (never all-pairs); the clipped-overlap join is keyed on
+    * (doc, gram-hash) — text never shuffles. */
+  private val qllmBleu = QueryDef(
+    "qllm_bleu",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      // MULTISET gram counts — no array_distinct, each occurrence counts.
+      def gramCounts(n: Int): DataFrame = {
+        val gexpr =
+          if (n == 1) "transform(w, x -> xxhash64(x))"
+          else s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(array_join(slice(w, i, $n), ' ')))"
+        docs.filter(size(col("w")) >= n)
+          .select(col("doc_id"), explode(expr(gexpr)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+      }
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      val pairs = graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
+        .select(col("doc_a"), col("doc_b"))
+      // Σ min(count_a, count_b) over shared gram types, keyed on (doc, gram).
+      def clipped(gc: DataFrame, out: String): DataFrame =
+        pairs
+          .join(gc.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")), Seq("doc_a"))
+          .join(gc.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")), Seq("doc_b", "g"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(least(col("ca"), col("cb"))).as(out))
+      val gc1 = gramCounts(1)
+      val gc2 = gramCounts(2)
+      def lens(gc: DataFrame, out: String): DataFrame =
+        gc.groupBy(col("doc_id")).agg(sum(col("c")).as(out))
+          .withColumnRenamed("doc_id", "doc_a")
+      pairs
+        .join(lens(gc1, "len1"), Seq("doc_a"))
+        .join(lens(gc2, "len2"), Seq("doc_a"))
+        .join(clipped(gc1, "c1"), Seq("doc_a", "doc_b"), "left")
+        .join(clipped(gc2, "c2"), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("c1"), lit(0L)).as("clip1"), col("len1"),
+          coalesce(col("c2"), lit(0L)).as("clip2"), col("len2"),
+          (coalesce(col("c1"), lit(0L)).cast(DoubleType) / col("len1").cast(DoubleType)).as("bleu_p1"),
+          (coalesce(col("c2"), lit(0L)).cast(DoubleType) / col("len2").cast(DoubleType)).as("bleu_p2"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = Some(
+      // Pair selection replicates qllm_rouge2's candidate CTE exactly
+      // (df-capped distinct-bigram posting lists, Jaccard >= 1/4).
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand " +
+        "JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 4 >= ca.n_sh + cb.n_sh - n_common), " +
+        // multiset unigram / bigram counts per doc
+        "u1 AS (SELECT doc_id, word AS g, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), " +
+        "b2 AS (SELECT a.doc_id, concat(a.word, ' ', b.word) AS g " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "u2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM b2 GROUP BY 1, 2), " +
+        "l1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len1 FROM u1 GROUP BY doc_id), " +
+        "l2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len2 FROM u2 GROUP BY doc_id), " +
+        "c1 AS (SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS c1 FROM pairs p " +
+        "JOIN u1 a ON a.doc_id = p.doc_a JOIN u1 b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "c2 AS (SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS c2 FROM pairs p " +
+        "JOIN u2 a ON a.doc_id = p.doc_a JOIN u2 b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2) " +
+        "SELECT p.doc_a, p.doc_b, COALESCE(c1.c1, 0) AS clip1, l1.len1, " +
+        "COALESCE(c2.c2, 0) AS clip2, l2.len2, " +
+        "CAST(COALESCE(c1.c1, 0) AS DOUBLE) / CAST(l1.len1 AS DOUBLE) AS bleu_p1, " +
+        "CAST(COALESCE(c2.c2, 0) AS DOUBLE) / CAST(l2.len2 AS DOUBLE) AS bleu_p2 " +
+        "FROM pairs p JOIN l1 ON l1.doc_id = p.doc_a JOIN l2 ON l2.doc_id = p.doc_a " +
+        "LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b " +
+        "LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b " +
+        "ORDER BY p.doc_a, p.doc_b"))
 }
