@@ -408,16 +408,27 @@ object Graft {
     * bucket resolved in a partial aggregate, and the only join key is a
     * fixed-width long bucket id.
     */
-  def srpCandidates(vectors: DataFrame, id: Column, vec: Column,
-      planes: DataFrame, threshold: Double): DataFrame = {
+  /** Signed-random-projection bucket per vector: bit b of `bucket` is the
+    * sign of cos(v, plane_b). Planes are broadcast (≤ 64 rows by
+    * construction — the bucket is a single long), so the assignment is
+    * wholly map-side: the ANN-family contract that bucketing must never
+    * shuffle the vectors themselves. */
+  def srpBuckets(vectors: DataFrame, id: Column, vec: Column,
+      planes: DataFrame): DataFrame = {
     val v = vectors.select(id.as("vec_id"), vec.as("__v"))
     val bits = v.crossJoin(broadcast(planes))
       .select(col("vec_id"),
         when(cosine_similarity(col("__v"), col("p_emb")) >= 0,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))"))
           .otherwise(lit(0L)).as("__bv"))
-    val bk = bits.groupBy(col("vec_id"))
+    bits.groupBy(col("vec_id"))
       .agg(sum(col("__bv")).cast(LongType).as("bucket"))
+  }
+
+  def srpCandidates(vectors: DataFrame, id: Column, vec: Column,
+      planes: DataFrame, threshold: Double): DataFrame = {
+    val v = vectors.select(id.as("vec_id"), vec.as("__v"))
+    val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
     val l = withEmb.select(col("bucket"), col("vec_id").as("vec_a"), col("__v").as("__va"))
     val r = withEmb.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"))
@@ -425,6 +436,32 @@ object Graft {
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         cosine_similarity(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Hard-negative mining for contrastive training data: for every anchor
+    * vector, the `k` most cosine-similar vectors carrying a DIFFERENT
+    * label, searched within the anchor's SRP bucket only — the bucketed
+    * stand-in for a full ANN index that keeps the search strictly
+    * per-bucket (never all-pairs) while still surfacing the
+    * close-but-wrong-label examples a contrastive loss needs. Ties break
+    * on (sim DESC, neg_id): sims are bit-identical doubles (shared fold
+    * shape), so the ranking is total and cross-engine stable. */
+  def hardNegatives(vectors: DataFrame, id: Column, vec: Column, label: Column,
+      planes: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = vectors.select(id.as("vec_id"), vec.as("__v"), label.as("__l"))
+    val bk = srpBuckets(vectors, id, vec, planes)
+    val withEmb = v.join(bk, "vec_id")
+    val a = withEmb.select(col("bucket"), col("vec_id").as("anchor"),
+      col("__l").as("label_a"), col("__v").as("__va"))
+    val b = withEmb.select(col("bucket"), col("vec_id").as("neg_id"),
+      col("__l").as("label_n"), col("__v").as("__vb"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("label_a") =!= col("label_n")) // different label ⇒ anchor ≠ neg
+      .select(col("anchor"), col("label_a"), col("neg_id"), col("label_n"),
+        cosine_similarity(col("__va"), col("__vb")).as("sim"))
+    val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col("neg_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
   }
 
   // ------------------------------------------------------------------

@@ -152,6 +152,40 @@ object LlmOps {
         "SELECT bucket, vec_a, vec_b, sim FROM scored WHERE sim >= 0.3 " +
         "ORDER BY vec_a, vec_b"))
 
+  /** Hard-negative mining for contrastive training (anchor → top-3 most
+    * similar DIFFERENT-label vectors, searched within the anchor's SRP
+    * bucket only — see [[graft.api.Graft.hardNegatives]]): the
+    * close-but-wrong-label pairs a contrastive loss needs, produced
+    * without any all-pairs join. Sims are bit-identical doubles (shared
+    * fold shape), so the (sim DESC, neg_id) ranking is cross-engine
+    * exact — no rounding fallback. */
+  private val qllmHardneg = QueryDef(
+    "qllm_hardneg",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val planes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
+      graft.api.Graft
+        .hardNegatives(e, col("vec_id"), col("embedding"), col("label"), planes, k = 3)
+        .orderBy(col("anchor"), col("rnk"))
+    },
+    oracle = Some(
+      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
+        "FROM embeddings e CROSS JOIN pl p), " +
+        "bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id), " +
+        "v AS (SELECT e.vec_id, e.embedding, e.label, bk.bucket " +
+        "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), " +
+        s"scored AS (SELECT a.vec_id AS anchor, a.label AS label_a, " +
+        s"b.vec_id AS neg_id, b.label AS label_n, ${dcos("a.embedding", "b.embedding")} AS sim " +
+        "FROM v a JOIN v b ON a.bucket = b.bucket AND a.label <> b.label), " +
+        "r AS (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY anchor ORDER BY sim DESC, neg_id) AS BIGINT) AS rnk FROM scored) " +
+        "SELECT anchor, label_a, neg_id, label_n, sim, rnk FROM r WHERE rnk <= 3 " +
+        "ORDER BY anchor, rnk"))
+
   /** IVF-style bucketed ANN: vectors 0..7 act as centroids; assign every
     * vector to its best centroid (map-side argmax aggregation — see
     * [[graft.api.Graft.ivfTopK]]), then top-3 per cell. */
@@ -1429,7 +1463,7 @@ object LlmOps {
 
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
-    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf,
+    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,

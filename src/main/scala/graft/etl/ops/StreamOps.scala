@@ -304,9 +304,78 @@ object StreamOps {
         "(PARTITION BY ws ORDER BY n DESC, event_type) AS BIGINT) AS rnk FROM a) " +
         "SELECT ws, event_type, n, rnk FROM r WHERE rnk <= 2 ORDER BY ws, rnk"))
 
+  /** Watermark LATE-ARRIVAL accounting — the capacity-planning question
+    * every watermarked pipeline must answer BEFORE picking its allowed
+    * lateness ("how much data would a 2 h watermark drop?"). Arrival is
+    * simulated with a deterministic per-event transport delay (0–3 h,
+    * md5-derived on both engines — no RNG); an event is LATE iff its event
+    * time sits more than 2 h behind the maximum event time among STRICTLY
+    * EARLIER arrivals — exactly Structured Streaming's global-watermark
+    * drop rule. Output: per event-time day, total/late counts + one
+    * IEEE-division rate.
+    *
+    * Scale: the naive form is a running max over the GLOBAL arrival order
+    * — a single-partition window sort, the round-2 scale-killer. Here the
+    * prefix-max is two-pass (the globalRanks shape): arrival time buckets
+    * to 6 h ranges (order-preserving by construction), per-bucket event-
+    * time maxima form a metadata-scale frame whose EXCLUSIVE prefix max
+    * comes from a triangular self-join; within-bucket exclusive running
+    * max runs partitioned by bucket. watermark_before(i) = greatest(prior
+    * buckets' max, same-bucket earlier max) — no global sort anywhere.
+    * All comparisons are BIGINT µs. */
+  private val qstreamLate = QueryDef(
+    "qstream_late",
+    build = (spark, sfDir) => {
+      val lateUs = 7200000000L // 2 h allowed lateness; arrival buckets are 6 h
+      val x = Tables.events(spark, sfDir)
+        .withColumn("tu", unix_micros(col("ts")))
+        .withColumn("arr",
+          col("tu") + (conv(substring(md5(concat(lit("arr:"), col("event_id").cast(StringType))), 1, 4), 16, 10)
+            .cast(LongType) % 10800L) * 1000000L)
+        .withColumn("bucket", expr("arr div 21600000000"))
+      val bmax = x.groupBy(col("bucket")).agg(max(col("tu")).as("bm"))
+      val prior = bmax.select(col("bucket").as("b1"))
+        .join(bmax.select(col("bucket").as("b2"), col("bm")), col("b2") < col("b1"))
+        .groupBy(col("b1")).agg(max(col("bm")).as("prior_max"))
+      val win = Window.partitionBy(col("bucket")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = x
+        .withColumn("in_bucket_max", max(col("tu")).over(win))
+        .join(broadcast(prior.withColumnRenamed("b1", "bucket")), Seq("bucket"), "left")
+        .withColumn("wm_base", greatest(
+          coalesce(col("prior_max"), lit(Long.MinValue)),
+          coalesce(col("in_bucket_max"), lit(Long.MinValue))))
+        .withColumn("late",
+          col("wm_base") =!= Long.MinValue && col("tu") < col("wm_base") - lateUs)
+      flagged
+        .groupBy(expr("tu div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        .select(col("day"), col("n_total"), col("n_late"),
+          (col("n_late").cast(DoubleType) / col("n_total").cast(DoubleType)).as("late_rate"))
+        .orderBy(col("day"))
+    },
+    oracle = Some(
+      // the oracle uses the straightforward global window — correct at
+      // oracle scale; the Spark side must match it with the bucketed form
+      "WITH x AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + (" +
+        "((instr('0123456789abcdef', substring(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(md5('arr:' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(md5('arr:' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5('arr:' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)) % 10800) " +
+        "* 1000000 AS arr FROM events), " +
+        "p AS (SELECT *, max(tu) OVER (ORDER BY arr, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM x), " +
+        "f AS (SELECT tu // 86400000000 AS day, " +
+        "CASE WHEN pm IS NOT NULL AND tu < pm - 7200000000 THEN 1 ELSE 0 END AS late FROM p) " +
+        "SELECT day, CAST(count(*) AS BIGINT) AS n_total, CAST(sum(late) AS BIGINT) AS n_late, " +
+        "CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_rate " +
+        "FROM f GROUP BY day ORDER BY day"))
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
-    qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk)
+    qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk, qstreamLate)
 }
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders

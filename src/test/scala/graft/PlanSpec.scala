@@ -342,7 +342,11 @@ class PlanSpec extends SparkFixture {
       // census rows (triangles)
       "qagg_freqpairs", "qgraph_pagerank", "qgraph_triangles",
       // kcore: per-round (n_nodes × n_edges) 1-row census rows
-      "qgraph_kcore")
+      "qgraph_kcore",
+      // hardneg: ≤8-row broadcast hyperplane frame (the srp_lsh shape);
+      // late: triangular self-join over ≤|buckets| per-bucket maxima
+      // (the rankByBucket offsets pattern — metadata scale)
+      "qllm_hardneg", "qstream_late")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
