@@ -377,5 +377,100 @@ object Multimodal {
     },
     oracle = None)
 
-  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames)
+  /** Minimal PCM audio container: magic "GPCM", u32 LE sample count,
+    * u32 LE sample rate, then `n` little-endian int16 samples — the
+    * seek-friendly shape of a real PCM WAV data chunk. */
+  def encodePcm(samples: Array[Short], rate: Int = 16000): Array[Byte] = {
+    val out = new Array[Byte](12 + samples.length * 2)
+    out(0) = 'G'; out(1) = 'P'; out(2) = 'C'; out(3) = 'M'
+    def putI32(p: Int, v: Int): Unit = {
+      out(p) = (v & 0xFF).toByte; out(p + 1) = ((v >> 8) & 0xFF).toByte
+      out(p + 2) = ((v >> 16) & 0xFF).toByte; out(p + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putI32(4, samples.length)
+    putI32(8, rate)
+    var i = 0
+    while (i < samples.length) {
+      out(12 + i * 2) = (samples(i) & 0xFF).toByte
+      out(12 + i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse [[encodePcm]]'s container; validates magic and length. */
+  def decodePcm(pcm: Array[Byte]): (Int, Array[Short]) = {
+    require(pcm.length >= 12 && pcm(0) == 'G' && pcm(1) == 'P' && pcm(2) == 'C' && pcm(3) == 'M',
+      "decodePcm: bad magic")
+    def i32(p: Int): Int = (pcm(p) & 0xFF) | ((pcm(p + 1) & 0xFF) << 8) |
+      ((pcm(p + 2) & 0xFF) << 16) | ((pcm(p + 3) & 0xFF) << 24)
+    val n = i32(4)
+    val rate = i32(8)
+    require(n >= 0 && pcm.length == 12 + n * 2, "decodePcm: truncated payload")
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = ((pcm(12 + i * 2) & 0xFF) | (pcm(12 + i * 2 + 1) << 8)).toShort
+      i += 1
+    }
+    (rate, s)
+  }
+
+  /** Per-doc synthetic int16 sample `i`: ((id·31 + i·17) mod 2¹⁶) − 2¹⁵ —
+    * pure BIGINT arithmetic both engines can compute, which is what makes
+    * qmm_audio the multimodal family's one ORACLE-CHECKED decode path. */
+  def pcmSample(mediaId: Long, i: Int): Short =
+    (((mediaId * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** Audio-frame energy analysis — the audio counterpart of qmm_features:
+    * synthesize each doc's PCM payload (≤ 1200 samples, count from
+    * n_chars), then decode it and aggregate per 256-sample window the
+    * EXACT integer stats a VAD / loudness-normalization pass needs
+    * (count, amplitude sum = DC offset, sum of squares = energy). Encode →
+    * decode → window stats ride ONE narrow mapPartitions: the payload is
+    * built and consumed in place, never shuffled — only (id, win, 3
+    * BIGINTs) rows reach the output sort.
+    *
+    * UNLIKE the image/video decode paths this one IS oracle-checked: the
+    * samples are a deterministic integer formula ([[pcmSample]]), so
+    * DuckDB recomputes the identical windows from `generate_series`
+    * without ever seeing the binary — pinning not just the plumbing but
+    * the DECODED VALUES cross-engine (a corrupted encode/decode would
+    * shift every sum). */
+  private val qmmAudio = QueryDef(
+    "qmm_audio",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), least(col("n_chars"), lit(1200L)).cast(IntegerType).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, n) =>
+            val pcm = encodePcm(Array.tabulate(n)(i => pcmSample(id, i)))
+            val (_, samples) = decodePcm(pcm)
+            samples.indices.groupBy(_ / 256).toSeq.map { case (win, idxs) =>
+              var sumAmp = 0L
+              var sumSq = 0L
+              idxs.foreach { i =>
+                val v = samples(i).toLong
+                sumAmp += v; sumSq += v * v
+              }
+              (id, win.toLong, idxs.length.toLong, sumAmp, sumSq)
+            }
+          }
+        }
+        .toDF("media_id", "win", "n_samples", "sum_amp", "sum_sq")
+        .orderBy(col("media_id"), col("win"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id AS media_id, CAST(least(n_chars, 1200) AS INTEGER) AS n FROM documents), " +
+        "i AS (SELECT media_id, unnest(generate_series(0, n - 1)) AS idx FROM d WHERE n >= 1), " +
+        "s AS (SELECT media_id, CAST(idx // 256 AS BIGINT) AS win, " +
+        "((media_id * 31 + idx * 17) % 65536) - 32768 AS v FROM i) " +
+        "SELECT media_id, win, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(v) AS BIGINT) AS sum_amp, CAST(sum(v * v) AS BIGINT) AS sum_sq " +
+        "FROM s GROUP BY media_id, win ORDER BY media_id, win"))
+
+  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames, qmmAudio)
 }

@@ -164,4 +164,20 @@ class MultimodalSpec extends SparkFixture {
       Multimodal.sampleFrames(java.util.Arrays.copyOfRange(video, 0, video.length - 5), 1))
     intercept[IllegalArgumentException](Multimodal.sampleFrames(video, 0))
   }
+
+  test("pcm container: encode/decode round trip, negative samples, empty, malformed") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1234, -4321)
+    val pcm = Multimodal.encodePcm(samples, rate = 8000)
+    val (rate, back) = Multimodal.decodePcm(pcm)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // empty payload is valid (zero samples)
+    assert(Multimodal.decodePcm(Multimodal.encodePcm(Array.empty[Short]))._2.isEmpty)
+    val badMagic = pcm.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.decodePcm(badMagic))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePcm(java.util.Arrays.copyOfRange(pcm, 0, pcm.length - 1)))
+    // the synth formula matches its documented closed form
+    assert(Multimodal.pcmSample(0L, 0) == -32768)
+    assert(Multimodal.pcmSample(7L, 3) == ((7 * 31 + 3 * 17) % 65536 - 32768).toShort)
+  }
 }
