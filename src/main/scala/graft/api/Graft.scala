@@ -754,14 +754,11 @@ object Graft {
     *
     * Returns the pruned fact — callers still perform the join.
     *
-    * Caller contract: `dim`'s analyzed plan is embedded AS-IS inside the
-    * scalar subquery, and callers typically re-join the very same `dim`
-    * DataFrame afterwards, so the subquery and the outer join share
-    * attribute ids. Spark's subquery handling keeps them distinct in the
-    * join shapes this library uses (PlanSpec-pinned), but for exotic
-    * caller plans — e.g. a self-join where `fact` already embeds `dim`'s
-    * subtree — pass a FRESH `dim` (re-read the source, or rebuild the
-    * DataFrame) so the ids cannot alias. */
+    * The bloom subquery's plan is deduplicated against `fact`'s analyzed
+    * plan (Bridge.dedupAgainst — the analyzer's own self-join re-instancing
+    * rule), so `dim` may share subtrees or attribute ids with `fact` (e.g.
+    * a self-prune, or a fact that already embeds the dim's source) without
+    * the subquery aliasing the outer plan's attributes. */
   def bloomPrune(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
       expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery, XxHash64, BloomFilterMightContain}
@@ -770,8 +767,9 @@ object Graft {
     val bloomDf = dim.select(Bridge.column(
       new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression(dimKey))),
         Literal(expectedItems)).toAggregateExpression()).as("__bloom"))
+    val subPlan = Bridge.dedupAgainst(Bridge.analyzed(fact), Bridge.analyzed(bloomDf))
     fact.filter(Bridge.column(BloomFilterMightContain(
-      ScalarSubquery(Bridge.analyzed(bloomDf)),
+      ScalarSubquery(subPlan),
       new XxHash64(Seq(Bridge.expression(factKey))))))
   }
 

@@ -21,4 +21,22 @@ object Bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Rewrite `sub` so none of its attribute ids collide with `outer`'s —
+    * the precondition for embedding `sub` as a subquery inside a plan that
+    * may already contain the same source subtree (self-join shapes).
+    * Implemented with the analyzer's own machinery: wrap the pair in a
+    * throwaway Join and let [[DeduplicateRelations]] re-instance the right
+    * side's conflicting relations (including alias ids), exactly as it
+    * would for a user-written self-join. No-op when the id sets are
+    * already disjoint. */
+  def dedupAgainst(outer: LogicalPlan, sub: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.DeduplicateRelations
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    DeduplicateRelations(Join(outer, sub, Inner, None, JoinHint.NONE)) match {
+      case j: Join => j.right
+      case _ => sub
+    }
+  }
 }

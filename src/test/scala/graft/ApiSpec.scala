@@ -578,4 +578,26 @@ class ApiSpec extends SparkFixture {
       assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << (2 * bits)))
     }
   }
+
+  test("bloomPrune: subquery ids stay distinct when fact already embeds dim's subtree") {
+    val sp = spark
+    import sp.implicits._
+    // dim and fact share the SAME DataFrame subtree (same attribute ids):
+    // fact = base rows enriched by joining dim itself — the self-join shape
+    // the subquery dedup exists for. Without deduplication the bloom
+    // subquery's dim attributes alias the outer join's.
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+      .filter(col("k") =!= 2L)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "v")
+    val fact = base.join(dim, Seq("k"), "left")
+    val pruned = Graft.bloomPrune(fact, col("k"), dim, col("k"))
+    val kept = pruned.select("k").as[Long].collect().sorted
+    // bloom has no false negatives: keys 1 and 3 (dim survivors) must stay;
+    // key 2 and 4 may only drop (false-positive retention is legal)
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(kept.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // and the pruned fact must still re-join the very same dim instance
+    val n = pruned.join(dim, Seq("k")).count()
+    assert(n == 2L)
+  }
 }
