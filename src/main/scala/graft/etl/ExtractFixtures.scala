@@ -199,4 +199,21 @@ object ExtractFixtures {
         .write.mode("overwrite").partitionBy("o_year").parquet(dir.toString)
     }
   }
+
+  /** orders partitioned by year with a `repartition(o_year)` BEFORE the
+    * write — the production fix for the small-files problem. A bare
+    * `partitionBy` fans every write task out across every year it holds
+    * rows for (tasks × years files); shuffling on the partition column
+    * first lands each year in exactly ONE task, so each partition
+    * directory holds exactly one data file. That invariant is what makes
+    * the `_metadata` accounting in `qscan_metadata` deterministic. */
+  def ordersByYearCompact(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("orders_by_year_compact")
+    ensure(dir) {
+      Tables.orders(spark, sfDir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir.toString)
+    }
+  }
 }

@@ -263,6 +263,53 @@ object ScanOps {
         "min(md5(text)) AS min_md5, max(md5(text)) AS max_md5 " +
         "FROM documents GROUP BY c ORDER BY c"))
 
+  /** File-metadata accounting via the hidden `_metadata` struct — the
+    * source-layer observability surface (file_path / file_size /
+    * row_index) a warehouse audit job reads without any extra scan cost
+    * (metadata columns are populated by the reader, not stored). Runs over
+    * the COMPACT year-partitioned layout (one file per partition by
+    * construction — ExtractFixtures.ordersByYearCompact), which makes
+    * every output deterministic and oracle-checkable:
+    *   - n_files: distinct file_path per year = 1 (the compact-layout
+    *     invariant itself, i.e. the small-files fix verified);
+    *   - n_path_match: the partition VALUE recovered from the file PATH
+    *     (`o_year=YYYY` dir component) equals the column for every row —
+    *     pins partition-directory encoding end to end;
+    *   - min_ri/max_ri: row_index spans exactly [0, n_rows-1] in a
+    *     single-file partition.
+    * At 100 TB this exact query is the layout auditor: n_files per
+    * partition exposes small-file explosions, row_index gaps expose
+    * short-circuited writes — all from reader metadata, zero data read
+    * beyond the partition filter. */
+  private val qscanMetadata = QueryDef(
+    "qscan_metadata",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.ordersByYearCompact(spark, sfDir)
+      spark.read.parquet(dir)
+        .filter(col("o_year").between(1995, 1996))
+        .select(
+          col("o_year"),
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.file_size").as("fsz"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("o_year"))
+        .agg(
+          countDistinct(col("fp")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(when(regexp_extract(col("fp"), "o_year=(\\d+)", 1)
+            .cast("int") === col("o_year"), 1L).otherwise(0L)).as("n_path_match"),
+          min(col("ri")).as("min_ri"),
+          max(col("ri")).as("max_ri"),
+          min(when(col("fsz") > 0, 1L).otherwise(0L)).as("files_nonempty"))
+        .orderBy(col("o_year"))
+    },
+    oracle = Some(
+      "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year, " +
+        "1 AS n_files, count(*) AS n_rows, count(*) AS n_path_match, " +
+        "0 AS min_ri, count(*) - 1 AS max_ri, 1 AS files_nonempty " +
+        "FROM orders WHERE date_part('year', o_orderdate) BETWEEN 1995 AND 1996 " +
+        "GROUP BY o_year ORDER BY o_year"))
+
   /** Correlated-subquery surface — the SQL-text entry point (SURVEY §3.2)
     * exercising Catalyst's RewriteCorrelatedScalarSubquery + exists→semi
     * decorrelation (§4): customers strictly above their own nation's
@@ -300,6 +347,6 @@ object ScanOps {
 
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qscanOrc, qscanText, qscanEvolution, qsinkPartitioned, qfilterPredicates,
-    qprojectExpr, qfilterSubquery)
+    qscanOrc, qscanText, qscanEvolution, qscanMetadata, qsinkPartitioned,
+    qfilterPredicates, qprojectExpr, qfilterSubquery)
 }
