@@ -882,10 +882,62 @@ object AggOps {
         "CAST(min(CASE WHEN cum * 100 >= tot * 75 THEN price END) AS STRING) AS w_p75 " +
         "FROM c GROUP BY flag ORDER BY flag"))
 
+  /** Exact integer Gram + covariance matrix over the embedding corpus —
+    * the X^T·X building block behind PCA/whitening/linear probes, computed
+    * the way a 100 TB pipeline must: each component is quantized to a
+    * 2^20-scaled integer (`floor(x·2^20 + 0.5)` — float→double is exact
+    * and the scaled add/floor is engine-identical, the [[qllm_quantize]]
+    * pattern), so every cross-row sum is INTEGER arithmetic — exact and
+    * aggregation-order-free where a double accumulation would drift
+    * between engines/partition orders.
+    *
+    * Shape: ONE narrow projection expands each vector into its d(d+1)/2
+    * upper-triangle pair products (d=64 → 2080 structs), one explode, one
+    * partially-aggregated groupBy(i,j). Zero joins; the shuffle carries at
+    * most 2080 partial rows PER PARTITION however many vectors flow in —
+    * the map-side-combine outer product. The covariance needs no second
+    * pass: n·Σab − Σa·Σb over the same group, all DECIMAL(38,0) integers
+    * (Σa·Σb ~10^19 overflows BIGINT at fixture scale already — the width
+    * is load-bearing, not defensive). */
+  private val qaggGram = QueryDef(
+    "qagg_gram",
+    build = (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .select(
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
+            .as("q"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(q) - 1), i -> " +
+            "transform(sequence(i, size(q) - 1), j -> " +
+            "named_struct('i', i, 'j', j, 'ab', q[i] * q[j], 'qa', q[i], 'qb', q[j]))))"))
+          .as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("p.ab").cast(DecimalType(38, 0))).as("sab"),
+          sum(col("p.qa").cast(DecimalType(38, 0))).as("sa"),
+          sum(col("p.qb").cast(DecimalType(38, 0))).as("sb"))
+        .select(col("i"), col("j"), col("n_vecs"),
+          decStr(col("sab").cast(DecimalType(38, 0))).as("gram"),
+          decStr((col("n_vecs").cast(DecimalType(38, 0)) * col("sab") - col("sa") * col("sb"))
+            .cast(DecimalType(38, 0))).as("ncov"))
+        .orderBy(col("i"), col("j")),
+    oracle = Some(
+      "WITH q AS (SELECT vec_id, t.i AS i, " +
+        "CAST(floor(CAST(embedding[t.i+1] AS DOUBLE)*1048576.0+0.5) AS BIGINT) AS qv " +
+        "FROM embeddings, LATERAL (SELECT UNNEST(range(0, len(embedding))) AS i) t), " +
+        "p AS (SELECT a.i AS i, b.i AS j, a.qv AS qa, b.qv AS qb " +
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i) " +
+        "SELECT i, j, count(*) AS n_vecs, " +
+        "CAST(CAST(sum(qa*qb) AS DECIMAL(38,0)) AS STRING) AS gram, " +
+        "CAST(CAST(count(*)*sum(qa*qb) - sum(qa)*sum(qb) AS DECIMAL(38,0)) AS STRING) AS ncov " +
+        "FROM p GROUP BY i, j ORDER BY i, j"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
-    qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile)
+    qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
+    qaggGram)
 }
