@@ -893,6 +893,63 @@ object LlmOps {
         "CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_surprisal " +
         "FROM g ORDER BY doc_id"))
 
+  /** DSIR-style importance weighting (data selection via importance
+    * resampling, Xie et al. 2023 — public): score every raw document by
+    * how target-like its unigram bag looks, `imp(d) = Σ_w c_d(w) ·
+    * ln(p_t(w)/p_r(w))`, with add-one smoothing over the shared vocab
+    * (target = the src0–src3 pool standing in for a curated corpus; raw =
+    * everything). The log-ratio is computed per VOCAB TERM (exact double
+    * products < 2^53, one IEEE division, one ln), rounded to 6 dp and cast
+    * DECIMAL(18,6) BEFORE any per-doc sum — the [[qllmSurprisal]] recipe
+    * making the accumulation integer-exact and shuffle-order-free. The
+    * keep verdict is `imp > 0` (doc looks more target than raw).
+    *
+    * Scale: the weight table is VOCAB-sized, never corpus-sized —
+    * broadcast at fixture scale; at 100 TB the token→weight equi-join
+    * shuffles hashed terms exactly like qllm_tfidf, and the per-doc sum is
+    * map-side partial. This is the modern alternative to perplexity
+    * filtering (qllm_ppl_bucket) when a target corpus exists. */
+  private val qllmDsir = QueryDef(
+    "qllm_dsir",
+    build = (spark, sfDir) => {
+      val w = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+      val tgtSet = Seq("src0", "src1", "src2", "src3")
+      val cr = w.groupBy(col("term")).agg(count(lit(1)).as("cr"))
+      val ct = w.filter(col("source").isin(tgtSet: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+      val v = cr.join(ct, Seq("term"), "left").na.fill(0L, Seq("ct"))
+      val tots = v.agg(sum(col("cr")).cast(LongType).as("nr"),
+        sum(col("ct")).cast(LongType).as("nt"), count(lit(1)).as("nv"))
+      val lw = v.crossJoin(broadcast(tots)).select(col("term"),
+        round(log(
+          ((col("ct") + 1).cast(DoubleType) * (col("nr") + col("nv")).cast(DoubleType)) /
+            ((col("cr") + 1).cast(DoubleType) * (col("nt") + col("nv")).cast(DoubleType))), 6)
+          .cast(DecimalType(18, 6)).as("lw"))
+      w.join(broadcast(lw), "term")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lw")).cast(DecimalType(38, 6)).as("imp"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          graft.etl.Dets.decStr(col("imp")).as("imp"),
+          when(col("imp") > 0, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents), " +
+        "cr AS (SELECT term, count(*) AS cr FROM w GROUP BY term), " +
+        "ct0 AS (SELECT term, count(*) AS ct FROM w WHERE source IN ('src0','src1','src2','src3') GROUP BY term), " +
+        "v AS (SELECT cr.term, cr.cr, coalesce(ct0.ct, 0) AS ct FROM cr LEFT JOIN ct0 USING (term)), " +
+        "tots AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS nv FROM v), " +
+        "lw AS (SELECT term, CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + nv AS DOUBLE)) / " +
+        "(CAST(cr + 1 AS DOUBLE) * CAST(nt + nv AS DOUBLE))), 6) AS DECIMAL(18,6)) AS lw " +
+        "FROM v CROSS JOIN tots), " +
+        "d AS (SELECT w.doc_id, w.source, count(*) AS n_tokens, CAST(sum(lw.lw) AS DECIMAL(38,6)) AS imp " +
+        "FROM w JOIN lw USING (term) GROUP BY w.doc_id, w.source) " +
+        "SELECT doc_id, source, n_tokens, CAST(imp AS STRING) AS imp, " +
+        "CASE WHEN imp > 0 THEN 1 ELSE 0 END AS keep FROM d ORDER BY doc_id"))
+
   /** Gopher-style repetition ratios — the standard heuristic quality
     * filters a web-corpus pipeline runs before training: per-document
     * distinct-word ratio, top-word fraction, and duplicate-bigram fraction
@@ -1467,7 +1524,7 @@ object LlmOps {
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
-    qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal,
+    qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal, qllmDsir,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
     qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu)

@@ -346,7 +346,9 @@ class PlanSpec extends SparkFixture {
       // hardneg: ≤8-row broadcast hyperplane frame (the srp_lsh shape);
       // late: triangular self-join over ≤|buckets| per-bucket maxima
       // (the rankByBucket offsets pattern — metadata scale)
-      "qllm_hardneg", "qstream_late")
+      "qllm_hardneg", "qstream_late",
+      // dsir: 1-row (nr, nt, nv) totals frame into the vocab weight table
+      "qllm_dsir")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
