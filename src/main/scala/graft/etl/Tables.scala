@@ -66,13 +66,17 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // `ts` is Parquet TIMESTAMP(NANOS) — Spark 4 cannot read NANOS as
-  // TimestampType (PARQUET_COLUMN_DATA_TYPE_MISMATCH, verified). Read it as
-  // LongType (epoch nanos, requires the nanosAsLong legacy conf) and derive
-  // a µs TimestampType column in events() via exact integral division (D6).
+  // `ts` precision has CHANGED ACROSS ROUNDS: rounds ≤ 6 shipped Parquet
+  // TIMESTAMP(NANOS) (unreadable as TimestampType in Spark 4 — read as
+  // LongType + nanosAsLong, then `div 1000`); the round-7 regeneration
+  // (2026-08-13 19:29) ships TIMESTAMP(MICROS), which Spark reads as
+  // TimestampType natively. events() sniffs the parquet footer ONCE per
+  // (session, dir) and picks the right path — a silent mis-read is a
+  // 1000× timestamp shift that fails every ts query's oracle, so the
+  // sniff is load-bearing, not defensive decoration.
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -154,14 +158,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** Events with `ts` as TimestampType (µs). Nanos → micros via integral
-    * `div` (a double division would lose precision: epoch nanos > 2^53). */
+  /** Events with `ts` as TimestampType (µs) regardless of the fixture's
+    * on-disk precision: MICROS reads natively; NANOS (rounds ≤ 6) reads as
+    * LongType epoch nanos and converts via integral `div 1000` (a double
+    * division would lose precision: epoch nanos > 2^53). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (eventsTsIsNanos(d)) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nanosSchema = StructType(eventsSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f => f
+      })
+      s.read.schema(nanosSchema).parquet(s"$d/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else table(s, d, "events")
   }
+
+  /** One footer read per directory: is events.ts physical NANOS? */
+  private val tsNanosCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(d: String): Boolean =
+    tsNanosCache.computeIfAbsent(d, dir => {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+      try {
+        val ts = reader.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+          .asPrimitiveType().getLogicalTypeAnnotation
+        ts match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => true // plain INT64 epoch: only the nanos era shipped that
+        }
+      } finally reader.close()
+    })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
