@@ -806,11 +806,20 @@ object AggOps {
     "qagg_freqpairs",
     build = (spark, sfDir) => {
       val ev = Tables.events(spark, sfDir)
-      val ut = ev.select(col("user_id"), col("event_type")).distinct()
-      val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
-        .join(ut.select(col("user_id").as("u2"), col("event_type").as("type_b")),
-          col("user_id") === col("u2") && col("type_a") < col("type_b"))
-        .groupBy(col("type_a"), col("type_b"))
+      // collect_set per user replaces the distinct + self-join (the
+      // GraphOps.edges shape): one keyed shuffle with map-side partial
+      // sets (bounded by the ~5-value event_type domain), pair generation
+      // map-side over the array, then the pair-count aggregate. Two
+      // shuffles instead of four; string `y > x` is binary-collation `<`
+      // on both engines.
+      val pairs = ev.select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("event_type")).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, x -> " +
+            "transform(filter(ts, y -> y > x), y -> struct(x AS type_a, y AS type_b))))"))
+          .as("p"))
+        .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
         .agg(count(lit(1)).as("n_users"))
       val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
       pairs.crossJoin(broadcast(total))

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * onto the fixture star schema.
   *
   * Scale:
-  *   - Edge derivation: per-order pair fanout is bounded by lines-per-order
-  *     (≤ 7 in the TPC-H shape; a df-cap on order size — the
-  *     `jaccardCandidates` pattern — bounds it under skew), and the
-  *     `distinct` on (order, part) runs BEFORE pairing, so the pair join
-  *     shuffles keys, never payloads.
+  *   - Edge derivation: ONE keyed shuffle builds the per-order part set
+  *     (`collect_set` dedups (order, part) and partially aggregates
+  *     map-side; set size is bounded by lines-per-order, ≤ 7 in the TPC-H
+  *     shape — a size cap on the set, the `jaccardCandidates` df-cap
+  *     pattern, bounds it under skew), then all `src < dst` pairs are
+  *     generated MAP-SIDE with array `transform`/`filter` and one more
+  *     shuffle dedups the global pair set. Two shuffles total vs the four
+  *     (distinct + re-partitioned self-join + distinct) of the naive
+  *     pair join — and nothing but keys ever crosses the wire.
   *   - Degree / PageRank iterate keyed shuffles of (node, long) pairs only;
   *     at 100 TB the edge table would be bucketed by `src` so every
   *     iteration reuses the layout and shuffles nothing but the rank column.
@@ -35,15 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Canonical (src < dst) co-purchase edges, distinct. */
+  /** Canonical (src < dst) co-purchase edges, distinct.
+    *
+    * collect_set(pk) per order replaces the distinct + self-join: the set
+    * both dedups (order, part) and carries the whole per-order neighborhood
+    * through a single shuffle; pair generation is then a narrow map over
+    * the (bounded, ≤ lines-per-order) array. Equivalent to the oracle's
+    * DISTINCT self-join by construction — same pair set, same orientation. */
   private def edges(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val lp = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    lp.select(col("ok"), col("pk").as("src"))
-      .join(lp.select(col("ok").as("ok2"), col("pk").as("dst")),
-        col("ok") === col("ok2") && col("src") < col("dst"))
-      .select(col("src"), col("dst"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> " +
+          "transform(filter(ps, y -> y > x), y -> struct(x AS src, y AS dst))))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
   }
 
@@ -268,5 +280,67 @@ object GraphOps {
         row("e2", 2) + " UNION ALL " + row("e3", 3) + " ORDER BY round"
     })
 
-  def defs: Seq[QueryDef] = Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore)
+  /** Connected components on the sparse p_size ≤ 2 co-purchase subgraph:
+    * 4 unrolled synchronous min-label rounds (label₀ = node id; each round
+    * every node takes the min of its own and its neighbours' labels), then
+    * the component-size census (comp_size, n_components). Defined — and
+    * oracle-checked — as "labels after exactly 4 rounds", so the metric is
+    * deterministic whether or not the graph has converged; on this sparse
+    * slice (edge survival (2/50)² of the full graph) 4 rounds settle
+    * everything but the longest paths of the giant component.
+    *
+    * vs [[graft.api.Graft.dedupClusters]]: that one is the PRODUCTION
+    * component resolver (pointer-jumping, convergence probe, unbounded
+    * rounds); this one pins the synchronous-round semantics cross-engine,
+    * which the oracle can express as unrolled CTEs. Scale: each round is
+    * one keyed join + one keyed min-aggregate over (node, long) pairs —
+    * the same two-shuffle loop body as PageRank; the census output is
+    * metadata-sized however large the graph. */
+  private val qgraphCc = QueryDef(
+    "qgraph_cc",
+    build = (spark, sfDir) => {
+      val small = Tables.part(spark, sfDir)
+        .filter(col("p_size") <= 2)
+        .select(col("p_partkey"))
+      val es = edges(spark, sfDir)
+        .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
+        .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var lbl = d.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 4) {
+        val nm = d.join(lbl, d("src") === lbl("v"))
+          .select(col("dst").as("v2"), col("lbl"))
+          .groupBy(col("v2")).agg(min(col("lbl")).as("nm"))
+        lbl = lbl.join(nm, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      }
+      lbl.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("comp_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy(col("comp_size"))
+    },
+    oracle = Some {
+      def round(prev: String, out: String): String =
+        s"nm$out AS (SELECT d.dst AS v, min($prev.lbl) AS nm FROM d " +
+          s"JOIN $prev ON d.src = $prev.v GROUP BY d.dst), " +
+          s"$out AS (SELECT l.v, least(l.lbl, COALESCE(nm$out.nm, l.lbl)) AS lbl " +
+          s"FROM $prev l LEFT JOIN nm$out ON l.v = nm$out.v)"
+      s"WITH $edgesCte, " +
+        "sm AS (SELECT p_partkey FROM part WHERE p_size <= 2), " +
+        "es AS (SELECT src, dst FROM e " +
+        "WHERE src IN (SELECT p_partkey FROM sm) AND dst IN (SELECT p_partkey FROM sm)), " +
+        "d AS (SELECT src, dst FROM es UNION ALL SELECT dst AS src, src AS dst FROM es), " +
+        "l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM d), " +
+        round("l0", "l1") + ", " + round("l1", "l2") + ", " +
+        round("l2", "l3") + ", " + round("l3", "l4") + ", " +
+        "sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM l4 GROUP BY lbl) " +
+        "SELECT sz AS comp_size, CAST(count(*) AS BIGINT) AS n_components " +
+        "FROM sizes GROUP BY sz ORDER BY comp_size"
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore, qgraphCc)
 }
