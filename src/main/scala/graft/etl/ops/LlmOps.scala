@@ -1518,6 +1518,155 @@ object LlmOps {
         "FROM inc i LEFT JOIN corp c ON i.fp = c.fp JOIN bmin b ON i.fp = b.fp " +
         "ORDER BY i.doc_id"))
 
+  /** PMI collocation mining — the phrase-extraction pass a tokenizer /
+    * vocab pipeline runs to promote high-association word pairs ("new
+    * york") into single units. PMI = log P(w1,w2)/(P(w1)·P(w2)); since log
+    * is monotone, the RANKING only needs the exact rational inside:
+    * ratio_ppm = n12·N1²·10⁶ div (N2·c1·c2), computed in DECIMAL(38,0) /
+    * HUGEINT so the ~10²² intermediate is exact on both engines and the
+    * top-40 ORDER BY is pure integer comparison — no log, no doubles, no
+    * rounding fallback anywhere. min-count 5 is the standard
+    * word2vec-style noise floor.
+    *
+    * Scale: two token-key aggregates (map-side partial) + one bigram
+    * aggregate; the unigram table joins to the bigram table on the word
+    * key (broadcast here — vocab-sized; hashed-term equi-join at 100 TB,
+    * the qllm_dsir note). TakeOrdered handles the top-40. */
+  private val qllmPmi = QueryDef(
+    "qllm_pmi",
+    build = (spark, sfDir) => {
+      val ws = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      val u = ws.select(explode(col("w")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      val n1 = u.agg(sum(col("c1")).as("n1tot"))
+      val bg = ws.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("s"))
+        .select(col("s.w1").as("w1"), col("s.w2").as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      val n2 = bc.agg(sum(col("n12")).as("n2tot"))
+      bc.filter(col("n12") >= 5)
+        .join(broadcast(u.select(col("term").as("__t1"), col("c1").as("c1_w1"))),
+          col("w1") === col("__t1"))
+        .join(broadcast(u.select(col("term").as("__t2"), col("c1").as("c1_w2"))),
+          col("w2") === col("__t2"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("w1"), col("w2"), col("n12"), col("c1_w1"), col("c1_w2"),
+          expr("CAST((CAST(n12 AS DECIMAL(38,0)) * n1tot * n1tot * 1000000) div " +
+            "(CAST(n2tot AS DECIMAL(38,0)) * c1_w1 * c1_w2) AS BIGINT)").as("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+        .limit(40)
+    },
+    oracle = Some(
+      "WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents), " +
+        "u AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM " +
+        "(SELECT unnest(w) AS term FROM ws) GROUP BY 1), " +
+        "n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1tot FROM u), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(w)), " +
+        "i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM ws WHERE len(w) >= 2), " +
+        "bg2 AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bg), " +
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg2 GROUP BY 1, 2), " +
+        "n2 AS (SELECT CAST(sum(n12) AS BIGINT) AS n2tot FROM bc) " +
+        "SELECT w1, w2, n12, a.c1 AS c1_w1, b.c1 AS c1_w2, " +
+        "CAST((CAST(n12 AS HUGEINT) * n1tot * n1tot * 1000000) // " +
+        "(CAST(n2tot AS HUGEINT) * a.c1 * b.c1) AS BIGINT) AS pmi_ppm " +
+        "FROM bc JOIN u a ON bc.w1 = a.term JOIN u b ON bc.w2 = b.term " +
+        "CROSS JOIN n1 CROSS JOIN n2 WHERE n12 >= 5 " +
+        "ORDER BY pmi_ppm DESC, w1, w2 LIMIT 40"))
+
+  /** Shingle CONTAINMENT (asymmetric near-dup): |A∩B| / min(|A|,|B|) —
+    * catches a document EMBEDDED in a larger one (quote farms, page
+    * wrappers, boilerplate-padded copies), which symmetric Jaccard
+    * under-scores: a 50-shingle doc fully contained in a 500-shingle doc
+    * has containment 1.0 but Jaccard ≤ 0.1. Candidates come from the SAME
+    * df-capped posting-list inverted index as qllm_ngram_jaccard (hashed
+    * shingles, no all-pairs, no text in shuffles) with the Jaccard floor
+    * disabled (minNum = 0) so low-Jaccard-high-containment pairs survive
+    * to the containment filter (≥ 0.5). One IEEE division of exact
+    * integer counts → bit-identical doubles. */
+  private val qllmContainment = QueryDef(
+    "qllm_containment",
+    build = (spark, sfDir) => {
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 0, minDen = 1)
+        .filter(col("n_common") * 2 >= least(col("n_a"), col("n_b")))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+          (col("n_common").cast(DoubleType) /
+            least(col("n_a"), col("n_b")).cast(DoubleType)).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b, " +
+        "CAST(n_common AS DOUBLE) / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE) AS containment " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 2 >= least(ca.n_sh, cb.n_sh) " +
+        "ORDER BY doc_a, doc_b"))
+
+  /** SemDeDup-style semantic dedup VERDICT (Abbas et al. 2023): embedding
+    * near-dup pairs from the SRP-bucketed candidate path (never
+    * all-pairs), resolved into a per-vector keep/drop decision — drop v
+    * iff some u < v in v's bucket has cosine ≥ 0.3 — and rolled up into
+    * the per-label census a curation run reports. The smallest-id-keeper
+    * rule is the deterministic greedy SemDeDup policy (D8); sims are
+    * bit-identical doubles (shared fold shape), so the drop set — not
+    * just its size — agrees cross-engine exactly.
+    *
+    * vs qllm_srp_lsh (emits the candidate PAIRS) and qllm_dedup_e2e
+    * (text-shingle clusters): this is the embedding-space keeper DECISION,
+    * the step between "pairs found" and "rows dropped" for semantic
+    * rather than lexical duplicates. Scale: candidates are per-bucket;
+    * the drop set joins back on the fixed-width vec_id key. */
+  private val qllmSemdedup = QueryDef(
+    "qllm_semdedup",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val planes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
+      val dropped = graft.api.Graft
+        .srpCandidates(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("__drop", lit(1))
+      e.select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("label"), col("n_total"), col("n_dropped"),
+          (col("n_total") - col("n_dropped")).as("n_kept"))
+        .orderBy(col("label"))
+    },
+    oracle = Some(
+      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
+        "FROM embeddings e CROSS JOIN pl p), " +
+        "bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id), " +
+        "cand AS (SELECT x.bucket, x.vec_id AS vec_a, y.vec_id AS vec_b " +
+        "FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id), " +
+        s"scored AS (SELECT c.vec_b, ${dcos("a.embedding", "b.embedding")} AS sim " +
+        "FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a " +
+        "JOIN embeddings b ON b.vec_id = c.vec_b), " +
+        "drp AS (SELECT DISTINCT vec_b AS vec_id FROM scored WHERE sim >= 0.3) " +
+        "SELECT e.label, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(drp.vec_id) AS BIGINT) AS n_dropped, " +
+        "CAST(count(*) - count(drp.vec_id) AS BIGINT) AS n_kept " +
+        "FROM embeddings e LEFT JOIN drp ON e.vec_id = drp.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
@@ -1527,7 +1676,8 @@ object LlmOps {
     qllmDecontam, qllmWinnow, qllmChunk, qllmVocab, qllmQuantize, qllmStratified, qllmSurprisal, qllmDsir,
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
-    qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu)
+    qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu,
+    qllmPmi, qllmContainment, qllmSemdedup)
 
   /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
     * computation a data pipeline runs at corpus scale (summary-vs-source

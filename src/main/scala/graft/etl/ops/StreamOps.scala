@@ -373,9 +373,46 @@ object StreamOps {
         "CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_rate " +
         "FROM f GROUP BY day ORDER BY day"))
 
+  /** CDC latest-state materialization — the "compact a change stream into
+    * its current snapshot" op (Kafka-topic → table, upsert-log → serving
+    * view): per user, the single latest event by (ts, event_id). Batch
+    * semantics pinned here with a row_number window (one partitioned
+    * sort, filter rn = 1 map-side after it — the WindowGroupLimit path
+    * turns this into a per-key top-1, no full sort retained); the
+    * STREAMING twin — `mapGroupsWithState` holding one (ts_us, event_id,
+    * type, value) struct per key, emitting updates — runs in
+    * StreamingSpec over a MemoryStream and must agree with this batch
+    * result on the same rows. Per-key state is ONE fixed-width record —
+    * bounded however long the stream runs.
+    *
+    * Tie-break on event_id makes the "latest" row total-ordered (D8);
+    * value rides as the exact DECIMAL(12,4) string (D15). */
+  private val qstreamCdc = QueryDef(
+    "qstream_cdc",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+          graft.etl.Dets.decStr(graft.etl.Dets.d124(col("value"))).as("value"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH v AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) AS STRING) AS value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, event_id, event_type, ts_us, value FROM v " +
+        "WHERE rn = 1 ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
-    qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk, qstreamLate)
+    qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk, qstreamLate,
+    qstreamCdc)
 }
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders

@@ -547,8 +547,52 @@ object WindowOps {
         "max(cusum) AS max_cusum, min(rn) FILTER (WHERE cusum > 3000000) AS first_alarm_rn " +
         "FROM s GROUP BY user_id ORDER BY user_id"))
 
+  /** Rolling median (trailing-10 frame) — the robust alternative to the
+    * rolling mean for spike-resistant smoothing (the Hampel-filter core).
+    * No engine exposes a median window function over arbitrary frames, so
+    * the frame is materialized as a BOUNDED array (`collect_list` /
+    * `list()` over ROWS BETWEEN 9 PRECEDING AND CURRENT ROW — ≤ 10
+    * elements of per-row state, constant memory however large the
+    * partition), sorted, and the lower median picked by 1-based index
+    * ⌈n/2⌉. Values ride as scale-4 integers (the qwin_anomaly trick), so
+    * the sort, the pick, and the equality of picks are exact; the emitted
+    * double is ONE IEEE division of an exact integer by 10⁴ — identical
+    * operands, identical rounding on both engines.
+    *
+    * Scale: one partitioned sorted window; the array is frame-local
+    * (never a per-PARTITION collect) — memory is O(frame), not O(rows). */
+  private val qwinMedian = QueryDef(
+    "qwin_median",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
+        .withColumn("fr", collect_list(col("vi")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          size(col("fr")).cast(LongType).as("n_frame"),
+          element_at(sort_array(col("fr")),
+            ((size(col("fr")) + 1) / 2).cast(IntegerType)).as("med_i"),
+          (element_at(sort_array(col("fr")),
+            ((size(col("fr")) + 1) / 2).cast(IntegerType)).cast(DoubleType) /
+            lit(10000.0)).as("med"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH v AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "f AS (SELECT event_id, user_id, ts_us, list(vi) OVER w AS fr FROM v " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, ts_us, CAST(len(fr) AS BIGINT) AS n_frame, " +
+        "list_sort(fr)[(len(fr) + 1) // 2] AS med_i, " +
+        "CAST(list_sort(fr)[(len(fr) + 1) // 2] AS DOUBLE) / 10000.0 AS med " +
+        "FROM f ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
-    qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum)
+    qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
+    qwinMedian)
 }

@@ -472,5 +472,94 @@ object Multimodal {
         "CAST(sum(v) AS BIGINT) AS sum_amp, CAST(sum(v * v) AS BIGINT) AS sum_sq " +
         "FROM s GROUP BY media_id, win ORDER BY media_id, win"))
 
-  def defs: Seq[QueryDef] = Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames, qmmAudio)
+  /** Deterministic synthetic pixel for [[qmmPhash]] — the image analogue
+    * of [[pcmSample]]: both engines can regenerate the pixel without the
+    * binary. */
+  def phashPixel(mediaId: Long, y: Int, x: Int): Int =
+    ((mediaId * 7 + y.toLong * 13 + x.toLong * 5) % 256).toInt
+
+  /** Perceptual average-hash (aHash) over a REAL encode→decode round trip —
+    * the image-dedup primitive (near-identical crawl images collapse to
+    * equal or Hamming-close hashes). Each doc synthesizes a 32×32 grayscale image
+    * from the [[phashPixel]] integer formula, encodes it as a real BMP,
+    * decodes it back, and computes the 8×8 block hash: bit(by,bx) = 1 iff
+    * blockSum·64 > totalSum — all integer arithmetic, no mean rounding.
+    * The 64 bits are emitted as two 32-bit halves (phash_lo = blocks
+    * 0–31, phash_hi = 32–63; DuckDB rejects 1<<63, and split halves are
+    * the standard SQL carry for 64-bit hashes) plus the popcount.
+    *
+    * Encode → decode → hash ride ONE narrow mapPartitions (payload never
+    * shuffled); the oracle regenerates the pixels from `generate_series`
+    * without seeing the binary — so a corrupted encode/decode (stride,
+    * bottom-up flip, palette) shifts block sums and fails the hash match,
+    * making this the image family's second oracle-checked decode path
+    * after qmm_audio. */
+  private val qmmPhash = QueryDef(
+    "qmm_phash",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { rows =>
+          rows.map { id =>
+            val data = Array.tabulate(32 * 32) { i =>
+              phashPixel(id, i / 32, i % 32).toByte
+            }
+            val img = decodeBmpGray(encodeBmpGray(data, w = 32))
+            require(img.width == 32 && img.height == 32, s"bad round trip for $id")
+            val px = img.pixels
+            var total = 0L
+            var i = 0
+            while (i < px.length) { total += (px(i) & 0xFF); i += 1 }
+            var lo = 0L; var hi = 0L; var ones = 0L
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                var bsum = 0L
+                var dy = 0
+                while (dy < 4) {
+                  var dx = 0
+                  while (dx < 4) {
+                    bsum += (px((by * 4 + dy) * 32 + (bx * 4 + dx)) & 0xFF)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                if (bsum * 64 > total) {
+                  val idx = by * 8 + bx
+                  if (idx < 32) lo += 1L << idx else hi += 1L << (idx - 32)
+                  ones += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            (id, lo, hi, ones)
+          }
+        }
+        .toDF("media_id", "phash_lo", "phash_hi", "n_ones")
+        .orderBy(col("media_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id AS media_id FROM documents), " +
+        "i AS (SELECT media_id, unnest(generate_series(0, 1023)) AS idx FROM d), " +
+        "p AS (SELECT media_id, CAST(idx // 32 AS BIGINT) AS y, CAST(idx % 32 AS BIGINT) AS x, " +
+        "(media_id * 7 + (idx // 32) * 13 + (idx % 32) * 5) % 256 AS v FROM i), " +
+        "t AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM p GROUP BY media_id), " +
+        "b AS (SELECT media_id, CAST(y // 4 AS BIGINT) AS yb, CAST(x // 4 AS BIGINT) AS xb, " +
+        "CAST(sum(v) AS BIGINT) AS bsum FROM p GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT b.media_id, yb * 8 + xb AS bi, " +
+        "CASE WHEN bsum * 64 > total THEN 1 ELSE 0 END AS bit " +
+        "FROM b JOIN t ON b.media_id = t.media_id) " +
+        "SELECT media_id, " +
+        "CAST(sum(CASE WHEN bi < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(bi AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo, " +
+        "CAST(sum(CASE WHEN bi >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi, " +
+        "CAST(sum(bit) AS BIGINT) AS n_ones " +
+        "FROM bits GROUP BY media_id ORDER BY media_id"))
+
+  def defs: Seq[QueryDef] =
+    Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames, qmmAudio, qmmPhash)
 }
