@@ -409,11 +409,47 @@ object StreamOps {
         "SELECT user_id, event_id, event_type, ts_us, value FROM v " +
         "WHERE rn = 1 ORDER BY user_id"))
 
+  /** Streaming twin of [[qstreamCdc]]: latest-per-key snapshot held as ONE
+    * fixed-width record per key in `mapGroupsWithState` (update-mode
+    * emission). Input needs (user_id, ts_us, event_id, event_type, value);
+    * the "latest" rule — max (ts_us, event_id) — matches the batch
+    * row_number window exactly, so StreamingSpec pins stream ≡ batch.
+    * State never grows with stream length: upserts replace in place. */
+  def cdcSnapshot(events: DataFrame): org.apache.spark.sql.Dataset[CdcSnap] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast(LongType), col("ts_us").cast(LongType),
+        col("event_id").cast(LongType), col("event_type"),
+        col("value").cast(StringType))
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEvent], state: GroupState[CdcSnap]) =>
+          var cur = state.getOption.orNull
+          it.foreach { e =>
+            if (cur == null || e.ts_us > cur.ts_us ||
+              (e.ts_us == cur.ts_us && e.event_id > cur.event_id))
+              cur = CdcSnap(uid, e.ts_us, e.event_id, e.event_type, e.value)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   def defs: Seq[QueryDef] = Seq(
     qstreamTumbling, qstreamSliding, qstreamSession, qstreamDedup,
     qstreamFunnel, qstreamJoin, qstreamEnrich, qstreamTopk, qstreamLate,
     qstreamCdc)
 }
+
+/** Typed rows for [[StreamOps.cdcSnapshot]] (top-level for Encoder
+  * derivation, the FunnelEvent note). */
+case class CdcEvent(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value: String)
+case class CdcSnap(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value: String)
 
 /** Typed event row for [[FunnelState.update]] (top-level — Spark Encoders
   * cannot derive nested case classes). */

@@ -348,7 +348,12 @@ class PlanSpec extends SparkFixture {
       // (the rankByBucket offsets pattern — metadata scale)
       "qllm_hardneg", "qstream_late",
       // dsir: 1-row (nr, nt, nv) totals frame into the vocab weight table
-      "qllm_dsir")
+      "qllm_dsir",
+      // pmi: two 1-row totals frames (N1 token count, N2 bigram count)
+      // cross-joined into the collocation projection;
+      // semdedup: the ≤8-row broadcast hyperplane frame inside
+      // srpCandidates (the srp_lsh/hardneg shape)
+      "qllm_pmi", "qllm_semdedup")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")

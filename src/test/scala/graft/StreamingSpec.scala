@@ -434,6 +434,39 @@ class StreamingSpec extends SparkFixture {
     } finally q.stop()
   }
 
+  test("cdc snapshot: mapGroupsWithState latest-per-key equals the batch row_number rule") {
+    import graft.etl.ops.CdcEvent
+    val sp = spark
+    import sp.implicits._
+    val b1 = Seq(
+      CdcEvent(1L, 100L, 1L, "click", "1.0"),
+      CdcEvent(1L, 200L, 2L, "view", "2.0"),
+      CdcEvent(2L, 50L, 3L, "click", "3.0"))
+    val b2 = Seq(
+      CdcEvent(1L, 150L, 4L, "click", "9.9"), // older than held state: ignored
+      CdcEvent(2L, 50L, 5L, "view", "4.0"), // same ts, higher event_id wins
+      CdcEvent(3L, 10L, 6L, "click", "5.0")) // new key
+    val stream = MemoryStream[CdcEvent]
+    val q = StreamOps.cdcSnapshot(stream.toDF()).toDF()
+      .writeStream.format("memory").queryName("cdc_t").outputMode("update").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("cdc_t").collect().map(_.toString).toSet
+      // the final snapshot = the batch rule (max (ts_us, event_id) per key)
+      // applied to ALL events; update mode must have emitted each of them
+      val want = StreamOps.cdcSnapshot((b1 ++ b2).toDF()).toDF()
+        .collect().map(_.toString).toSet
+      assert(want == Set(
+        "[1,200,2,view,2.0]", "[2,50,5,view,4.0]", "[3,10,6,click,5.0]"))
+      assert(want.subsetOf(emitted), s"want $want within $emitted")
+      // the stale b2 update for user 1 must NOT appear as a newer emission
+      assert(!emitted.contains("[1,150,4,click,9.9]"))
+    } finally q.stop()
+  }
+
   test("session gap semantics: diff == gap exactly MERGES (oracle parity)") {
     val sp = spark
     import sp.implicits._
