@@ -401,6 +401,84 @@ class EdgeCaseSpec extends SparkFixture {
     assert(deg.forall(_.getAs[Long]("deg") >= 3))
   }
 
+  test("rolling median: lower-median pick is exact for odd, even, and single-row frames") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 10L), (2L, 1000L), (3L, 20L), (4L, 30L)).toDF("event_id", "vi")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id")).rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+    val out = df.withColumn("fr", collect_list(col("vi")).over(w))
+      .select(col("event_id"),
+        element_at(sort_array(col("fr")),
+          ((size(col("fr")) + 1) / 2).cast("int")).as("med_i"))
+      .orderBy(col("event_id"))
+      .collect().map(_.getLong(1)).toSeq
+    // frames [10] [10,1000] [10,1000,20] [10,1000,20,30]:
+    // lower medians 10, 10, 20, 20 — the early-spike 1000 never leaks in
+    assert(out == Seq(10L, 10L, 20L, 20L))
+  }
+
+  test("cc min-label: 4 synchronous rounds settle a path + a pair into exact components") {
+    val sp = spark
+    import sp.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+    var lbl = d.select(col("src").as("v")).distinct().select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to 4) {
+      val nm = d.join(lbl, d("src") === lbl("v"))
+        .select(col("dst").as("v2"), col("lbl"))
+        .groupBy(col("v2")).agg(min(col("lbl")).as("nm"))
+      lbl = lbl.join(nm, col("v") === col("v2"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+    }
+    val labels = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("pmi: every emitted row satisfies the exact BigInt ratio and the min-count floor") {
+    val rows = graft.etl.Registry.byName("qllm_pmi").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    // recompute the two totals the query folds in via its scalar frames
+    val ws = graft.etl.Tables.documents(spark, sfTiny)
+      .select(split(lower(col("text")), "\\s+").as("w"))
+    val n1 = ws.select(explode(col("w")).as("t")).count()
+    val n2 = ws.select((size(col("w")) - 1).as("k")).filter(col("k") >= 1)
+      .agg(sum(col("k"))).head().getLong(0)
+    rows.foreach { r =>
+      val n12 = r.getAs[Long]("n12"); val c1 = r.getAs[Long]("c1_w1")
+      val c2 = r.getAs[Long]("c1_w2"); val got = r.getAs[Long]("pmi_ppm")
+      assert(n12 >= 5)
+      val want = (BigInt(n12) * BigInt(n1) * BigInt(n1) * 1000000) /
+        (BigInt(n2) * BigInt(c1) * BigInt(c2))
+      assert(BigInt(got) == want, s"row $r: want $want")
+    }
+  }
+
+  test("containment: a doc fully embedded in a larger one scores exactly 1.0") {
+    val sp = spark
+    import sp.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = Graft.shingleHashes(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("h64").as("sh"))
+    val out = Graft.jaccardCandidates(sh, dfCap = 20, minNum = 0, minDen = 1)
+      .filter(col("n_common") * 2 >= least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("containment") == 1.0)
+    // and the symmetric Jaccard for the same pair is well below 1 — the
+    // asymmetry this operator exists to catch
+    val j = Graft.jaccardCandidates(sh, dfCap = 20, minNum = 0, minDen = 1)
+      .select((col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jac"))
+      .head().getAs[Double]("jac")
+    assert(j < 0.5, s"jaccard $j")
+  }
+
   test("valueBuckets: null values join null-safely and land in bucket 0 (nulls-first order)") {
     val sp = spark
     import sp.implicits._

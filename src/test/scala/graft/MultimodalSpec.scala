@@ -180,4 +180,49 @@ class MultimodalSpec extends SparkFixture {
     assert(Multimodal.pcmSample(0L, 0) == -32768)
     assert(Multimodal.pcmSample(7L, 3) == ((7 * 31 + 3 * 17) % 65536 - 32768).toShort)
   }
+
+  test("phash: block bits match a direct no-BMP computation; halves stay in 32-bit range") {
+    // compute the aHash directly from the formula (no encode/decode), then
+    // through the BMP round trip the query uses — they must agree, or the
+    // encoder/decoder corrupted pixel placement
+    def direct(id: Long): (Long, Long, Long) = {
+      val px = Array.tabulate(32 * 32)(i => Multimodal.phashPixel(id, i / 32, i % 32))
+      val total = px.map(_.toLong).sum
+      var lo = 0L; var hi = 0L; var ones = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        var bsum = 0L
+        for (dy <- 0 until 4; dx <- 0 until 4) bsum += px((by * 4 + dy) * 32 + (bx * 4 + dx))
+        if (bsum * 64 > total) {
+          val idx = by * 8 + bx
+          if (idx < 32) lo += 1L << idx else hi += 1L << (idx - 32)
+          ones += 1
+        }
+      }
+      (lo, hi, ones)
+    }
+    def viaBmp(id: Long): (Long, Long, Long) = {
+      val data = Array.tabulate(32 * 32)(i => Multimodal.phashPixel(id, i / 32, i % 32).toByte)
+      val img = Multimodal.decodeBmpGray(Multimodal.encodeBmpGray(data, w = 32))
+      val px = img.pixels.map(_ & 0xFF)
+      val total = px.map(_.toLong).sum
+      var lo = 0L; var hi = 0L; var ones = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        var bsum = 0L
+        for (dy <- 0 until 4; dx <- 0 until 4) bsum += px((by * 4 + dy) * 32 + (bx * 4 + dx))
+        if (bsum * 64 > total) {
+          val idx = by * 8 + bx
+          if (idx < 32) lo += 1L << idx else hi += 1L << (idx - 32)
+          ones += 1
+        }
+      }
+      (lo, hi, ones)
+    }
+    for (id <- Seq(0L, 1L, 7L, 123L, 99999L)) {
+      val d = direct(id); val b = viaBmp(id)
+      assert(d == b, s"id $id: direct $d != bmp $b")
+      val (lo, hi, ones) = d
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+      assert(ones == java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
+    }
+  }
 }
