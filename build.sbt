@@ -45,5 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a log4j2.properties packaged into the library jar would override any
   // downstream application's own logging configuration.
   s"-Dlog4j2.configurationFile=file:${baseDirectory.value}/conf/log4j2.properties",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the single-JVM bench/verify suites run 175 queries with
+  // iterative operators that localCheckpoint per round; 8g left late-
+  // alphabet queries paying eviction/GC for earlier queries' blocks even
+  // with per-query unpersist (the working set is legitimately larger now).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -68,6 +68,7 @@ object Bench {
     graft.etl.ExtractFixtures.ordersEvolved(spark, sfDir)
     graft.etl.ExtractFixtures.supplierOrc(spark, sfDir)
     graft.etl.ExtractFixtures.documentsText(spark, sfDir)
+    graft.etl.ExtractFixtures.copurchaseEdges(spark, sfDir)
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not
@@ -85,7 +86,16 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this query's localCheckpoint blocks before the next one runs:
+      // the iterative operators (dedup clusters, graph family) checkpoint
+      // per round, and 175 queries of leaked MEMORY_AND_DISK blocks in one
+      // 8 GiB JVM turn into eviction + GC storms that charge the queries
+      // running LATE in the alphabet (measured: qgraph_triangles 32 s
+      // mid-suite vs 3-5 s in isolation, same code and data). Unpersist is
+      // after the clock stops — cleanup is harness cost, not query cost.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def toJson(entries: Seq[(String, Double)]): String =

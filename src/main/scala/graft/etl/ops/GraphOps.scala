@@ -39,24 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Canonical (src < dst) co-purchase edges, distinct.
-    *
-    * collect_set(pk) per order replaces the distinct + self-join: the set
-    * both dedups (order, part) and carries the whole per-order neighborhood
-    * through a single shuffle; pair generation is then a narrow map over
-    * the (bounded, ≤ lines-per-order) array. Equivalent to the oracle's
-    * DISTINCT self-join by construction — same pair set, same orientation. */
+  /** Canonical (src < dst) co-purchase edges, distinct — read from the
+    * STAGED edge table ([[graft.etl.ExtractFixtures.copurchaseEdges]],
+    * written once per (JVM, sfDir)): the five graph queries share one
+    * materialization instead of each re-deriving the pair pipeline from
+    * the fact table. The derivation itself (collect_set per order → map-
+    * side pair explode → one distinct) is two shuffles; see the staging
+    * writer for the layout rationale. Equivalent to the oracle's DISTINCT
+    * self-join by construction — same pair set, same orientation. */
   private def edges(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok"))
-      .agg(collect_set(col("pk")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> " +
-          "transform(filter(ps, y -> y > x), y -> struct(x AS src, y AS dst))))"))
-        .as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .distinct()
+    val dir = graft.etl.ExtractFixtures.copurchaseEdges(spark, sfDir)
+    spark.read.schema("src BIGINT, dst BIGINT").parquet(dir)
   }
 
   private val edgesCte =

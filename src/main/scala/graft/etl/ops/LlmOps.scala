@@ -1667,6 +1667,90 @@ object LlmOps {
         "FROM embeddings e LEFT JOIN drp ON e.vec_id = drp.vec_id " +
         "GROUP BY e.label ORDER BY e.label"))
 
+  /** Cross-source duplication matrix — "which crawl sources copy from
+    * which": near-dup candidate pairs (the qllm_ngram_jaccard inverted-
+    * index path) rolled up by UNORDERED source pair. The census a
+    * curation run reads before deciding which overlapping source to
+    * deprioritize; diagonal entries (src_a = src_b) measure intra-source
+    * redundancy. Per-pair stats are order-free (count, min/max jaccard —
+    * no floating sum across an unordered reduction), so the matrix is
+    * deterministic. Scale: the pair stream is already df-capped; the
+    * doc→source map joins on the doc key twice, then a metadata-sized
+    * |sources|² aggregate. */
+  private val qllmCrossdup = QueryDef(
+    "qllm_crossdup",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val srcs = docs.select(col("doc_id"), col("source"))
+      val sh = graft.api.Graft
+        .shingleHashes(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
+        .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("__sa")), "doc_a")
+        .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("__sb")), "doc_b")
+        .select(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"), col("jaccard"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_jaccard"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    oracle = Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word, " +
+        "generate_subscripts(str_split(lower(text), ' '), 1) AS pos FROM documents), " +
+        "sh AS (SELECT DISTINCT a.doc_id, concat(a.word, ' ', b.word) AS s " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20), " +
+        "shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), " +
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common " +
+        "FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "scored AS (SELECT doc_a, doc_b, " +
+        "CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE) AS jaccard " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b " +
+        "WHERE n_common * 4 >= ca.n_sh + cb.n_sh - n_common), " +
+        "lab AS (SELECT s.doc_a, s.doc_b, s.jaccard, " +
+        "least(da.source, db.source) AS src_a, greatest(da.source, db.source) AS src_b " +
+        "FROM scored s JOIN documents da ON da.doc_id = s.doc_a " +
+        "JOIN documents db ON db.doc_id = s.doc_b) " +
+        "SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard " +
+        "FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b"))
+
+  /** Embedding hygiene audit — the sanity pass before any ANN/dedup run:
+    * per label, vector count, dimensionality check (every row must carry
+    * the declared 64 dims), zero-vector count (cosine of a zero vector is
+    * NaN — qllm_* bucketing must quarantine them first), and exact
+    * min/max squared norms. norm² uses the SHARED sequential fold shape
+    * (Spark `aggregate` from 0.0 ≡ DuckDB `list_reduce`: 0 + x₁² is
+    * exact, so both engines round identical operand sequences — D12);
+    * min/max are order-free, so no floating accumulation anywhere.
+    * Scale: one map-side projection + one keyed aggregate; no joins. */
+  private val qllmEmbaudit = QueryDef(
+    "qllm_embaudit",
+    build = (spark, sfDir) => {
+      Tables.embeddings(spark, sfDir)
+        .select(col("label"), size(col("embedding")).as("dim"),
+          expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+            .as("norm2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+          sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          min(col("norm2")).as("min_norm2"),
+          max(col("norm2")).as("max_norm2"))
+        .orderBy(col("label"))
+    },
+    oracle = Some(
+      s"WITH v AS (SELECT label, len(embedding) AS dim, ${dnorm2("embedding")} AS norm2 " +
+        "FROM embeddings) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(count(CASE WHEN dim <> 64 THEN 1 END) AS BIGINT) AS n_bad_dim, " +
+        "CAST(count(CASE WHEN norm2 = 0.0 THEN 1 END) AS BIGINT) AS n_zero, " +
+        "min(norm2) AS min_norm2, max(norm2) AS max_norm2 " +
+        "FROM v GROUP BY label ORDER BY label"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
@@ -1677,7 +1761,7 @@ object LlmOps {
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
     qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu,
-    qllmPmi, qllmContainment, qllmSemdedup)
+    qllmPmi, qllmContainment, qllmSemdedup, qllmCrossdup, qllmEmbaudit)
 
   /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
     * computation a data pipeline runs at corpus scale (summary-vs-source
