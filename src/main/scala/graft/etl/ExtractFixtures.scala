@@ -94,6 +94,28 @@ object ExtractFixtures {
     }
   }
 
+  /** A directory of 200 real BMP files (media_<id>.bmp, ids 0–199 — the
+    * doc_id < 200 slice, dense at every sf), each the 32×32 formula image
+    * [[graft.multimodal.Multimodal.phashPixel]] encodes. The raw-blob
+    * ingest fixture for the `binaryFile` source: every file is 1078-byte
+    * header + 1024 pixel bytes = 2102 bytes, so the oracle pins per-file
+    * identity and size from the documents table alone. Driver-side writes:
+    * 200 × 2 KB is setup cost, the same class as the corrupt-line CSV
+    * fixtures. */
+  def mediaBmp(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("media_bmp")
+    ensure(dir) {
+      Files.createDirectories(dir)
+      (0 until 200).foreach { id =>
+        val data = Array.tabulate(32 * 32) { i =>
+          graft.multimodal.Multimodal.phashPixel(id.toLong, i / 32, i % 32).toByte
+        }
+        Files.write(dir.resolve(s"media_$id.bmp"),
+          graft.multimodal.Multimodal.encodeBmpGray(data, w = 32))
+      }
+    }
+  }
+
   def customerCsv(spark: SparkSession, sfDir: String): String = {
     val dir = root(sfDir).resolve("customer_csv")
     ensure(dir) {

@@ -345,8 +345,46 @@ object ScanOps {
         "WHERE c4.c_nationkey = c.c_nationkey AND c4.c_acctbal < 0) " +
         "ORDER BY c_custkey"))
 
+  /** Raw-binary ingest via the `binaryFile` source — the image/audio-dir
+    * entry path of a multimodal pipeline (a directory of opaque blobs →
+    * (path, length, content) rows). Reads the 200-file staged BMP dir
+    * ([[ExtractFixtures.mediaBmp]]), recovers each file's identity from
+    * its NAME (regexp on the path — the filename-as-key convention of
+    * every crawl dump), and DECODES the payload for real (header parse +
+    * dimension extraction via the qmm decode kit, one narrow
+    * mapPartitions — payloads never shuffle). The oracle pins identity,
+    * count, size, and dimensions from the documents table alone: every
+    * staged file is deterministically 2102 bytes of 32×32 BMP, so a
+    * wrong/missed/truncated file breaks the match. Content-level
+    * integrity is qmm_phash's job (same formula pixels, oracle-checked);
+    * this query owns the SOURCE plumbing. */
+  private val qscanBinary = QueryDef(
+    "qscan_binary",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.mediaBmp(spark, sfDir)
+      val sp = spark
+      import sp.implicits._
+      spark.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bmp$", 1).cast(LongType).as("media_id"),
+          col("length").as("n_bytes"), col("content"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, n, bytes) =>
+            val img = graft.multimodal.Multimodal.decodeBmpGray(bytes)
+            (id, n, img.width.toLong, img.height.toLong)
+          }
+        }
+        .toDF("media_id", "n_bytes", "width", "height")
+        .orderBy(col("media_id"))
+    },
+    oracle = Some(
+      "SELECT doc_id AS media_id, CAST(2102 AS BIGINT) AS n_bytes, " +
+        "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
-    qscanOrc, qscanText, qscanEvolution, qscanMetadata, qsinkPartitioned,
-    qfilterPredicates, qprojectExpr, qfilterSubquery)
+    qscanOrc, qscanText, qscanEvolution, qscanMetadata, qscanBinary,
+    qsinkPartitioned, qfilterPredicates, qprojectExpr, qfilterSubquery)
 }
