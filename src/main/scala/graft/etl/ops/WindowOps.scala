@@ -590,9 +590,59 @@ object WindowOps {
         "CAST(list_sort(fr)[(len(fr) + 1) // 2] AS DOUBLE) / 10000.0 AS med " +
         "FROM f ORDER BY event_id"))
 
+  /** Hampel filter (trailing-10 frame): flag x as an outlier when
+    * |x − med| > 3·MAD, med = frame rolling median, MAD = median absolute
+    * deviation within the same frame — the robust despiking rule that
+    * replaces the ±kσ rule wherever spikes would poison the σ itself.
+    * Entirely integer-exact: values ride as scale-4 integers, both median
+    * picks are 1-based ⌈n/2⌉ indexes into sorted BOUNDED arrays (the
+    * qwin_median frame-array technique — O(frame) state), deviations are
+    * |integer − integer|, and the decision |x−med|·2 > MAD·6 compares
+    * integers (×2 keeps the halves exact: 3·MAD needs no scaling, but the
+    * symmetric form keeps both engines in BIGINT). The per-user outlier
+    * census (n_events, n_outliers, max |dev| in value units) keeps output
+    * at |users| rows.
+    *
+    * Scale: ONE partitioned sorted window; the frame array is built once
+    * per row and both medians read it — no second sort, no join. */
+  private val qwinHampel = QueryDef(
+    "qwin_hampel",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
+        .withColumn("fr", collect_list(col("vi")).over(w))
+        .withColumn("med",
+          element_at(sort_array(col("fr")), ((size(col("fr")) + 1) / 2).cast(IntegerType)))
+        .withColumn("mad", element_at(
+          sort_array(expr("transform(fr, x -> abs(x - med))")),
+          ((size(col("fr")) + 1) / 2).cast(IntegerType)))
+        .withColumn("outlier", abs(col("vi") - col("med")) * 2 > col("mad") * 6)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          (max(abs(col("vi") - col("med"))).cast(DoubleType) / lit(10000.0)).as("max_dev"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH v AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "f AS (SELECT user_id, vi, list(vi) OVER w AS fr FROM v " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT user_id, vi, list_sort(fr)[(len(fr) + 1) // 2] AS med, fr FROM f), " +
+        "d AS (SELECT user_id, vi, med, " +
+        "list_sort(list_transform(fr, x -> abs(x - med)))[(len(fr) + 1) // 2] AS mad FROM m) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(count(CASE WHEN abs(vi - med) * 2 > mad * 6 THEN 1 END) AS BIGINT) AS n_outliers, " +
+        "CAST(max(abs(vi - med)) AS DOUBLE) / 10000.0 AS max_dev " +
+        "FROM d GROUP BY user_id ORDER BY user_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
-    qwinMedian)
+    qwinMedian, qwinHampel)
 }
