@@ -942,11 +942,45 @@ object AggOps {
         "CAST(CAST(count(*)*sum(qa*qb) - sum(qa)*sum(qb) AS DECIMAL(38,0)) AS STRING) AS ncov " +
         "FROM p GROUP BY i, j ORDER BY i, j"))
 
+  /** Rolling 7-day distinct actives (DAU → trailing WAU) — THE
+    * engagement metric, and the canonical "distinct over a sliding
+    * window" problem: a naive per-day window over raw events re-counts
+    * every user 7×, and a RANGE-frame `count_distinct` window doesn't
+    * exist in either engine. The scalable decomposition: dedup to
+    * (day, user) once, EXPLODE each active-day into the 7 trailing
+    * report days it contributes to (map-side ×7 on fixed-width pairs),
+    * then one distinct-count per report day. Shuffles carry (day, user)
+    * keys only; no per-day giant window, no 7-way self-join. Report days
+    * are restricted to days that actually occur (inner join to the day
+    * list — also drops the phantom tail past max day). All integer. */
+  private val qaggRollingDau = QueryDef(
+    "qagg_rolling_dau",
+    build = (spark, sfDir) => {
+      val du = Tables.events(spark, sfDir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(expr("sequence(day, day + 6)")).as("rday"), col("user_id"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("rday"))
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy(col("day"))
+    },
+    oracle = Some(
+      "WITH du AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "user_id FROM events), " +
+        "d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM du GROUP BY day), " +
+        "t AS (SELECT unnest(generate_series(day, day + 6)) AS rday, user_id FROM du), " +
+        "w AS (SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM t GROUP BY rday) " +
+        "SELECT d.day, d.dau, w.wau FROM d JOIN w ON w.rday = d.day ORDER BY d.day"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
-    qaggGram)
+    qaggGram, qaggRollingDau)
 }

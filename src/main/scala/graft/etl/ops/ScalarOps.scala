@@ -1,6 +1,7 @@
 package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -309,7 +310,52 @@ object ScalarOps {
         "CAST(CASE WHEN isodow(dt) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend " +
         "FROM g ORDER BY d"))
 
+  /** Business-day (weekday-count) arithmetic — the SLA/lead-time metric
+    * every order-fulfilment pipeline reports: weekdays between order and
+    * ship date, via the CLOSED FORM g(m) = 5·(m div 7) + min(m mod 7, 5)
+    * over Monday-anchored day numbers (epoch day + 3 — 1970-01-01 was a
+    * Thursday), so busdays = g(n₂+3) − g(n₁+3) with no calendar join, no
+    * per-day explode, no UDF: pure integer div/mod that pushes into the
+    * scan projection on both engines. Rolled up per return flag (count,
+    * total, mean as ONE IEEE division of exact integers). The join is
+    * the keyed fact⋈dim on orderkey; everything else is map-side. */
+  private val qdateBusday = QueryDef(
+    "qdate_busday",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (datediff(col("l_shipdate").cast(DateType), lit("1970-01-01").cast(DateType)) + 3)
+            .as("ms"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          (datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType)) + 3)
+            .as("mo"))
+      def g(m: String): Column = lit(5) * expr(s"$m div 7") + least(col(m) % 7, lit(5))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"), (g("ms") - g("mo")).as("busdays"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("busdays")).as("total_busdays"),
+          (sum(col("busdays")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+            .as("avg_busdays"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some(
+      "WITH li AS (SELECT l_orderkey, l_returnflag, " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS nship FROM lineitem), " +
+        "o AS (SELECT o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS nord FROM orders), " +
+        "b AS (SELECT l_returnflag, " +
+        "(5 * ((nship + 3) // 7) + least((nship + 3) % 7, 5)) - " +
+        "(5 * ((nord + 3) // 7) + least((nord + 3) % 7, 5)) AS busdays " +
+        "FROM li JOIN o ON l_orderkey = o_orderkey) " +
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(busdays) AS BIGINT) AS total_busdays, " +
+        "CAST(sum(busdays) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_busdays " +
+        "FROM b GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   def defs: Seq[QueryDef] = Seq(
     qstrFuncs, qstrRegex, qstrFuzzy, qstrHashes, qdateFuncs, qmathFuncs,
-    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask, qdateCalendar)
+    qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask, qdateCalendar,
+    qdateBusday)
 }
