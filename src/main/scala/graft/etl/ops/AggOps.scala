@@ -942,6 +942,40 @@ object AggOps {
         "CAST(CAST(count(*)*sum(qa*qb) - sum(qa)*sum(qb) AS DECIMAL(38,0)) AS STRING) AS ncov " +
         "FROM p GROUP BY i, j ORDER BY i, j"))
 
+  /** Deterministic ARGMAX via the dedicated max_by/arg_max aggregate —
+    * "which order is each priority class's biggest" without a window or
+    * self-join. Neither engine's argmax accepts a composite (struct)
+    * ordering, and ties on the raw measure would make the picked row
+    * engine-dependent (D8) — so the ordering key is the EXACT composite
+    * integer price_i4·10¹⁰ + orderkey in DECIMAL(38,0)/HUGEINT: the
+    * price dominates, the unique orderkey breaks ties, and both engines
+    * compare the same integers. One partial-aggregable groupBy — argmax
+    * resolves map-side, shuffling one candidate row per (partition,
+    * group), the scale shape that makes max_by preferable to the
+    * row_number window at 100 TB. */
+  private val qaggArgmax = QueryDef(
+    "qagg_argmax",
+    build = (spark, sfDir) => {
+      val priceI = (d124(col("o_totalprice")) * lit(10000)).cast(LongType)
+      val ord = (priceI.cast(DecimalType(38, 0)) * lit(10000000000L) +
+        col("o_orderkey")).cast(DecimalType(38, 0))
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          max_by(col("o_orderkey"), ord).as("best_orderkey"),
+          decStr(max(d124(col("o_totalprice")))).as("best_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    oracle = Some(
+      "WITH o AS (SELECT o_orderpriority, o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(12,4)) AS price_d, " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS HUGEINT) " +
+        "* 10000000000 + o_orderkey AS ordkey FROM orders) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "arg_max(o_orderkey, ordkey) AS best_orderkey, " +
+        "CAST(max(price_d) AS STRING) AS best_price " +
+        "FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
   /** Rolling 7-day distinct actives (DAU → trailing WAU) — THE
     * engagement metric, and the canonical "distinct over a sliding
     * window" problem: a naive per-day window over raw events re-counts
@@ -982,5 +1016,5 @@ object AggOps {
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
-    qaggGram, qaggRollingDau)
+    qaggGram, qaggRollingDau, qaggArgmax)
 }
