@@ -1141,6 +1141,52 @@ object Graft {
     * 0, excluded by the strict inequality before any sqrt.
     *
     * Returns (id, key, val: DECIMAL(12,4), z: double). */
+  /** Trailing-frame rolling median over scale-4 integer units: returns
+    * `(id, key, ts, vi, n_frame, med_i)` where `med_i` is the LOWER
+    * median (1-based ⌈n/2⌉ pick into the sorted frame array) of the last
+    * `frame` values per key in (ts, id) order. The frame rides as a
+    * BOUNDED `collect_list` array — O(frame) per-row state regardless of
+    * partition size — and every step (sort, pick) is exact integer work,
+    * so results are reproducible across engines and runs (D8/D12). */
+  def rollingMedian(df: DataFrame, id: Column, key: Column, ts: Column,
+      value: Column, frame: Int = 10): DataFrame = {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    df.select(id.as("id"), key.as("key"), ts.as("ts"),
+        (value.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType).as("vi"))
+      .withColumn("__fr", collect_list(col("vi")).over(w))
+      .select(col("id"), col("key"), col("ts"), col("vi"),
+        size(col("__fr")).cast(LongType).as("n_frame"),
+        element_at(sort_array(col("__fr")),
+          ((size(col("__fr")) + 1) / 2).cast(IntegerType)).as("med_i"))
+  }
+
+  /** Hampel outlier filter on top of [[rollingMedian]]'s frame shape:
+    * flags `vi` when |vi − med| · 2 > MAD · 2k (k defaults to the
+    * standard 3), where MAD is the median absolute deviation within the
+    * SAME trailing frame — both medians read one shared sorted array,
+    * one window sort total. Returns `(id, key, ts, vi, med_i, mad_i,
+    * outlier)`. The robust despiking rule for feeds whose spikes would
+    * poison a ±kσ rule's own σ. */
+  def hampel(df: DataFrame, id: Column, key: Column, ts: Column,
+      value: Column, frame: Int = 10, k: Int = 3): DataFrame = {
+    require(frame >= 1 && k >= 1, s"frame/k must be >= 1, got $frame/$k")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    df.select(id.as("id"), key.as("key"), ts.as("ts"),
+        (value.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType).as("vi"))
+      .withColumn("__fr", collect_list(col("vi")).over(w))
+      .withColumn("med_i",
+        element_at(sort_array(col("__fr")),
+          ((size(col("__fr")) + 1) / 2).cast(IntegerType)))
+      .withColumn("mad_i", element_at(
+        sort_array(expr("transform(__fr, x -> abs(x - med_i))")),
+        ((size(col("__fr")) + 1) / 2).cast(IntegerType)))
+      .select(col("id"), col("key"), col("ts"), col("vi"), col("med_i"), col("mad_i"),
+        (abs(col("vi") - col("med_i")) * 2 > col("mad_i") * (2 * k)).as("outlier"))
+  }
+
   def anomalyZ(df: DataFrame, id: Column, key: Column, value: Column): DataFrame = {
     val w = Window.partitionBy(col("key"))
     val v = df.select(id.as("id"), key.as("key"),

@@ -564,19 +564,12 @@ object WindowOps {
   private val qwinMedian = QueryDef(
     "qwin_median",
     build = (spark, sfDir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(-9, Window.currentRow)
-      Tables.events(spark, sfDir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
-        .withColumn("fr", collect_list(col("vi")).over(w))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          size(col("fr")).cast(LongType).as("n_frame"),
-          element_at(sort_array(col("fr")),
-            ((size(col("fr")) + 1) / 2).cast(IntegerType)).as("med_i"),
-          (element_at(sort_array(col("fr")),
-            ((size(col("fr")) + 1) / 2).cast(IntegerType)).cast(DoubleType) /
-            lit(10000.0)).as("med"))
+      graft.api.Graft.rollingMedian(
+          Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
+          col("event_id"), col("user_id"), col("ts_us"), col("value"), frame = 10)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("ts").as("ts_us"), col("n_frame"), col("med_i"),
+          (col("med_i").cast(DoubleType) / lit(10000.0)).as("med"))
         .orderBy(col("event_id"))
     },
     oracle = Some(
@@ -608,22 +601,14 @@ object WindowOps {
   private val qwinHampel = QueryDef(
     "qwin_hampel",
     build = (spark, sfDir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(-9, Window.currentRow)
-      Tables.events(spark, sfDir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .withColumn("vi", (d124(col("value")) * lit(10000)).cast(LongType))
-        .withColumn("fr", collect_list(col("vi")).over(w))
-        .withColumn("med",
-          element_at(sort_array(col("fr")), ((size(col("fr")) + 1) / 2).cast(IntegerType)))
-        .withColumn("mad", element_at(
-          sort_array(expr("transform(fr, x -> abs(x - med))")),
-          ((size(col("fr")) + 1) / 2).cast(IntegerType)))
-        .withColumn("outlier", abs(col("vi") - col("med")) * 2 > col("mad") * 6)
-        .groupBy(col("user_id"))
+      graft.api.Graft.hampel(
+          Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
+          col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          frame = 10, k = 3)
+        .groupBy(col("key").as("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"),
-          (max(abs(col("vi") - col("med"))).cast(DoubleType) / lit(10000.0)).as("max_dev"))
+          (max(abs(col("vi") - col("med_i"))).cast(DoubleType) / lit(10000.0)).as("max_dev"))
         .orderBy(col("user_id"))
     },
     oracle = Some(

@@ -600,4 +600,23 @@ class ApiSpec extends SparkFixture {
     val n = pruned.join(dim, Seq("k")).count()
     assert(n == 2L)
   }
+
+  test("hampel: a lone spike is flagged; the steady neighbourhood is not") {
+    val sp = spark
+    import sp.implicits._
+    // steady 10.0s with one 500.0 spike at ts 5: med stays 10, MAD small
+    val rows = (1L to 9L).map(t => (t, 1L, t, if (t == 5L) 500.0 else 10.0))
+    val df = rows.toDF("id", "key", "ts", "v")
+    val out = Graft.hampel(df, col("id"), col("key"), col("ts"), col("v"),
+        frame = 5, k = 3)
+      .select(col("ts"), col("outlier")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(5L), "the spike itself must be flagged")
+    assert(!out(2L) && !out(3L) && !out(4L), "steady prefix must not be flagged")
+    // rollingMedian agrees with a hand sort on the spike frame [10,10,500,10,10]
+    val med = Graft.rollingMedian(df, col("id"), col("key"), col("ts"), col("v"),
+        frame = 5)
+      .filter(col("id") === 7L).select(col("med_i")).head().getLong(0)
+    assert(med == 100000L, s"median of the spike-containing frame must be 10.0 (got $med)")
+  }
 }
