@@ -70,6 +70,7 @@ object Bench {
     graft.etl.ExtractFixtures.documentsText(spark, sfDir)
     graft.etl.ExtractFixtures.copurchaseEdges(spark, sfDir)
     graft.etl.ExtractFixtures.mediaBmp(spark, sfDir)
+    graft.etl.ExtractFixtures.eventsDailyCsv(spark, sfDir)
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not

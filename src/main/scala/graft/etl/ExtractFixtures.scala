@@ -116,6 +116,26 @@ object ExtractFixtures {
     }
   }
 
+  /** Daily per-type event aggregates written through Spark's CSV WRITER
+    * (header row, exact decimal strings via the D15 cast) — the staged
+    * half of the qsink_csv round trip. What's under test is the writer:
+    * quoting, header handling, and decimal round-tripping back through a
+    * declared-schema read. coalesce(1): the aggregate is metadata-scale
+    * (days × types), and one file keeps the fixture layout deterministic. */
+  def eventsDailyCsv(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("events_daily_csv")
+    ensure(dir) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      Tables.events(spark, sfDir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Dets.decStr(sum(Dets.d124(col("value"))).cast(DecimalType(38, 4))).as("sum_v"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(dir.toString)
+    }
+  }
+
   def customerCsv(spark: SparkSession, sfDir: String): String = {
     val dir = root(sfDir).resolve("customer_csv")
     ensure(dir) {

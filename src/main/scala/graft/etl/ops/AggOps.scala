@@ -942,6 +942,33 @@ object AggOps {
         "CAST(CAST(count(*)*sum(qa*qb) - sum(qa)*sum(qb) AS DECIMAL(38,0)) AS STRING) AS ncov " +
         "FROM p GROUP BY i, j ORDER BY i, j"))
 
+  /** No oracle (Datasketches HLL binary is Spark-specific): MERGEABLE
+    * sketch re-aggregation — the pre-aggregated-cube pattern that makes
+    * distinct counting tractable at 100 TB: stage 1 reduces raw events to
+    * a (event_type, day) grain carrying an `hll_sketch_agg` binary per
+    * cell; stage 2 answers the coarser per-type question by
+    * `hll_union_agg` over the CELL SKETCHES — the fact table is never
+    * rescanned, and the union is register-wise max, so merge order
+    * cannot change a bit (run-twice determinism holds). PropertySpec
+    * pins the algebra: union-of-cell-sketches estimates EXACTLY equal the
+    * direct whole-type sketch, and land within 5% of the true distinct
+    * count. This is the distributed-systems story qagg_approxhll
+    * (per-group estimate only) does not cover: sketches as REUSABLE
+    * intermediate state, not just final numbers. */
+  private val qaggHllmerge = QueryDef(
+    "qagg_hllmerge",
+    build = (spark, sfDir) => {
+      val cells = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+      cells.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n_events")).as("n_events"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+    oracle = None)
+
   /** Deterministic ARGMAX via the dedicated max_by/arg_max aggregate —
     * "which order is each priority class's biggest" without a window or
     * self-join. Neither engine's argmax accepts a composite (struct)
@@ -1016,5 +1043,5 @@ object AggOps {
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
-    qaggGram, qaggRollingDau, qaggArgmax)
+    qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge)
 }

@@ -383,8 +383,42 @@ object ScanOps {
         "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height " +
         "FROM documents WHERE doc_id < 200 ORDER BY doc_id"))
 
+  /** CSV as a SINK round trip — the other half of the extract story
+    * (qscan_csv reads foreign CSV; this WRITES our own and proves it
+    * re-reads losslessly): daily per-type aggregates go out through
+    * Spark's CSV writer (header + exact decimal STRINGS, D15), come back
+    * through a declared-schema read, and re-aggregate to per-type
+    * totals. The oracle recomputes the same two-level aggregate from the
+    * parquet ORIGINAL, so any writer/reader corruption — quoting, header
+    * offset, decimal formatting, locale drift — breaks the hash match.
+    * Decimal exactness makes the two-level sum associativity-proof. */
+  private val qsinkCsv = QueryDef(
+    "qsink_csv",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.eventsDailyCsv(spark, sfDir)
+      spark.read
+        .schema("day BIGINT, event_type STRING, n BIGINT, sum_v STRING")
+        .option("header", "true")
+        .csv(dir)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_days"),
+          decStr(sum(col("sum_v").cast(DecimalType(38, 4))).cast(DecimalType(38, 4)))
+            .as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
+        "d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(v) AS DECIMAL(38,4)) AS sv FROM e GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, " +
+        "CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(CAST(sum(sv) AS DECIMAL(38,4)) AS STRING) AS total_value " +
+        "FROM d GROUP BY event_type ORDER BY event_type"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
     qscanOrc, qscanText, qscanEvolution, qscanMetadata, qscanBinary,
-    qsinkPartitioned, qfilterPredicates, qprojectExpr, qfilterSubquery)
+    qsinkPartitioned, qsinkCsv, qfilterPredicates, qprojectExpr, qfilterSubquery)
 }

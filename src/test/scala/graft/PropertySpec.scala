@@ -350,4 +350,30 @@ class PropertySpec extends SparkFixture {
     assert(estimates(13) == est, "merge order changed the CMS estimates")
     assert(estimates(4) == est, "merge order changed the CMS estimates")
   }
+
+  test("hll merge algebra: union of cell sketches equals the direct sketch; within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.etl.Tables.events(spark, sfTiny)
+    // merged: per-(type, day) sketches unioned up to type
+    val merged = ev
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // direct: one sketch straight over the raw rows
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"sketch union must equal the direct sketch: $merged vs $direct")
+    exact.foreach { case (t, n) =>
+      val est = merged(t)
+      assert(math.abs(est - n) <= math.max(1L, n / 20),
+        s"$t: estimate $est vs exact $n exceeds 5%")
+    }
+  }
 }

@@ -13,9 +13,9 @@ class RegistrySpec extends SparkFixture {
 
   private val noOracleAllowed =
     Set("qagg_approxhll", "qagg_cms", "qllm_minhash", "qllm_simhash", "qmm_features",
-      "qmm_resize", "qmm_frames")
+      "qmm_resize", "qmm_frames", "qagg_hllmerge")
 
-  test("inventory: the no-oracle set is EXACTLY the seven sanctioned keys") {
+  test("inventory: the no-oracle set is EXACTLY the eight sanctioned keys") {
     // the sanctioned set may only change together with SURVEY §2.2's
     // "exactly seven are no-oracle" paragraph — a new no-oracle query (or a
     // sanctioned one growing an oracle) must fail here loudly
