@@ -3,6 +3,7 @@ package graft.etl.ops
 import graft.etl.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** §2.L graph analytics over the co-purchase graph.
   *
@@ -334,6 +335,62 @@ object GraphOps {
         "FROM sizes GROUP BY sz ORDER BY comp_size"
     })
 
+  /** Common-neighbor Jaccard similarity — the classic link-prediction /
+    * "related items" feature: for part pairs sharing ≥ 1 neighbor in the
+    * p_size < 10 subgraph, J = |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|),
+    * emitted for pairs with ≥ 3 common neighbors (noise floor), ordered
+    * by (common desc, pair). Pair generation is the oriented wedge join
+    * (both directed copies joined through the shared neighbor, a < b
+    * orientation halves the space); the count + two degree joins are all
+    * keyed; J is ONE IEEE division of exact integers. At 100 TB the
+    * wedge join is the bucketed-adjacency pattern; hub damping (cap or
+    * drop top-degree spines) bounds fanout exactly like the df-cap in
+    * the shingle inverted index. */
+  private val qgraphJaccard = QueryDef(
+    "qgraph_jaccard",
+    build = (spark, sfDir) => {
+      val small = Tables.part(spark, sfDir)
+        .filter(col("p_size") < 10)
+        .select(col("p_partkey"))
+      val es = edges(spark, sfDir)
+        .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
+        .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deg = d.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val common = d.select(col("dst").as("a"), col("src").as("n1"))
+        .join(d.select(col("src").as("n2"), col("dst").as("b")),
+          col("n1") === col("n2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 3)
+      common
+        .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+        .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+          (col("n_common").cast(DoubleType) /
+            (col("deg_a") + col("deg_b") - col("n_common")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("n_common").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    oracle = Some(
+      s"WITH $edgesCte, " +
+        "sm AS (SELECT p_partkey FROM part WHERE p_size < 10), " +
+        "es AS (SELECT src, dst FROM e " +
+        "WHERE src IN (SELECT p_partkey FROM sm) AND dst IN (SELECT p_partkey FROM sm)), " +
+        "d AS (SELECT src, dst FROM es UNION ALL SELECT dst AS src, src AS dst FROM es), " +
+        "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY src), " +
+        "cm AS (SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM d x JOIN d y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2 " +
+        "HAVING count(*) >= 3) " +
+        "SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b, " +
+        "CAST(n_common AS DOUBLE) / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard " +
+        "FROM cm JOIN deg da ON da.v = a JOIN deg db ON db.v = b " +
+        "ORDER BY n_common DESC, a, b LIMIT 100"))
+
   def defs: Seq[QueryDef] =
-    Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore, qgraphCc)
+    Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore, qgraphCc,
+      qgraphJaccard)
 }
