@@ -942,6 +942,50 @@ object AggOps {
         "CAST(CAST(count(*)*sum(qa*qb) - sum(qa)*sum(qb) AS DECIMAL(38,0)) AS STRING) AS ncov " +
         "FROM p GROUP BY i, j ORDER BY i, j"))
 
+  /** Batch multi-step funnel (view → click → purchase, strictly ordered
+    * timestamps) — the sequential-conversion census: step k counts users
+    * whose earliest step-k event follows their step-(k−1) anchor. Three
+    * conditional-min passes (per-user min view ts; min click ts ≥ that;
+    * min purchase ts ≥ that), each ONE keyed aggregate + ONE keyed join —
+    * never a per-user event sort, never a window over raw events, so the
+    * plan is three map-side-combinable aggregates at any scale. Anchor
+    * mins are unique instants per user (min is deterministic regardless
+    * of ties — D8 needs no tiebreak for counts); conversion rates are
+    * single IEEE divisions of exact counts. */
+  private val qaggFunnel = QueryDef(
+    "qagg_funnel",
+    build = (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("tu") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("tu") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+      val n1 = s1.agg(count(lit(1)).as("n_view")).select(col("n_view"))
+      val n2 = s2.agg(count(lit(1)).as("n_click")).select(col("n_click"))
+      val n3 = s3.agg(count(lit(1)).as("n_purchase")).select(col("n_purchase"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast(DoubleType) / col("n_view").cast(DoubleType)).as("rate_click"),
+          (col("n_purchase").cast(DoubleType) / col("n_click").cast(DoubleType)).as("rate_purchase"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events), " +
+        "s1 AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'click' AND tu >= t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND tu >= t2 GROUP BY e.user_id) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase, " +
+        "CAST((SELECT count(*) FROM s2) AS DOUBLE) / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS rate_click, " +
+        "CAST((SELECT count(*) FROM s3) AS DOUBLE) / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS rate_purchase"))
+
   /** No oracle (Datasketches HLL binary is Spark-specific): MERGEABLE
     * sketch re-aggregation — the pre-aggregated-cube pattern that makes
     * distinct counting tractable at 100 TB: stage 1 reduces raw events to
@@ -1043,5 +1087,5 @@ object AggOps {
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
-    qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge)
+    qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge, qaggFunnel)
 }

@@ -353,7 +353,9 @@ class PlanSpec extends SparkFixture {
       // cross-joined into the collocation projection;
       // semdedup: the ≤8-row broadcast hyperplane frame inside
       // srpCandidates (the srp_lsh/hardneg shape)
-      "qllm_pmi", "qllm_semdedup")
+      "qllm_pmi", "qllm_semdedup",
+      // funnel: three 1-row step-count frames into the summary row
+      "qagg_funnel")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
