@@ -625,9 +625,52 @@ object WindowOps {
         "CAST(max(abs(vi - med)) AS DOUBLE) / 10000.0 AS max_dev " +
         "FROM d GROUP BY user_id ORDER BY user_id"))
 
+  /** Pareto / revenue-concentration curve ("do 20% of customers carry
+    * 80% of revenue?"): customers ranked by revenue desc via the
+    * BUCKETED two-pass global rank ([[graft.api.Graft.globalRanks]] —
+    * never a single-partition window over all customers), cut into
+    * rank-deciles, each decile reporting its customer count, exact
+    * decimal revenue, and share of total. The share is ONE IEEE division
+    * of exactly-representable decimal totals (scale-4 integers < 2⁵³).
+    * The concentration diagnostic behind every mix/budget decision —
+    * same two-pass shape at 100 TB, ~|customers|/bucket per partition. */
+  private val qwinPareto = QueryDef(
+    "qwin_pareto",
+    build = (spark, sfDir) => {
+      val rev = Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("rev"))
+      val ranked = graft.api.Graft.globalRanks(
+        rev, col("rev") * lit(-1), Seq(col("o_custkey")))
+      val tot = rev.agg(sum(col("rev")).cast(DecimalType(38, 4)).as("tot"))
+      ranked
+        .withColumn("decile", expr("(__rank - 1) * 10 div __n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast(DecimalType(38, 4)).as("__dr"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          decStr(col("__dr")).as("decile_revenue"),
+          (col("__dr").cast(DoubleType) / col("tot").cast(DoubleType)).as("revenue_share"))
+        .orderBy(col("decile"))
+    },
+    oracle = Some(
+      "WITH rev AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS rev " +
+        "FROM orders GROUP BY o_custkey), " +
+        "r AS (SELECT o_custkey, rev, " +
+        "row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk, " +
+        "count(*) OVER () AS n FROM rev), " +
+        "t AS (SELECT CAST(sum(rev) AS DECIMAL(38,4)) AS tot FROM rev), " +
+        "d AS (SELECT (rnk - 1) * 10 // n AS decile, rev FROM r) " +
+        "SELECT decile, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS STRING) AS decile_revenue, " +
+        "CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share " +
+        "FROM d CROSS JOIN t GROUP BY decile, tot ORDER BY decile"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
-    qwinMedian, qwinHampel)
+    qwinMedian, qwinHampel, qwinPareto)
 }

@@ -355,7 +355,9 @@ class PlanSpec extends SparkFixture {
       // srpCandidates (the srp_lsh/hardneg shape)
       "qllm_pmi", "qllm_semdedup",
       // funnel: three 1-row step-count frames into the summary row
-      "qagg_funnel")
+      "qagg_funnel",
+      // pareto: globalRanks' 1-row bounds frame + the 1-row revenue total
+      "qwin_pareto")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
