@@ -609,9 +609,50 @@ object JoinOps {
         "AND pts.py BETWEEN b2.y0 AND b2.y1 " +
         "GROUP BY b2.box_id ORDER BY box_id"))
 
+  /** As-of join with a STALENESS TOLERANCE (the pandas `merge_asof
+    * tolerance=` semantics): each purchase matches its latest preceding
+    * click only if that click is at most 1 h old — the variant every
+    * market-data / attribution pipeline actually runs, because an
+    * unbounded as-of happily attributes to a week-stale quote. Delegates
+    * to [[graft.api.Graft.asofJoin]]'s tolerance arm (the window
+    * emulation plus ONE extra filter on the matched pair — no plan-shape
+    * change, same single per-key sort); rows whose only candidate is
+    * older than the bound DROP, which the oracle pins by recomputing the
+    * same window + bound. gap_us ≤ tolerance is part of the output so a
+    * violated bound is hash-visible, not just count-visible. */
+  private val qjoinAsofTol = QueryDef(
+    "qjoin_asof_tol",
+    build = (spark, sfDir) => {
+      val tolUs = 3600000000L // 1 h
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.api.Graft
+        .asofJoin(clicks, purchases, key = "user_id", ts = "ts_us",
+          tolerance = Some(tolUs))
+        .select(col("event_id"), col("user_id"), col("asof_ts").as("click_ts_us"),
+          (col("ts_us") - col("asof_ts")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "m AS (SELECT user_id, event_id, event_type, ts_us, " +
+        "max(CASE WHEN event_type = 'click' THEN ts_us END) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, " +
+        "CASE WHEN event_type = 'click' THEN 0 ELSE 1 END " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us FROM e) " +
+        "SELECT event_id, user_id, click_ts_us, ts_us - click_ts_us AS gap_us " +
+        "FROM m WHERE event_type = 'purchase' AND click_ts_us IS NOT NULL " +
+        "AND click_ts_us >= ts_us - 3600000000 ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
     qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval,
-    qjoinBucketed, qjoinBloom, qjoinSpatialGrid)
+    qjoinBucketed, qjoinBloom, qjoinSpatialGrid, qjoinAsofTol)
 }
