@@ -489,4 +489,17 @@ class EdgeCaseSpec extends SparkFixture {
     // n=3, cum order: null(1) -> bucket 0, 5(2) -> 1, 9(3) -> 2
     assert(out == Set((-1, 0L), (5, 1L), (9, 2L)))
   }
+
+  test("asof tolerance boundary: gap == tolerance matches, one microsecond more drops") {
+    val sp = spark
+    import sp.implicits._
+    val clicks = Seq((1L, 1000L), (2L, 1000L)).toDF("user_id", "ts_us")
+    // user 1's purchase lands exactly at the bound; user 2's is 1 us late
+    val purchases = Seq((1L, 1100L, 10L), (2L, 1101L, 20L))
+      .toDF("user_id", "ts_us", "event_id")
+    val out = Graft.asofJoin(clicks, purchases, key = "user_id", ts = "ts_us",
+        tolerance = Some(100L))
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(out == Set(10L), s"boundary must be inclusive at gap == tolerance: $out")
+  }
 }
