@@ -81,7 +81,19 @@ object Bench {
     // absorbs its codegen warmup — sorted order keeps per-query numbers
     // comparable across rounds (the round-5 lesson: qllm_ivf "regressed"
     // 1.3→3.0 s purely from map-order churn).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Time one query, then drop only the localCheckpoint blocks IT created:
+    // the iterative operators (dedup clusters, graph family) checkpoint
+    // per round, and 175 queries of leaked MEMORY_AND_DISK blocks in one
+    // 8 GiB JVM turn into eviction + GC storms that charge the queries
+    // running LATE in the alphabet (measured: qgraph_triangles 32 s
+    // mid-suite vs 3-5 s in isolation, same code and data). Unpersist is
+    // after the clock stops — cleanup is harness cost, not query cost —
+    // and is scoped by diffing the persistent-RDD id set before/after, so
+    // a future suite-wide cache (or anything another thread pinned)
+    // survives, and no localCheckpoint'd RDD a later query still holds is
+    // ever made unrecomputable by the harness.
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -89,15 +101,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Drop this query's localCheckpoint blocks before the next one runs:
-      // the iterative operators (dedup clusters, graph family) checkpoint
-      // per round, and 175 queries of leaked MEMORY_AND_DISK blocks in one
-      // 8 GiB JVM turn into eviction + GC storms that charge the queries
-      // running LATE in the alphabet (measured: qgraph_triangles 32 s
-      // mid-suite vs 3-5 s in isolation, same code and data). Unpersist is
-      // after the clock stops — cleanup is harness cost, not query cost.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> dt
+      spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+        if (!before.contains(rddId)) rdd.unpersist(blocking = false)
+      }
+      dt
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name, fn)
+    }
+    // Isolation pass (round-7 verdict item 3): suite-attributed times
+    // absorb whatever warmup/box noise lands on a query's slot, so every
+    // per-query perf claim used to need a manual re-run. Re-run the
+    // slowest queries (or an explicit `--isolate k1,k2,...` list) WARM,
+    // after the suite, and record both numbers — `queries` stays the
+    // attributed map (comparable with prior rounds), `isolated` is the
+    // steady-state cost of the query itself.
+    val isolateKeys: Seq[String] = args.toSeq match {
+      case Seq("--isolate", keys, _*) => keys.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case _ => results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(6).map(_._1)
+    }
+    val isolated = isolateKeys.sorted.map { name =>
+      name -> timed(name, SparkEntry.queries(name))
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def toJson(entries: Seq[(String, Double)]): String =
@@ -106,8 +130,9 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(24)
     val errJson = s""","errors":${failed.size},"failed":${failed.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val isoJson = s""","isolated":${toJson(isolated)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)}$isoJson,"sf":"$sfDir"}"""
     // target/ copy for local iteration; the repo-root copy is tracked so the
     // driver's round-end commit preserves all per-query times for the judge.
     Seq("target/bench_full.json", "bench_full_latest.json").foreach { f =>
@@ -118,7 +143,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)}$isoJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1065,10 +1065,14 @@ object Graft {
   /** Encode vectors against trained codebooks: per block, the nearest
     * centroid id; returns (vec_id, codes array<int> ordered by block).
     * Wholly map-side apart from the per-vector code collection — the
-    * codebooks broadcast (m·k rows). */
+    * codebooks broadcast (m·k rows). `m` is the block count the caller
+    * already chose at [[pqTrain]] time: passing it through keeps this a
+    * pure plan constructor (the earlier countDistinct-over-codebooks
+    * derivation cost a driver-side Spark job per call for a value every
+    * caller knows). */
   def pqEncode(vectors: DataFrame, id: Column, vec: Column,
-      codebooks: DataFrame): DataFrame = {
-    val m = codebooks.agg(countDistinct(col("block"))).collect()(0).getLong(0).toInt
+      codebooks: DataFrame, m: Int): DataFrame = {
+    require(m > 0, s"block count m must be > 0, got $m")
     pqSubs(vectors, id, vec, m).join(broadcast(codebooks), "block")
       .select(col("vec_id"), col("block"),
         l2sq(col("sub"), col("c_sub")).as("__d2"), col("cid"))
@@ -1082,10 +1086,12 @@ object Graft {
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
     * m·k lookup table of exact subvector distances, codes join it per
     * block, and the approximate distance is the LUT sum — additions, not
-    * dot products; the codes frame never materializes a float vector. */
+    * dot products; the codes frame never materializes a float vector.
+    * `m` is the trained block count, passed through for the same
+    * no-job-before-the-plan reason as [[pqEncode]]. */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
-      k: Int): DataFrame = {
-    val m = codebooks.agg(countDistinct(col("block"))).collect()(0).getLong(0).toInt
+      k: Int, m: Int): DataFrame = {
+    require(m > 0, s"block count m must be > 0, got $m")
     val qsubs = pqSubs(query.limit(1).select(lit(0L).as("__qid"), col(query.columns.head)),
       col("__qid"), col(query.columns.head), m)
       .select(col("block"), col("sub").as("q_sub"))
@@ -1123,24 +1129,6 @@ object Graft {
       .drop("__p", "__v")
   }
 
-  /** Per-key 2σ outliers with an EXACT cross-engine boundary decision:
-    * flags rows where (n·v − Σv)² > 4·(n·Σv² − (Σv)²), i.e. |v − mean| >
-    * 2σ, and reports z = (v − mean)/σ. All boundary arithmetic runs in
-    * SCALED-INTEGER units (value·10⁴ as an integer), so the predicate is
-    * an integer comparison no floating rounding can flip: Spark carries
-    * it in DECIMAL(38,0) (every product ≤ 4·10³⁶ for partitions up to
-    * 5·10¹⁰ rows with |v| < 10⁴) and an INT128 oracle (DuckDB HUGEINT,
-    * cap 1.7·10³⁸) agrees on every bit. The 10⁻⁴/10⁻⁸ unit scales cancel
-    * in z = devi/√di, so the reported z needs no rescaling. Overflow
-    * beyond the ~5·10¹⁰-rows-per-key bound is an ANSI cast ERROR, never
-    * a silent wrong answer (EdgeCaseSpec pins a 1.2M-row partition).
-    *
-    * Scale: ONE whole-partition window over `key` (no value ordering),
-    * one keyed shuffle; per-key window state is three scalars, never the
-    * value list. Single-event and constant-valued keys yield devi = di =
-    * 0, excluded by the strict inequality before any sqrt.
-    *
-    * Returns (id, key, val: DECIMAL(12,4), z: double). */
   /** Trailing-frame rolling median over scale-4 integer units: returns
     * `(id, key, ts, vi, n_frame, med_i)` where `med_i` is the LOWER
     * median (1-based ⌈n/2⌉ pick into the sorted frame array) of the last
@@ -1187,6 +1175,24 @@ object Graft {
         (abs(col("vi") - col("med_i")) * 2 > col("mad_i") * (2 * k)).as("outlier"))
   }
 
+  /** Per-key 2σ outliers with an EXACT cross-engine boundary decision:
+    * flags rows where (n·v − Σv)² > 4·(n·Σv² − (Σv)²), i.e. |v − mean| >
+    * 2σ, and reports z = (v − mean)/σ. All boundary arithmetic runs in
+    * SCALED-INTEGER units (value·10⁴ as an integer), so the predicate is
+    * an integer comparison no floating rounding can flip: Spark carries
+    * it in DECIMAL(38,0) (every product ≤ 4·10³⁶ for partitions up to
+    * 5·10¹⁰ rows with |v| < 10⁴) and an INT128 oracle (DuckDB HUGEINT,
+    * cap 1.7·10³⁸) agrees on every bit. The 10⁻⁴/10⁻⁸ unit scales cancel
+    * in z = devi/√di, so the reported z needs no rescaling. Overflow
+    * beyond the ~5·10¹⁰-rows-per-key bound is an ANSI cast ERROR, never
+    * a silent wrong answer (EdgeCaseSpec pins a 1.2M-row partition).
+    *
+    * Scale: ONE whole-partition window over `key` (no value ordering),
+    * one keyed shuffle; per-key window state is three scalars, never the
+    * value list. Single-event and constant-valued keys yield devi = di =
+    * 0, excluded by the strict inequality before any sqrt.
+    *
+    * Returns (id, key, val: DECIMAL(12,4), z: double). */
   def anomalyZ(df: DataFrame, id: Column, key: Column, value: Column): DataFrame = {
     val w = Window.partitionBy(col("key"))
     val v = df.select(id.as("id"), key.as("key"),

@@ -20,9 +20,11 @@ import java.nio.file.{Files, Path, Paths}
   * Write-once per (JVM, sfDir): a marker file skips re-writing when an
   * earlier build (this process or a previous one) already produced the
   * fixture — repeated query builds in tests/bench must not race a reader
-  * against an overwrite. The tmp layout is versioned (`_v1`) so a future
+  * against an overwrite. The tmp layout is versioned (`_v3`) so a future
   * change to fixture CONTENT must bump the version rather than silently
-  * reuse stale files.
+  * reuse stale files, and the directory tag fingerprints the SOURCE
+  * parquet files (see [[pathTag]]) so the driver regenerating testdata
+  * in place invalidates every staged derivation automatically.
   */
 object ExtractFixtures {
 
@@ -31,17 +33,47 @@ object ExtractFixtures {
 
   private val ready = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Path-derived tag safe for identifiers and dir names: hex MD5 prefix
-    * of the full path. (`math.abs(hashCode)` was wrong twice over:
-    * abs(Int.MinValue) is still negative, and two sfDir paths can collide
-    * — silently attaching a catalog table to another directory's data.) */
+  /** Source-derived tag safe for identifiers and dir names: hex MD5 prefix
+    * of the full path PLUS every source parquet's (name, size, mtime).
+    * (`math.abs(hashCode)` was wrong twice over: abs(Int.MinValue) is
+    * still negative, and two sfDir paths can collide — silently attaching
+    * a catalog table to another directory's data.)
+    *
+    * The fingerprint half matters because the driver regenerates the
+    * testdata IN PLACE between rounds (round 7 changed events.ts
+    * NANOS→MICROS with the same file names): every staged fixture here is
+    * derived from those parquet files, while the DuckDB oracle always
+    * reads the fresh ones — a regeneration must therefore land the
+    * fixtures in a NEW directory (and new catalog table names), not
+    * silently reuse the stale staging. Memoized per JVM: regeneration
+    * never happens mid-process, and a stable tag within one run keeps a
+    * fixture writer from racing its own readers. */
+  private val tagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pathTag(sfDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    tagCache.computeIfAbsent(sfDir, { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(sfDir.getBytes("UTF-8"))
+      val d = Paths.get(sfDir)
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .foreach { p =>
+              val sz = if (Files.isRegularFile(p)) Files.size(p) else -1L
+              md.update(s"${p.getFileName}:$sz:${Files.getLastModifiedTime(p).toMillis};"
+                .getBytes("UTF-8"))
+            }
+        } finally s.close()
+      }
+      md.digest().take(6).map("%02x".format(_)).mkString
+    })
 
   private def root(sfDir: String): Path =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_extract_v2_${pathTag(sfDir)}")
+      s"graft_extract_v3_${pathTag(sfDir)}")
 
   private def ensure(dir: Path)(write: => Unit): String = {
     ready.computeIfAbsent(dir.toString, { _ =>
@@ -54,18 +86,6 @@ object ExtractFixtures {
     })
   }
 
-  /** customer as header-less CSV plus two corrupt lines. Spark's CSV
-    * writer emits shortest-round-trip doubles, so the re-read values are
-    * bit-identical to the parquet originals.
-    *
-    * Both corrupt lines carry unparseable values in the columns the
-    * declared query actually REFERENCES (c_nationkey int, c_acctbal
-    * double): under CSV column pruning (on by default) the parser only
-    * parses referenced columns, so a structurally short row whose
-    * referenced fields are merely *absent* reads as nulls without tripping
-    * the corrupt-record column — only a parse failure in a parsed column
-    * flags the row (observed against Spark 4.1.2; this is why neither
-    * fixture line is a token-count-short row). */
   /** Staged co-purchase edge table (src < dst, distinct) — the analytics
     * layout a production graph pipeline materializes ONCE and every graph
     * query reads, instead of five queries each re-running the
@@ -136,6 +156,18 @@ object ExtractFixtures {
     }
   }
 
+  /** customer as header-less CSV plus two corrupt lines. Spark's CSV
+    * writer emits shortest-round-trip doubles, so the re-read values are
+    * bit-identical to the parquet originals.
+    *
+    * Both corrupt lines carry unparseable values in the columns the
+    * declared query actually REFERENCES (c_nationkey int, c_acctbal
+    * double): under CSV column pruning (on by default) the parser only
+    * parses referenced columns, so a structurally short row whose
+    * referenced fields are merely *absent* reads as nulls without tripping
+    * the corrupt-record column — only a parse failure in a parsed column
+    * flags the row (observed against Spark 4.1.2; this is why neither
+    * fixture line is a token-count-short row). */
   def customerCsv(spark: SparkSession, sfDir: String): String = {
     val dir = root(sfDir).resolve("customer_csv")
     ensure(dir) {

@@ -1618,11 +1618,16 @@ object LlmOps {
   /** SemDeDup-style semantic dedup VERDICT (Abbas et al. 2023): embedding
     * near-dup pairs from the SRP-bucketed candidate path (never
     * all-pairs), resolved into a per-vector keep/drop decision — drop v
-    * iff some u < v in v's bucket has cosine ≥ 0.3 — and rolled up into
-    * the per-label census a curation run reports. The smallest-id-keeper
-    * rule is the deterministic greedy SemDeDup policy (D8); sims are
-    * bit-identical doubles (shared fold shape), so the drop set — not
-    * just its size — agrees cross-engine exactly.
+    * iff ANY lower-id u in v's bucket has cosine ≥ 0.3 (u itself may
+    * also be dropped) — and rolled up into the per-label census a
+    * curation run reports. This any-lower-id-neighbor rule is a
+    * deterministic one-pass variant of SemDeDup's greedy policy and
+    * over-drops transitive chains relative to the paper's kept-only
+    * comparison (paper-greedy keeps v unless a KEPT representative is
+    * near); the trade is a join-shaped, fully parallel decision instead
+    * of a sequential scan (D8). Sims are bit-identical doubles (shared
+    * fold shape), so the drop set — not just its size — agrees
+    * cross-engine exactly.
     *
     * vs qllm_srp_lsh (emits the candidate PAIRS) and qllm_dedup_e2e
     * (text-shingle clusters): this is the embedding-space keeper DECISION,

@@ -449,15 +449,22 @@ object Multimodal {
           rows.flatMap { case (id, n) =>
             val pcm = encodePcm(Array.tabulate(n)(i => pcmSample(id, i)))
             val (_, samples) = decodePcm(pcm)
-            samples.indices.groupBy(_ / 256).toSeq.map { case (win, idxs) =>
-              var sumAmp = 0L
-              var sumSq = 0L
-              idxs.foreach { i =>
-                val v = samples(i).toLong
-                sumAmp += v; sumSq += v * v
-              }
-              (id, win.toLong, idxs.length.toLong, sumAmp, sumSq)
+            // Single pass into primitive per-window accumulators: the
+            // groupBy(_ / 256) fold this replaces allocated a Map plus
+            // index Seqs PER DOCUMENT, which at corpus scale was pure
+            // constant-factor churn (the round-7 bench's one budget miss).
+            val nWin = (samples.length + 255) / 256
+            val cnt = new Array[Long](nWin)
+            val amp = new Array[Long](nWin)
+            val sq = new Array[Long](nWin)
+            var i = 0
+            while (i < samples.length) {
+              val w = i >> 8
+              val v = samples(i).toLong
+              cnt(w) += 1L; amp(w) += v; sq(w) += v * v
+              i += 1
             }
+            (0 until nWin).map(w => (id, w.toLong, cnt(w), amp(w), sq(w)))
           }
         }
         .toDF("media_id", "win", "n_samples", "sum_amp", "sum_sq")

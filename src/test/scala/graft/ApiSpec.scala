@@ -261,10 +261,10 @@ class ApiSpec extends SparkFixture {
     }
     // PQ: m=16 blocks of 4 dims, 16 codewords each
     val books = Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 16, k = 16, iters = 3)
-    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books, m = 16)
     val pqRecalls = queries.map { qid =>
       val q = vectors.filter(col("vec_id") === qid.toLong).select(col("emb"))
-      val got = Graft.pqTopK(codes.filter(col("vec_id") =!= qid.toLong), books, q, k = 10)
+      val got = Graft.pqTopK(codes.filter(col("vec_id") =!= qid.toLong), books, q, k = 10, m = 16)
         .collect().map(_.getLong(0)).toSet
       (got intersect l2Top10(qid)).size / 10.0
     }
@@ -358,7 +358,7 @@ class ApiSpec extends SparkFixture {
     for (b <- 0 until 4; c <- 0 until 4)
       assert(cells((b, c)) == pattern((c + b) % 4, b), s"cell b=$b c=$c")
     // codes: vector i quantizes to cid i%4 in EVERY block
-    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books, m = 4)
     codes.collect().foreach { r =>
       val id = r.getLong(0)
       assert(r.getSeq[Int](1) == Seq.fill(4)((id % 4).toInt), s"codes of $id")
@@ -366,7 +366,7 @@ class ApiSpec extends SparkFixture {
     // ADC search: quantization is exact here, so ADC == true L2² and the
     // top-3 for vector 5's values are exactly its residue class 1,5,9
     val query = vectors.filter(col("vec_id") === 5).select(col("emb"))
-    val top = Graft.pqTopK(codes, books, query, k = 3)
+    val top = Graft.pqTopK(codes, books, query, k = 3, m = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(top.map(_._1).toSeq == Seq(1L, 5L, 9L), top.mkString(","))
     assert(top.forall(_._2 == 0.0))
@@ -396,7 +396,7 @@ class ApiSpec extends SparkFixture {
     val vectors = (0 until 24).map(i => (i.toLong, emb(i))).toDF("vec_id", "emb")
     val centroids = Graft.kmeansCentroids(vectors, col("vec_id"), col("emb"), k = 3)
     val books = Graft.pqTrain(vectors, col("vec_id"), col("emb"), m = 4, k = 8, iters = 3)
-    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books)
+    val codes = Graft.pqEncode(vectors, col("vec_id"), col("emb"), books, m = 4)
     // query = vector 10 (cluster 1, member parity 1)
     val query = vectors.filter(col("vec_id") === 10).select(col("emb"))
     val cellOf = Graft.ivfTopK(vectors, col("vec_id"), col("emb"), centroids, k = 24)
@@ -404,7 +404,7 @@ class ApiSpec extends SparkFixture {
     val cellIds = cellOf.filter(col("cid") === qCell).select(col("vec_id"))
     // ADC-rank ONLY the probed cell's codes (the IVF-PQ search shape)
     val probed = codes.join(cellIds, "vec_id")
-    val top = Graft.pqTopK(probed, books, query, k = 3)
+    val top = Graft.pqTopK(probed, books, query, k = 3, m = 4)
       .collect().map(_.getLong(0)).toSeq
     // PQ is lossless here, so the top-3 are exactly the brute-force top-3
     // (exact duplicates of vector 10 — same cluster, same parity — win,

@@ -181,6 +181,26 @@ class MultimodalSpec extends SparkFixture {
     assert(Multimodal.pcmSample(7L, 3) == ((7 * 31 + 3 * 17) % 65536 - 32768).toShort)
   }
 
+  test("qmm_audio windows match a direct no-container recomputation") {
+    // The window fold is hand-rolled (primitive accumulators, round 8);
+    // pin its output against the obvious per-index recomputation from the
+    // pcmSample formula so a fold bug can't hide behind the driver oracle.
+    val docs = graft.etl.Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "cast(least(n_chars, 1200) as int) as n")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expected = docs.flatMap { case (id, n) =>
+      (0 until n).groupBy(_ / 256).toSeq.map { case (w, idxs) =>
+        val vs = idxs.map(i => Multimodal.pcmSample(id, i).toLong)
+        (id, w.toLong, vs.size.toLong, vs.sum, vs.map(v => v * v).sum)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("qmm_audio")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("phash: block bits match a direct no-BMP computation; halves stay in 32-bit range") {
     // compute the aHash directly from the formula (no encode/decode), then
     // through the BMP round trip the query uses — they must agree, or the
