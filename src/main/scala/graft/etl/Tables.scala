@@ -179,8 +179,21 @@ object Tables {
   private val tsNanosCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsNanos(d: String): Boolean =
     tsNanosCache.computeIfAbsent(d, dir => {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
       val conf = new org.apache.hadoop.conf.Configuration()
+      // `events.parquet` may be a single FILE (the driver's layout) or a
+      // DIRECTORY of part files (any Spark-written dataset, e.g. the
+      // GenData scale fixtures) — footer-sniff the first data file either
+      // way. One footer suffices: a writer never mixes ts precisions
+      // within one dataset.
+      var path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = path.getFileSystem(conf)
+      if (fs.getFileStatus(path).isDirectory) {
+        path = fs.listStatus(path).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no parquet data files under $dir/events.parquet"))
+      }
       val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
       try {
