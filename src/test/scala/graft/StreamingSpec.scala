@@ -390,6 +390,95 @@ class StreamingSpec extends SparkFixture {
     assert(got == want, s"got $got want $want") // every row exactly once
   }
 
+  test("state-store recovery: aggregate counts survive a checkpointed restart (file source)") {
+    // The production streaming property: kill a query mid-stream, restart
+    // from its checkpoint, and the recovered STATE (not just the source
+    // offsets) must make the final aggregate exactly-once over all input.
+    // File source + complete-mode memory sink is the recovery-supported
+    // combination; a broken state recovery shows up as counts covering
+    // only post-restart files, a broken offset recovery as double counts.
+    val sp = spark
+    import sp.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val batch1 = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:05:00"), "click", 2.0, 2L),
+      Ev(ts("2024-01-01 10:06:00"), "view", 4.0, 2L))
+    val batch2 = Seq(
+      Ev(ts("2024-01-01 10:10:00"), "click", 8.0, 1L),
+      Ev(ts("2024-01-01 10:11:00"), "purchase", 16.0, 3L))
+    val schema = batch1.toDF().schema
+    batch1.toDF().write.mode("append").parquet(srcDir)
+    def start() = sp.readStream.schema(schema).parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream.format("memory").queryName("agg_restart_t")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("complete").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val mid = spark.table("agg_restart_t")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(mid == Map("click" -> ((2L, 3.0)), "view" -> ((1L, 4.0))), s"pre-restart: $mid")
+    } finally q1.stop()
+    batch2.toDF().write.mode("append").parquet(srcDir) // lands while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("agg_restart_t")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // batch1 rows are counted from RECOVERED state (the restarted query
+      // never re-reads their files), batch2 rows exactly once on top
+      assert(got == Map(
+        "click" -> ((3L, 11.0)), "view" -> ((1L, 4.0)), "purchase" -> ((1L, 16.0))),
+        s"post-restart: $got")
+    } finally q2.stop()
+  }
+
+  test("mapGroupsWithState state survives a checkpointed restart (stale update still ignored)") {
+    import graft.etl.ops.CdcEvent
+    val sp = spark
+    import sp.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
+    val emitDir = java.nio.file.Files.createTempDirectory("graft_emit").toString
+    val stream = MemoryStream[CdcEvent]
+    // foreachBatch sink (recovery-supported, unlike non-complete memory
+    // sink): append each update-batch's emissions to parquet so the
+    // post-restart emissions are observable on their own.
+    def start() = StreamOps.cdcSnapshot(stream.toDF()).toDF()
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(emitDir); ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      stream.addData(
+        CdcEvent(1L, 200L, 2L, "view", "2.0"),
+        CdcEvent(2L, 50L, 3L, "click", "3.0"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val preRestart = spark.read.parquet(emitDir).collect().map(_.toString).toSet
+    assert(preRestart.contains("[1,200,2,view,2.0]"), s"pre-restart: $preRestart")
+    val q2 = start() // same checkpoint: per-key GroupState must be restored
+    try {
+      stream.addData(
+        CdcEvent(1L, 150L, 4L, "click", "9.9"), // OLDER than key 1's held state
+        CdcEvent(3L, 10L, 6L, "click", "5.0")) // new key
+      q2.processAllAvailable()
+      val all = spark.read.parquet(emitDir).collect().map(_.toString).toSet
+      val postRestart = all -- preRestart
+      // state recovered ⇒ the stale update is ignored (no emission for
+      // key 1 at ts 150 — with LOST state it would win and be emitted)
+      assert(!all.contains("[1,150,4,click,9.9]"), s"stale update emitted: $all")
+      assert(postRestart.contains("[3,10,6,click,5.0]"), s"post-restart: $postRestart")
+    } finally q2.stop()
+  }
+
   test("foreachBatch: streaming micro-batches upsert a keyed target (latest wins)") {
     val sp = spark
     import sp.implicits._
