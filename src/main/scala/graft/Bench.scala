@@ -71,6 +71,10 @@ object Bench {
     graft.etl.ExtractFixtures.copurchaseEdges(spark, sfDir)
     graft.etl.ExtractFixtures.mediaBmp(spark, sfDir)
     graft.etl.ExtractFixtures.eventsDailyCsv(spark, sfDir)
+    // the sorted-bucketed orders/lineitem layout is the largest staged
+    // fixture — on a fresh sfDir its one-time write was being attributed
+    // to qjoin_bucketed (measured 13.9 s at sf1, ~20× its steady-state)
+    graft.etl.ExtractFixtures.bucketedOrdersLineitem(spark, sfDir)
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not

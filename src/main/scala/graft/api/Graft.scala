@@ -114,21 +114,55 @@ object Graft {
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash(col("__h")).as("fp"))
 
-  /** Near-duplicate candidates from SimHash fingerprints: pairs sharing any
-    * 16-bit band, with exact Hamming distance ≤ maxHamming. */
-  def simhashCandidates(fp: DataFrame, maxHamming: Int = 16): DataFrame = {
-    val banded = fp.select(col("doc_id"), col("fp"),
+  /** Near-duplicate candidate EDGES from SimHash fingerprints — a
+    * connectivity-complete edge set, not the all-pairs list. Two channels:
+    *
+    *   - exact (hamming 0): every doc star-links to its fingerprint
+    *     group's min-id representative — n−1 edges per identical-fp
+    *     group, NEVER the group's O(n²) pair closure. Identical text ⇒
+    *     identical fingerprint, so every exact-dup group arrives
+    *     connected.
+    *   - near (1 ≤ hamming ≤ maxHamming): 16-bit-band LSH join over the
+    *     DISTINCT fingerprints only (one representative per fp), with
+    *     buckets above `bucketCap` dropped as non-discriminative — the
+    *     df-cap rule every other candidate generator here already obeys.
+    *
+    * Union-find over the edges yields the same clusters the all-pairs
+    * list would. The round-8 sf1 measurement is why this is not optional:
+    * the previous doc-level band self-join was quadratic in bucket size
+    * and went 187× on 10× data (a small shared vocabulary collapses most
+    * word SETS, hence fingerprints, onto each other — the degenerate-band
+    * regime a production simhash deduper must survive, since real crawl
+    * corpora produce the same hot bands from boilerplate). */
+  def simhashCandidates(fp: DataFrame, maxHamming: Int = 16,
+      bucketCap: Int = 256): DataFrame = {
+    val reps = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val exact = fp.join(reps, "fp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).cast(IntegerType).as("hamming"))
+    val banded = reps.select(col("rep"), col("fp"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("fp"), j * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("fp"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val l = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").cast(IntegerType).as("hamming"))
-      .distinct()
+      .select(col("rep"), col("fp"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // posting-list explode (the jaccardCandidates shape): within-bucket
+    // upper-triangle pairs, O(bucketCap²/2) per bucket, zero row×row join
+    val near = banded
+      .groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("rep"), col("fp")))).as("docs"))
+      .filter(size(col("docs")).between(2, bucketCap))
+      .select(explode(expr(
+        "flatten(transform(docs, (a, i) -> " +
+          "transform(slice(docs, i + 2, size(docs) - i - 1), " +
+          "b -> struct(a.rep AS doc_a, a.fp AS fp_a, b.rep AS doc_b, b.fp AS fp_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("bit_count(p.fp_a ^ p.fp_b)").cast(IntegerType).as("hamming"))
+      .distinct() // a rep pair can share several bands
       .filter(col("hamming") <= maxHamming)
+    // channels are disjoint: near pairs have distinct fps ⇒ hamming ≥ 1
+    exact.unionByName(near)
   }
 
   /** The final step of near-dup dedup: drop every clustered row except

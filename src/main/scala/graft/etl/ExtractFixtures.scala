@@ -227,6 +227,17 @@ object ExtractFixtures {
     }
   }
 
+  /** supplier serialized to Avro — only reachable when the `spark-avro`
+    * connector is on the classpath (see `ScanOps.avroAvailable`); the
+    * ORC twin otherwise. */
+  def supplierAvro(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("supplier_avro")
+    ensure(dir) {
+      Tables.supplier(spark, sfDir).write.mode("overwrite")
+        .format("avro").save(dir.toString)
+    }
+  }
+
   /** documents' text as raw line-oriented text files (one doc per line —
     * the fixture corpus carries no newlines), the log-file / corpus-dump
     * extract format. No corrupt-record surface: every line IS a valid

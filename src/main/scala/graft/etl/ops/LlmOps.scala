@@ -163,15 +163,29 @@ object LlmOps {
     "qllm_hardneg",
     build = (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-      val planes = e.filter(col("vec_id") < 8)
+      // Plane count SCALES WITH THE CORPUS: p = max(5, ceil(log2(n/8)))
+      // keeps expected SRP bucket size ~8 at any sf, so the within-bucket
+      // cross-label scoring stays linear in n. The round-8 sf1 run
+      // measured the fixed-8-plane version at 34× on 10× data — fixed
+      // bucket COUNT means bucket SIZE grows with the corpus and the
+      // bucket join goes quadratic (more vectors per bucket², the classic
+      // LSH sizing mistake). Both engines derive p from the same count,
+      // so oracle parity holds at every scale; ceil(log2(·)) is
+      // ulp-flip-safe because n/8 only lands on an integer log2 at exact
+      // powers of two, where log2 is exact in both libms.
+      val pc = e.agg(greatest(lit(5L),
+        ceil(log2(count(lit(1)).cast(DoubleType) / lit(8.0)))).as("pc"))
+      val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
         .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
       graft.api.Graft
         .hardNegatives(e, col("vec_id"), col("embedding"), col("label"), planes, k = 3)
         .orderBy(col("anchor"), col("rnk"))
     },
     oracle = Some(
-      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
-        "FROM embeddings WHERE vec_id < 8), " +
+      "WITH pcnt AS (SELECT GREATEST(5, CAST(ceil(log2(count(*) / 8.0)) AS BIGINT)) AS pc " +
+        "FROM embeddings), " +
+        "pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings, pcnt WHERE vec_id < pc), " +
         s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
         "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
         "FROM embeddings e CROSS JOIN pl p), " +
@@ -422,12 +436,15 @@ object LlmOps {
     oracle = None)
 
   /** No oracle (xxhash64): 64-bit SimHash over distinct words; near-dup
-    * candidates via 4×16-bit bands; exact Hamming distance on candidates. */
+    * candidate EDGES via identical-fp star-linking + capped 4×16-bit
+    * banding over distinct fingerprints (connectivity-complete, linear in
+    * the corpus — see [[graft.api.Graft.simhashCandidates]] for the sf1
+    * measurement that forced the shape); exact Hamming on the edges. */
   private val qllmSimhash = QueryDef(
     "qllm_simhash",
     build = (spark, sfDir) => {
       // Thin instantiation of the reusable API (native SimHashAgg vote
-      // buffer + 16-bit banding + exact Hamming cut).
+      // buffer + rep collapse + capped 16-bit banding + exact Hamming).
       val docs = Tables.documents(spark, sfDir)
       graft.api.Graft.simhashCandidates(
           graft.api.Graft.simhashFingerprints(docs, col("doc_id"), col("text")),
@@ -768,7 +785,17 @@ object LlmOps {
       val bi = docs.filter(size(col("words")) >= 2).select(explode(expr(
         "transform(sequence(1, size(words) - 1), " +
           "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))")).as("term"))
+      // localCheckpoint makes the subtree reuse STRUCTURAL: the
+      // corpus-scale explode → union → groupBy tree feeds three consumers
+      // (the boundary sample, the per-bucket counts and the final rank
+      // join), which the static plan otherwise replays per consumer and
+      // only runtime ReusedExchange collapses. The materialized frame is
+      // (term, cnt) — VOCAB-scale, bounded by the distinct-term count,
+      // never the corpus — so this is the qagg_mad treatment at the safe
+      // altitude (checkpointing inside rankByBucket would pin arbitrary
+      // caller frames, including corpus-scale ones).
       val counts = uni.unionByName(bi).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       graft.api.Graft.globalRanksSampled(
           counts, -col("cnt"), Seq(col("term")), buckets = 32, sampleOneIn = 8)
         .select(col("__rank").as("vocab_id"), col("term"), col("cnt"))

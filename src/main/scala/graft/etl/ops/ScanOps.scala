@@ -417,8 +417,44 @@ object ScanOps {
         "CAST(CAST(sum(sv) AS DECIMAL(38,4)) AS STRING) AS total_value " +
         "FROM d GROUP BY event_type ORDER BY event_type"))
 
+  /** Is the `spark-avro` DataSource connector on the classpath? This box
+    * ships core avro but NOT the connector, and the environment is
+    * zero-egress (SURVEY §2.2.A documents the gap) — hand-writing an Avro
+    * reader would be the wrong move. The probe lets [[qscanAvro]]
+    * self-register on any real deployment that adds
+    * `org.apache.spark:spark-avro`, where the [[qscanOrc]] pattern runs
+    * verbatim. */
+  private[graft] val avroAvailable: Boolean =
+    // probe the DataSource LOOKUP, not a class: this distribution ships
+    // some org.apache.spark.sql.avro classes inside spark-sql (the
+    // from_avro/to_avro expression kit) while the "avro" FORMAT still
+    // fails to resolve — Class.forName alone probes true and then every
+    // read/write dies with "Failed to find data source: avro"
+    scala.util.Try(org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource("avro", org.apache.spark.sql.internal.SQLConf.get)).isSuccess
+
+  /** Avro extract round trip — registered only when [[avroAvailable]];
+    * same shape and oracle as [[qscanOrc]] (the oracle reads the parquet
+    * original, so the gate proves the Avro serialization lossless). */
+  private def qscanAvro = QueryDef(
+    "qscan_avro",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.supplierAvro(spark, sfDir)
+      spark.read.schema(Tables.supplierSchema).format("avro").load(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          decStr(sum(d124(col("s_acctbal"))).cast(DecimalType(38, 4))).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    oracle = Some(
+      "SELECT s_nationkey, count(*) AS n_supp, " +
+        "CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
     qscanOrc, qscanText, qscanEvolution, qscanMetadata, qscanBinary,
-    qsinkPartitioned, qsinkCsv, qfilterPredicates, qprojectExpr, qfilterSubquery)
+    qsinkPartitioned, qsinkCsv, qfilterPredicates, qprojectExpr, qfilterSubquery) ++
+    (if (avroAvailable) Seq(qscanAvro) else Nil)
 }

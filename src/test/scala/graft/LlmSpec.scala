@@ -41,13 +41,24 @@ class LlmSpec extends SparkFixture {
     }
   }
 
-  test("simhash: exact duplicate texts collide at hamming distance 0") {
+  test("simhash: exact duplicate texts end up CONNECTED at hamming 0") {
+    // round-8 contract: candidates are a connectivity-complete EDGE set
+    // (star edges per identical-fp group + capped near-band edges), not
+    // the quadratic all-pairs list — so the property is that every exact
+    // dup pair lands in one hamming-0 component, not that the literal
+    // pair row exists.
     val dupPairs = textDupPairs(sfBench)
     assert(dupPairs.nonEmpty, "fixture should contain duplicate texts at sf0.1")
-    val ham = Registry.byName("qllm_simhash").build(spark, sfBench).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    dupPairs.foreach { p =>
-      assert(ham.get(p).contains(0), s"dup pair $p not found at hamming 0: ${ham.get(p)}")
+    val edges = Registry.byName("qllm_simhash").build(spark, sfBench).collect()
+      .filter(_.getInt(2) == 0).map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    dupPairs.foreach { case (a, b) =>
+      assert(find(a) == find(b), s"dup pair ($a,$b) not connected at hamming 0")
     }
   }
 

@@ -500,6 +500,75 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qllm_vocab: checkpointed term counts keep the static plan small (structural reuse)") {
+    // the corpus-scale explode → union → groupBy subtree feeds the
+    // boundary sample, the per-bucket counts and the final rank join;
+    // before the localCheckpoint the static plan replayed it per consumer
+    // (runtime ReusedExchange hid the cost but the stage graph carried
+    // it). With the (term, cnt) frame materialized, the remaining
+    // exchanges belong to the rank machinery alone.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qllm_vocab").build(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      val exchanges = raw"(?<!Reused)Exchange".r.findAllIn(p).size
+      // 12 = the rank machinery alone (sample groupBy + constant-bucket
+      // window, bucket counts, per-bucket rank window, final sort, and
+      // their partial/final pairs); before the checkpoint the corpus
+      // subtree's exchanges appeared per consumer on top of these
+      assert(exchanges < 13, s"$exchanges exchanges in qllm_vocab plan:\n$p")
+      assert(p.contains("Scan ExistingRDD"), // the checkpointed counts frame
+        s"expected the checkpointed (term, cnt) frame in the plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("AQE skew-join split fires on an induced-skew shuffle join (the engine lever beside qjoin_salted)") {
+    // qjoin_salted demonstrates MANUAL skew relief (explicit salt shards);
+    // this pins the engine's own lever so the choice between them is
+    // documented by a passing plan, not prose: when one join key owns
+    // ~90% of the rows, AQE must split the hot partition at runtime
+    // (AQEShuffleRead marked `skewed=true`) instead of leaving one
+    // straggler task. Thresholds are lowered to make a test-sized hot
+    // partition (~4 MB) count as skewed; the detection RULE is the
+    // production one.
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val prevConf = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 200k rows, ~90% on key 0 — the planted hot key; dim side uniform
+      val fact = spark.range(200000)
+        .select(when(pmod(col("id"), lit(10)) < 9, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(64).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS frame (count() would spawn its own query execution,
+      // leaving joined's adaptive plan unexecuted and skew-unmarked)
+      assert(joined.collect().length == 180000 + 6) // key 0 ×180k + 6 singleton keys
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      // the final adaptive plan marks both the reader and the join:
+      // `AQEShuffleRead skewed` above a `SortMergeJoin(skew=true)`
+      assert(finalPlan.contains("AQEShuffleRead skewed")
+          && finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition skewed:\n$finalPlan")
+    } finally prevConf.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("qjoin_nullsafe: <=> stays a hashable equi-join key, never a nested loop") {
     val p = plan("qjoin_nullsafe")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),

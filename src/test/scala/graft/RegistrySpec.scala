@@ -39,10 +39,25 @@ class RegistrySpec extends SparkFixture {
         "|explode|llm|stream|udf|udaf|udtf|mm|graph)_[a-z0-9_]+)`").r
         .findAllMatchIn(survey).map(_.group(1)).toSet
     val registryKeys = Registry.all.map(_.name).toSet
+    // qscan_avro is classpath-gated (SURVEY §2.2.A): it registers only on
+    // deployments that ship the spark-avro connector, so SURVEY may name
+    // it while this box's registry omits it
+    val conditional =
+      if (graft.etl.ops.ScanOps.avroAvailable) Set.empty[String] else Set("qscan_avro")
     assert(registryKeys.subsetOf(surveyKeys),
       s"in Registry but not SURVEY: ${registryKeys -- surveyKeys}")
-    assert(surveyKeys.subsetOf(registryKeys),
-      s"in SURVEY but not Registry: ${surveyKeys -- registryKeys}")
+    assert((surveyKeys -- conditional).subsetOf(registryKeys),
+      s"in SURVEY but not Registry: ${surveyKeys -- conditional -- registryKeys}")
+  }
+
+  test("avro probe: the classpath-gated query registers iff the connector exists") {
+    val has = graft.etl.ops.ScanOps.avroAvailable
+    assert(Registry.byName.contains("qscan_avro") == has,
+      s"qscan_avro registration must track the spark-avro probe (probe=$has)")
+    // on THIS box the connector is absent (zero-egress, core avro only) —
+    // if this ever flips, the query self-registers and the driver gate
+    // picks it up with its ORC-twin oracle
+    assert(!has, "spark-avro appeared on the classpath: remove the documented gap")
   }
 
   test("every declared query is deterministic at sf0.001 (run-twice byte equality)") {
