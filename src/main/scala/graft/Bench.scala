@@ -110,21 +110,32 @@ object Bench {
       }
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name, fn)
-    }
     // Isolation pass (round-7 verdict item 3): suite-attributed times
     // absorb whatever warmup/box noise lands on a query's slot, so every
-    // per-query perf claim used to need a manual re-run. Re-run the
-    // slowest queries (or an explicit `--isolate k1,k2,...` list) WARM,
-    // after the suite, and record both numbers — `queries` stays the
+    // per-query perf claim used to need a manual re-run. Default runs:
+    // full suite, then the 6 slowest re-run warm — `queries` stays the
     // attributed map (comparable with prior rounds), `isolated` is the
-    // steady-state cost of the query itself.
-    val isolateKeys: Seq[String] = args.toSeq match {
-      case Seq("--isolate", keys, _*) => keys.split(",").toSeq.filter(SparkEntry.queries.contains)
-      case _ => results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(6).map(_._1)
+    // steady-state cost. With an explicit `--isolate k1,k2,...` the full
+    // suite is SKIPPED: each named query runs twice post-warmup in an
+    // otherwise-clean JVM and the second run is reported — the clean
+    // instrument for single-query claims (the end-of-suite JVM carries
+    // 188 queries of heap history, which the round-8 sf1 run showed can
+    // inflate a post-suite re-run several-fold).
+    val explicitIsolate: Option[Seq[String]] = args.toSeq match {
+      case Seq("--isolate", keys, _*) =>
+        Some(keys.split(",").toSeq.filter(SparkEntry.queries.contains))
+      case _ => None
     }
+    val results = explicitIsolate match {
+      case Some(_) => Seq.empty
+      case None => SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> timed(name, fn)
+      }
+    }
+    val isolateKeys: Seq[String] = explicitIsolate.getOrElse(
+      results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(6).map(_._1))
     val isolated = isolateKeys.sorted.map { name =>
+      timed(name, SparkEntry.queries(name)) // warm the exact subtree first
       name -> timed(name, SparkEntry.queries(name))
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
