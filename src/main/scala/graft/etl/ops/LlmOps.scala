@@ -131,15 +131,22 @@ object LlmOps {
     "qllm_srp_lsh",
     build = (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-      val planes = e.filter(col("vec_id") < 8)
+      // corpus-scaled plane count (the qllm_hardneg sizing rule): fixed
+      // planes mean bucket size grows with n and the within-bucket pair
+      // scoring goes quadratic — measured 11× on 10× data at sf1
+      val pc = e.agg(greatest(lit(5L),
+        ceil(log2(count(lit(1)).cast(DoubleType) / lit(8.0)))).as("pc"))
+      val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
         .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
       graft.api.Graft
         .srpCandidates(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     oracle = Some(
-      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
-        "FROM embeddings WHERE vec_id < 8), " +
+      "WITH pcnt AS (SELECT GREATEST(5, CAST(ceil(log2(count(*) / 8.0)) AS BIGINT)) AS pc " +
+        "FROM embeddings), " +
+        "pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings, pcnt WHERE vec_id < pc), " +
         s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
         "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
         "FROM embeddings e CROSS JOIN pl p), " +
@@ -1665,7 +1672,10 @@ object LlmOps {
     "qllm_semdedup",
     build = (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
-      val planes = e.filter(col("vec_id") < 8)
+      // corpus-scaled plane count (the qllm_hardneg sizing rule)
+      val pc = e.agg(greatest(lit(5L),
+        ceil(log2(count(lit(1)).cast(DoubleType) / lit(8.0)))).as("pc"))
+      val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
         .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
       val dropped = graft.api.Graft
         .srpCandidates(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
@@ -1681,8 +1691,10 @@ object LlmOps {
         .orderBy(col("label"))
     },
     oracle = Some(
-      "WITH pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
-        "FROM embeddings WHERE vec_id < 8), " +
+      "WITH pcnt AS (SELECT GREATEST(5, CAST(ceil(log2(count(*) / 8.0)) AS BIGINT)) AS pc " +
+        "FROM embeddings), " +
+        "pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings, pcnt WHERE vec_id < pc), " +
         s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
         "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
         "FROM embeddings e CROSS JOIN pl p), " +
