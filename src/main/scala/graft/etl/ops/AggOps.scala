@@ -900,14 +900,17 @@ object AggOps {
     * aggregation-order-free where a double accumulation would drift
     * between engines/partition orders.
     *
-    * Shape: ONE narrow projection expands each vector into its d(d+1)/2
-    * upper-triangle pair products (d=64 → 2080 structs), one explode, one
-    * partially-aggregated groupBy(i,j). Zero joins; the shuffle carries at
-    * most 2080 partial rows PER PARTITION however many vectors flow in —
-    * the map-side-combine outer product. The covariance needs no second
-    * pass: n·Σab − Σa·Σb over the same group, all DECIMAL(38,0) integers
-    * (Σa·Σb ~10^19 overflows BIGINT at fixture scale already — the width
-    * is load-bearing, not defensive). */
+    * Shape (round 8): ONE native outer-product aggregate
+    * ([[graft.functions.GramAgg]]) — per-partition state is the
+    * d(d+1)/2 + d primitive accumulator cells (~17 KB at d=64) with an
+    * exact BigInteger overflow spill, merged once per partial. This
+    * replaced the explode-2080-structs-per-row → groupBy(i,j)
+    * formulation after the sf1 run measured that shape at 26–39 s: the
+    * materialized pair stream (rows × 2080 structs = 2.08 G rows at
+    * sf1) was pure overhead around ~0.1 CPU-seconds of arithmetic.
+    * Same DECIMAL(38,0) outputs; the covariance still needs no second
+    * pass: n·Σab − Σa·Σb over the emitted sums (Σa·Σb ~10^19 overflows
+    * BIGINT at fixture scale already — the width is load-bearing). */
   private val qaggGram = QueryDef(
     "qagg_gram",
     build = (spark, sfDir) =>
@@ -915,20 +918,11 @@ object AggOps {
         .select(
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))")
             .as("q"))
-        .select(explode(expr(
-          "flatten(transform(sequence(0, size(q) - 1), i -> " +
-            "transform(sequence(i, size(q) - 1), j -> " +
-            "named_struct('i', i, 'j', j, 'ab', q[i] * q[j], 'qa', q[i], 'qb', q[j]))))"))
-          .as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(
-          count(lit(1)).as("n_vecs"),
-          sum(col("p.ab").cast(DecimalType(38, 0))).as("sab"),
-          sum(col("p.qa").cast(DecimalType(38, 0))).as("sa"),
-          sum(col("p.qb").cast(DecimalType(38, 0))).as("sb"))
-        .select(col("i"), col("j"), col("n_vecs"),
-          decStr(col("sab").cast(DecimalType(38, 0))).as("gram"),
-          decStr((col("n_vecs").cast(DecimalType(38, 0)) * col("sab") - col("sa") * col("sb"))
+        .agg(graft.functions.GramAgg.gram(col("q"), 64).as("g"))
+        .select(explode(col("g")).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n_vecs"),
+          decStr(col("p.sab")).as("gram"),
+          decStr((col("p.n").cast(DecimalType(38, 0)) * col("p.sab") - col("p.sa") * col("p.sb"))
             .cast(DecimalType(38, 0))).as("ncov"))
         .orderBy(col("i"), col("j")),
     oracle = Some(

@@ -376,4 +376,66 @@ class PropertySpec extends SparkFixture {
         s"$t: estimate $est vs exact $n exceeds 5%")
     }
   }
+
+  test("GramAgg equals a direct outer-product fold on random vectors, any partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val d = 6
+    val vecGen = Gen.listOfN(d, Gen.chooseNum(-1000000L, 1000000L))
+    samples(Gen.listOfN(25, vecGen), 4).foreach { vecs =>
+      val rows = vecs.map(_.toArray)
+      // direct computation: n, per-component sums, upper-triangle products
+      val n = rows.size.toLong
+      val expect = (for (i <- 0 until d; j <- i until d) yield {
+        val sab = rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+        val sa = rows.map(r => BigInt(r(i))).sum
+        val sb = rows.map(r => BigInt(r(j))).sum
+        (i, j, n, sab, sa, sb)
+      }).toSeq
+      for (parts <- Seq(1, 3)) { // partial-merge path must agree with 1-partition
+        val got = rows.toDF("q").repartition(parts)
+          .agg(graft.functions.GramAgg.gram(col("q"), d).as("g"))
+          .select(explode(col("g")).as("p"))
+          .select(col("p.i"), col("p.j"), col("p.n"), col("p.sab"), col("p.sa"), col("p.sb"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+            BigInt(r.getDecimal(3).toBigInteger), BigInt(r.getDecimal(4).toBigInteger),
+            BigInt(r.getDecimal(5).toBigInteger)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        assert(got == expect, s"parts=$parts")
+      }
+    }
+  }
+
+  test("GramAgg overflow spill: sums past 2^62 stay exact (BigInteger twin cells)") {
+    val sp = spark
+    import sp.implicits._
+    // components near the 2^30 bound: each product ~2^59.8, so a cell
+    // crosses the 2^62 spill threshold after ~5 rows — 60 rows exercise
+    // the spill (and the merge of spilled partials) many times over
+    val c = (1L << 30) - 1L
+    val rows = Seq.fill(60)(Array(c, -c))
+    val got = rows.toDF("q").repartition(4)
+      .agg(graft.functions.GramAgg.gram(col("q"), 2).as("g"))
+      .select(explode(col("g")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.sab"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val prod = BigInt(c) * BigInt(c) * 60
+    assert(got == Seq((0, 0, prod), (0, 1, -prod), (1, 1, prod)))
+    assert(prod > BigInt(1L << 62), "fixture must actually cross the spill threshold")
+  }
+
+  test("GramAgg rejects components at the bound and dimension drift") {
+    val sp = spark
+    import sp.implicits._
+    val bad = Seq(Array(1L << 30, 0L)).toDF("q")
+      .agg(graft.functions.GramAgg.gram(col("q"), 2).as("g"))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+    val drift = Seq(Array(1L, 2L, 3L)).toDF("q")
+      .agg(graft.functions.GramAgg.gram(col("q"), 2).as("g"))
+    val e2 = intercept[Exception] { drift.collect() }
+    assert(e2.getMessage != null)
+  }
 }
