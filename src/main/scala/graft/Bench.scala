@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * the driver's 2000-char tail window (round 1 proved a 73-entry per-query
   * map overflows it and fails to parse, BENCH_r01.json `parsed: null`;
   * BENCH_r02–05 confirm the window is exactly 2000 chars), so it carries
-  * the suite total plus only the 24 slowest queries (~1 KB). The FULL
+  * the suite total plus only the 24 slowest queries and the isolated
+  * re-run map (~1.2 KB). The FULL
   * per-query map — which the round-5 verdict needs for cross-round
   * regression diffs — goes to `bench_full_latest.json` at the repo root,
   * a TRACKED file committed with each round, plus `target/bench_full.json`

@@ -17,7 +17,7 @@ class RegistrySpec extends SparkFixture {
 
   test("inventory: the no-oracle set is EXACTLY the eight sanctioned keys") {
     // the sanctioned set may only change together with SURVEY §2.2's
-    // "exactly seven are no-oracle" paragraph — a new no-oracle query (or a
+    // "exactly eight are no-oracle" paragraph — a new no-oracle query (or a
     // sanctioned one growing an oracle) must fail here loudly
     val actual = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(actual == noOracleAllowed,
