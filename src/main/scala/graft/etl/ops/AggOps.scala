@@ -1075,11 +1075,235 @@ object AggOps {
         "w AS (SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM t GROUP BY rday) " +
         "SELECT d.day, d.dau, w.wau FROM d JOIN w ON w.rday = d.day ORDER BY d.day"))
 
+  /** Association rules over per-user event-type sets — qagg_freqpairs
+    * extended from co-occurrence SUPPORT to the full market-basket
+    * readout: per unordered pair, confidence in both directions
+    * (n_ab/n_a, n_ab/n_b) and lift (n_ab·N / (n_a·n_b)). All inputs are
+    * exact distinct-user counts; each metric is ONE fixed-shape IEEE
+    * expression over their double casts (D3).
+    *
+    * Scale: the pair table comes from the same collect_set shape as
+    * qagg_freqpairs (map-side partial sets bounded by the event-type
+    * domain, pairs generated map-side); per-type counts and the pair
+    * table are both domain-bounded (≤ |types|² rows), so the enrichment
+    * joins broadcast — nothing here grows with the row count except the
+    * two keyed aggregates. */
+  private val qaggAssoc = QueryDef(
+    "qagg_assoc",
+    build = (spark, sfDir) => {
+      val sets = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("event_type")).as("ts"))
+      val pairs = sets
+        .select(explode(expr(
+          "flatten(transform(ts, x -> " +
+            "transform(filter(ts, y -> y > x), y -> struct(x AS type_a, y AS type_b))))"))
+          .as("p"))
+        .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val singles = sets.select(explode(col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      val total = sets.agg(count(lit(1)).as("n_total"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      pairs
+        .join(broadcast(singles.select(col("t").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(singles.select(col("t").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(total))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (d(col("n_ab")) / d(col("n_a"))).as("conf_ab"),
+          (d(col("n_ab")) / d(col("n_b"))).as("conf_ba"),
+          (d(col("n_ab")) * d(col("n_total")) / (d(col("n_a")) * d(col("n_b"))))
+            .as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    oracle = Some(
+      "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY event_type), " +
+        "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM events), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_ab, sa.n_t AS n_a, sb.n_t AS n_b, " +
+        "CAST(n_ab AS DOUBLE) / CAST(sa.n_t AS DOUBLE) AS conf_ab, " +
+        "CAST(n_ab AS DOUBLE) / CAST(sb.n_t AS DOUBLE) AS conf_ba, " +
+        "CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+        "(CAST(sa.n_t AS DOUBLE) * CAST(sb.n_t AS DOUBLE)) AS lift " +
+        "FROM p JOIN s sa ON sa.event_type = type_a JOIN s sb ON sb.event_type = type_b " +
+        "CROSS JOIN tot ORDER BY type_a, type_b"))
+
+  /** Benford first-significant-digit audit over order totals — the
+    * classic forensic-accounting screen (natural multiplicative amounts
+    * follow log10(1+1/d); synthetic/fraudulent ones usually don't). The
+    * digit is the FIRST CHARACTER of the exact fixed-scale decimal
+    * rendering (D15's cross-engine-identical string), not a
+    * log10/pow round trip — no transcendentals, so the bucketing is
+    * bit-free; amounts < 1 land in digit '0' by the same rule on both
+    * engines. frac = one IEEE division of exact counts.
+    *
+    * Scale: a map-side substring + one domain-bounded aggregate (≤ 10
+    * rows) + a broadcast total — scan-bound at any size. */
+  private val qaggBenford = QueryDef(
+    "qagg_benford",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+        .select(substring(decStr(d124(col("o_totalprice"))), 1, 1).as("digit"))
+      val total = o.agg(count(lit(1)).as("n_total"))
+      o.groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n_orders"),
+          (col("n_orders").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("frac"))
+        .orderBy(col("digit"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS VARCHAR), 1, 1) AS digit " +
+        "FROM orders), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d) " +
+        "SELECT digit, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac " +
+        "FROM d CROSS JOIN tot GROUP BY digit, n_total ORDER BY digit"))
+
+  /** A/B experiment readout with a Welch t statistic — the product-
+    * analytics closer: users are assigned to arms by CONTENT HASH of
+    * their id (the qllm_split rule — rerun-stable, no RNG, reproduced
+    * exactly by the oracle via md5), the per-user metric is the exact
+    * scale-4 sum of their event values, and the per-arm moments (n, Σx,
+    * Σx²) are exact DECIMAL sums at the qagg_corr widths — (19,4)×(18,4)
+    * products stay exact int128/DECIMAL(38,8) on both engines — cast
+    * ONCE to double (VARCHAR-routed in DuckDB, the qagg_corr trap) and
+    * pushed through one fixed-shape expression tree for means, sample
+    * variances, and t = (m_A−m_B)/√(v_A/n_A + v_B/n_B) — every bit
+    * matches. Width bound: a per-user sum is < 10¹⁴ in scale-4 units iff
+    * per-user event value mass < 10¹⁰ — five orders above the fixture
+    * domain (PLENTY at 100 TB too: the cap is per USER, not global).
+    *
+    * Scale: one keyed per-user aggregate, then a single global
+    * partial+final aggregate with conditional (CASE) moment columns —
+    * two shuffles total, the second metadata-sized. */
+  private val qaggAbtest = QueryDef(
+    "qagg_abtest",
+    build = (spark, sfDir) => {
+      val perUser = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4)).as("m"))
+        .select(
+          when(substring(md5(col("user_id").cast(StringType)), 1, 1) < "8",
+            lit("A")).otherwise(lit("B")).as("arm"),
+          col("m").cast(DecimalType(18, 4)).as("x18"),
+          col("m").cast(DecimalType(19, 4)).as("x19"))
+      val aCond = col("arm") === "A"
+      val s = perUser.agg(
+        sum(when(aCond, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!aCond, 1L).otherwise(0L)).as("n_b"),
+        sum(when(aCond, col("x18"))).cast(DoubleType).as("sa"),
+        sum(when(!aCond, col("x18"))).cast(DoubleType).as("sb"),
+        sum(when(aCond, col("x19") * col("x18"))).cast(DoubleType).as("saa"),
+        sum(when(!aCond, col("x19") * col("x18"))).cast(DoubleType).as("sbb"))
+      val naD = col("n_a").cast(DoubleType)
+      val nbD = col("n_b").cast(DoubleType)
+      val meanA = col("sa") / naD
+      val meanB = col("sb") / nbD
+      val varA = (naD * col("saa") - col("sa") * col("sa")) / (naD * (naD - 1.0))
+      val varB = (nbD * col("sbb") - col("sb") * col("sb")) / (nbD * (nbD - 1.0))
+      s.select(col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        varA.as("var_a"), varB.as("var_b"),
+        ((meanA - meanB) / sqrt(varA / naD + varB / nbD)).as("t_welch"))
+    },
+    oracle = Some(
+      "WITH u AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' " +
+        "THEN 'A' ELSE 'B' END AS arm, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DECIMAL(18,4)) AS x18, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DECIMAL(19,4)) AS x19 " +
+        "FROM events GROUP BY user_id), " +
+        "s AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(CAST(sum(CASE WHEN arm = 'A' THEN x18 END) AS VARCHAR) AS DOUBLE) AS sa, " +
+        "CAST(CAST(sum(CASE WHEN arm = 'B' THEN x18 END) AS VARCHAR) AS DOUBLE) AS sb, " +
+        "CAST(CAST(sum(CASE WHEN arm = 'A' THEN x19 * x18 END) AS VARCHAR) AS DOUBLE) AS saa, " +
+        "CAST(CAST(sum(CASE WHEN arm = 'B' THEN x19 * x18 END) AS VARCHAR) AS DOUBLE) AS sbb " +
+        "FROM u) " +
+        "SELECT n_a, n_b, " +
+        "sa / CAST(n_a AS DOUBLE) AS mean_a, sb / CAST(n_b AS DOUBLE) AS mean_b, " +
+        "(CAST(n_a AS DOUBLE) * saa - sa * sa) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS var_a, " +
+        "(CAST(n_b AS DOUBLE) * sbb - sb * sb) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS var_b, " +
+        "(sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)) / " +
+        "sqrt(((CAST(n_a AS DOUBLE) * saa - sa * sa) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))) / CAST(n_a AS DOUBLE) + " +
+        "((CAST(n_b AS DOUBLE) * sbb - sb * sb) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))) / CAST(n_b AS DOUBLE)) AS t_welch " +
+        "FROM s"))
+
+  /** RFM customer scoring — recency / frequency / monetary quintiles,
+    * the CRM segmentation workhorse. Metrics are exact (integer day
+    * diffs against the corpus max order date, counts, scale-4 decimal
+    * spend); each 1–5 score is `(rank−1)·5 div n + 1` over an EXACT
+    * global rank with the customer key as tiebreak (D9-unique, so
+    * rank-based quintiles are deterministic even on tied metrics;
+    * recency ranks on the NEGATED day diff so 5 = most recent, matching
+    * f/m where 5 = highest). Segment = the concatenated digit triple.
+    *
+    * Scale: three sampled-boundary two-pass global ranks
+    * ([[graft.api.Graft.globalRanksSampled]] — no single-partition
+    * window, skew-proof boundaries) joined back on the customer key;
+    * the oracle's row_number() is the same total order. */
+  private val qaggRfm = QueryDef(
+    "qagg_rfm",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("monetary"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("last_order")).cast(LongType).as("recency_days"),
+          col("frequency"), col("monetary"))
+        .localCheckpoint()
+      def score(orderCol: org.apache.spark.sql.Column,
+          out: String): org.apache.spark.sql.DataFrame =
+        graft.api.Graft.globalRanksSampled(cust, orderCol, Seq(col("o_custkey")))
+          .select(col("o_custkey"),
+            (expr("(__rank - 1) * 5 div __n") + 1L).as(out))
+      val r = score(col("recency_days") * -1, "r_score")
+      val f = score(col("frequency"), "f_score")
+      val m = score(col("monetary"), "m_score")
+      cust.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          decStr(col("monetary")).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast(StringType), col("f_score").cast(StringType),
+            col("m_score").cast(StringType)).as("segment"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some(
+      "WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders), " +
+        "c AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), CAST(maxd AS DATE)) AS BIGINT) AS recency_days, " +
+        "CAST(count(*) AS BIGINT) AS frequency, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS monetary " +
+        "FROM orders CROSS JOIN maxd GROUP BY o_custkey, maxd), " +
+        "r AS (SELECT *, " +
+        "row_number() OVER (ORDER BY 0 - recency_days, o_custkey) AS rr, " +
+        "row_number() OVER (ORDER BY frequency, o_custkey) AS rf, " +
+        "row_number() OVER (ORDER BY monetary, o_custkey) AS rm, " +
+        "count(*) OVER () AS n FROM c) " +
+        "SELECT o_custkey, recency_days, frequency, CAST(monetary AS VARCHAR) AS monetary, " +
+        "(rr - 1) * 5 // n + 1 AS r_score, " +
+        "(rf - 1) * 5 // n + 1 AS f_score, " +
+        "(rm - 1) * 5 // n + 1 AS m_score, " +
+        "CAST((rr - 1) * 5 // n + 1 AS VARCHAR) || CAST((rf - 1) * 5 // n + 1 AS VARCHAR) || " +
+        "CAST((rm - 1) * 5 // n + 1 AS VARCHAR) AS segment " +
+        "FROM r ORDER BY o_custkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
     qaggApproxhll, qaggDqaudit, qaggUnpivot, qaggHistogram, qaggCorr,
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
-    qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge, qaggFunnel)
+    qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge, qaggFunnel,
+    qaggAssoc, qaggBenford, qaggAbtest, qaggRfm)
 }

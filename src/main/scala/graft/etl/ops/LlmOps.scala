@@ -1856,9 +1856,14 @@ object LlmOps {
     *
     * Scale: grams are hashed to longs before any shuffle (the
     * qllm_decontam trick — the string-side oracle agrees modulo 2⁻⁶⁴
-    * collisions); per-doc distinct runs map-side via array_distinct; the
-    * min-owner aggregate and the join back are both keyed on the gram
-    * hash. Novelty = one IEEE division of exact integer counts. */
+    * collisions); per-doc distinct runs map-side via array_distinct.
+    * The corpus-wide gram table shuffles exactly ONCE (the min-owner
+    * aggregate): ownership counts come from re-grouping that aggregate's
+    * 1-row-per-gram output by owner — NOT from joining the gram table
+    * back against it (the earlier shape; its sort-merge join was the
+    * whole cost at sf1) — and per-doc gram totals ride a map-side
+    * partial-aggregated max over the doc-constant array size. Novelty =
+    * one IEEE division of exact integer counts. */
   private val qllmNovelty = QueryDef(
     "qllm_novelty",
     build = (spark, sfDir) => {
@@ -1866,18 +1871,21 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 5)
       val grams = docs.select(col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, size(w) - 4), i -> xxhash64(array_join(slice(w, i, 5), ' '))))"))
-          .as("g"))
-      val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-      grams.join(owner, "g")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
-            .as("novelty"))
+        expr(
+          "array_distinct(transform(sequence(1, size(w) - 4), i -> xxhash64(array_join(slice(w, i, 5), ' '))))")
+          .as("gs"))
+        .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
+          explode(col("gs")).as("g"))
+      // ng is constant per doc, so max() partial-aggregates to one row
+      // per (partition, doc) before the exchange — no wide shuffle here.
+      val perDoc = grams.groupBy(col("doc_id")).agg(max(col("ng")).as("n_grams"))
+      val novel = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("novelty"))
         .orderBy(col("doc_id"))
     },
     oracle = Some(
@@ -1901,9 +1909,15 @@ object LlmOps {
     * SHARED-ness — a doc can be 100% novel-owner yet 100% shared.
     *
     * Scale: grams are hashed to longs before any shuffle (the decontam
-    * trick; the string-side oracle agrees modulo 2⁻⁶⁴ collisions), per-doc
-    * distinct runs map-side via array_distinct, and the gram→doc-count
-    * aggregate is partial-aggregable; nothing is quadratic in docs. */
+    * trick; the string-side oracle agrees modulo 2⁻⁶⁴ collisions) and
+    * per-doc distinct runs map-side via array_distinct. The corpus-wide
+    * gram table shuffles exactly ONCE (the per-gram doc-count aggregate);
+    * a SINGLETON gram (n_docs = 1) belongs wholly to its one doc, so
+    * n_shared = n_grams − n_unique falls out of re-grouping that
+    * aggregate's singleton rows by owning doc — no join of the gram
+    * table back against its own aggregate (the earlier shape; its
+    * sort-merge join dominated the sf1 cost). n_grams rides a map-side
+    * partial-aggregated max over the doc-constant array size. */
   private val qllmDupfrac = QueryDef(
     "qllm_dupfrac",
     build = (spark, sfDir) => {
@@ -1911,15 +1925,21 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 8)
       val grams = docs.select(col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' '))))"))
-          .as("g"))
-      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
-      grams.join(df, "g")
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        expr(
+          "array_distinct(transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' '))))")
+          .as("gs"))
+        .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
+          explode(col("gs")).as("g"))
+      val perDoc = grams.groupBy(col("doc_id")).agg(max(col("ng")).as("n_grams"))
+      // min(doc_id) is THE doc for a singleton gram; shared grams never
+      // survive the n_docs = 1 filter, so the re-group is exact.
+      val uniq = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d"))
+        .filter(col("n_docs") === 1)
+        .groupBy(col("d")).agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniq, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
         .select(col("doc_id"), col("n_grams"), col("n_shared"),
           (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
             .as("dup_frac"),

@@ -668,9 +668,156 @@ object WindowOps {
         "CAST(CAST(sum(rev) AS DECIMAL(38,4)) AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share " +
         "FROM d CROSS JOIN t GROUP BY decile, tot ORDER BY decile"))
 
+  /** Max-drawdown per user over the event value stream — the risk/equity
+    * metric: running balance (exact scale-4 cumulative sum in (ts,
+    * event_id) order), running peak, drawdown = peak − balance, reduced
+    * to a per-user summary (final balance, peak, max drawdown). Every
+    * step is exact decimal arithmetic over explicit ROWS frames — the
+    * two engines sort and sum identically.
+    *
+    * Scale: both windows share ONE partition spec keyed on the
+    * high-cardinality user_id (one shuffle + one sort serves cum AND
+    * peak), then a keyed aggregate — no global window anywhere. */
+  private val qwinDrawdown = QueryDef(
+    "qwin_drawdown",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), d124(col("value")).as("v"))
+        .withColumn("cum", sum(col("v")).over(w).cast(DecimalType(38, 4)))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v")).cast(DecimalType(38, 4)).as("__fin"),
+          max(col("peak")).as("__peak"),
+          max(col("peak") - col("cum")).as("__dd"))
+        .select(col("user_id"), col("n_events"),
+          decStr(col("__fin")).as("final_value"),
+          decStr(col("__peak")).as("peak_value"),
+          decStr(col("__dd")).as("max_drawdown"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, v, " +
+        "CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cum FROM e), " +
+        "c2 AS (SELECT user_id, v, cum, " +
+        "max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(CAST(sum(v) AS DECIMAL(38,4)) AS VARCHAR) AS final_value, " +
+        "CAST(max(peak) AS VARCHAR) AS peak_value, " +
+        "CAST(max(peak - cum) AS VARCHAR) AS max_drawdown " +
+        "FROM c2 GROUP BY user_id ORDER BY user_id"))
+
+  /** Corpus-wide Gini coefficient of part retail prices — the inequality
+    * summary behind qwin_pareto's decile curve, via the rank identity
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over an ascending exact global
+    * rank (p_partkey tiebreak; ties contribute x·Σrank, which is
+    * tie-order invariant, so the tiebreak can't change G). Both Σ terms
+    * are exact decimals — rank·price at (20,0)×(12,4) stays inside
+    * DECIMAL(38,4)/int128 on both engines — cast once to double
+    * (VARCHAR-routed in DuckDB) into one fixed-shape expression.
+    *
+    * Scale: [[graft.api.Graft.globalRanks]]' two-pass bucketed rank (no
+    * single-partition sort) + one global partial+final aggregate. */
+  private val qwinGini = QueryDef(
+    "qwin_gini",
+    build = (spark, sfDir) => {
+      val p = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), d124(col("p_retailprice")).as("price"))
+      val ranked = graft.api.Graft.globalRanks(p, col("price"), Seq(col("p_partkey")))
+      val s = ranked.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("price")).cast(DecimalType(38, 4)).as("__sx"),
+        sum(col("__rank").cast(DecimalType(20, 0)) * col("price"))
+          .cast(DecimalType(38, 4)).as("__srx"))
+      val nD = col("n_parts").cast(DoubleType)
+      val sxD = col("__sx").cast(DoubleType)
+      val srxD = col("__srx").cast(DoubleType)
+      s.select(col("n_parts"), decStr(col("__sx")).as("total_price"),
+        ((lit(2.0) * srxD - (nD + 1.0) * sxD) / (nD * sxD)).as("gini"))
+    },
+    oracle = Some(
+      "WITH p AS (SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,4)) AS price FROM part), " +
+        "r AS (SELECT price, CAST(row_number() OVER (ORDER BY price, p_partkey) AS DECIMAL(20,0)) AS rnk FROM p), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, " +
+        "CAST(sum(price) AS DECIMAL(38,4)) AS sx, " +
+        "CAST(sum(rnk * price) AS DECIMAL(38,4)) AS srx FROM r) " +
+        "SELECT n_parts, CAST(sx AS VARCHAR) AS total_price, " +
+        "(2.0 * CAST(CAST(srx AS VARCHAR) AS DOUBLE) - (CAST(n_parts AS DOUBLE) + 1.0) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / " +
+        "(CAST(n_parts AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini " +
+        "FROM s"))
+
+  /** Lag-1 autocorrelation of the daily value total per event type — the
+    * time-series persistence probe (is today's volume predicted by
+    * yesterday's?). Daily totals are exact scale-4 sums; consecutive-day
+    * pairs come from a lag window over the DAY-aggregated frame (365
+    * rows per type, never raw events); the Pearson moments over
+    * (prev, cur) pairs are exact decimal sums at the qagg_corr widths,
+    * cast once to double (VARCHAR-routed in DuckDB) through the
+    * identical closed-form tree. Width bound: a daily total < 10¹⁴
+    * scale-4 units — six orders above the fixture's daily mass, and at
+    * real scale the cap is per (type, day), not global. Note "adjacent
+    * ROW", not "adjacent day": gap days pair across the gap, the
+    * standard series treatment (qwin_gapfill is the densifier when
+    * calendar adjacency matters).
+    *
+    * Scale: one keyed aggregate to days, one tiny keyed window, one
+    * domain-bounded final aggregate. */
+  private val qwinAcf = QueryDef(
+    "qwin_acf",
+    build = (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(d124(col("value"))).as("x"))
+        .select(col("event_type"), col("day"),
+          col("x").cast(DecimalType(18, 4)).as("x18"),
+          col("x").cast(DecimalType(19, 4)).as("x19"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = daily
+        .withColumn("p18", lag(col("x18"), 1).over(w))
+        .withColumn("p19", lag(col("x19"), 1).over(w))
+        .filter(col("p18").isNotNull)
+      val s = pairs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("p18")).cast(DoubleType).as("sx"),
+        sum(col("x18")).cast(DoubleType).as("sy"),
+        sum(col("p19") * col("p18")).cast(DoubleType).as("sxx"),
+        sum(col("x19") * col("x18")).cast(DoubleType).as("syy"),
+        sum(col("p19") * col("x18")).cast(DoubleType).as("sxy"))
+      val nD = col("n_pairs").cast(DoubleType)
+      s.select(col("event_type"), col("n_pairs"),
+        ((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy")))).as("acf1"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(
+      "WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS x18, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(19,4)) AS x19 " +
+        "FROM events GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, x18, x19, " +
+        "lag(x18, 1) OVER (PARTITION BY event_type ORDER BY day) AS p18, " +
+        "lag(x19, 1) OVER (PARTITION BY event_type ORDER BY day) AS p19 FROM daily), " +
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(CAST(sum(p18) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(x18) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(p19 * p18) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(x19 * x18) AS VARCHAR) AS DOUBLE) AS syy, " +
+        "CAST(CAST(sum(p19 * x18) AS VARCHAR) AS DOUBLE) AS sxy " +
+        "FROM p WHERE p18 IS NOT NULL GROUP BY event_type) " +
+        "SELECT event_type, n_pairs, " +
+        "(CAST(n_pairs AS DOUBLE) * sxy - sx * sy) / " +
+        "(sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf1 " +
+        "FROM s ORDER BY event_type"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
-    qwinMedian, qwinHampel, qwinPareto)
+    qwinMedian, qwinHampel, qwinPareto, qwinDrawdown, qwinGini, qwinAcf)
 }

@@ -502,4 +502,115 @@ class EdgeCaseSpec extends SparkFixture {
       .select(col("event_id")).as[Long].collect().toSet
     assert(out == Set(10L), s"boundary must be inclusive at gap == tolerance: $out")
   }
+
+  test("gini matches the exact BigDecimal rank-identity reference on real data") {
+    val row = graft.etl.Registry.byName("qwin_gini").build(spark, sfTiny).collect()(0)
+    val prices = spark.read.parquet(s"$sfTiny/part.parquet")
+      .select(col("p_partkey").cast(LongType), col("p_retailprice"))
+      .collect().map(r =>
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    val sorted = prices.sorted // tie order irrelevant to G (x·Σrank invariance)
+    val n = sorted.length
+    val sx = sorted.sum
+    val srx = sorted.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val expect = (2.0 * srx.toDouble - (n + 1.0) * sx.toDouble) / (n * sx.toDouble)
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(2) - expect) < 1e-12,
+      s"gini ${row.getDouble(2)} != reference $expect")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
+
+  test("drawdown equals the sequential peak-minus-balance recursion per user") {
+    val out = graft.etl.Registry.byName("qwin_drawdown").build(spark, sfTiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    val byUser = graft.etl.Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    for ((u, rows) <- byUser) {
+      var cum = BigDecimal(0); var peak = BigDecimal(0) // peak of first row = its own cum
+      var maxDd = BigDecimal(Long.MinValue)
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      for ((i, r) <- ordered.zipWithIndex.map(_.swap)) {
+        cum += r._4
+        peak = if (i == 0) cum else peak.max(cum)
+        maxDd = maxDd.max(peak - cum)
+      }
+      val (n, fin, pk, dd) = out(u)
+      assert(n == ordered.length && BigDecimal(fin) == cum &&
+        BigDecimal(pk) == peak && BigDecimal(dd) == maxDd,
+        s"user $u: got $n/$fin/$pk/$dd want ${ordered.length}/$cum/$peak/$maxDd")
+    }
+  }
+
+  test("rfm scores are 1..5 quintiles with near-equal occupancy and a consistent segment") {
+    val rows = graft.etl.Registry.byName("qagg_rfm").build(spark, sfTiny).collect()
+    val n = rows.length
+    for (c <- Seq(4, 5, 6)) {
+      val byScore = rows.groupBy(_.getLong(c)).view.mapValues(_.length).toMap
+      assert(byScore.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)), s"col $c: $byScore")
+      // (rank-1)*5 div n + 1 occupancy: ceil/floor of n/5 only
+      assert(byScore.values.forall(v => v == n / 5 || v == n / 5 + 1), s"col $c: $byScore")
+    }
+    assert(rows.forall(r =>
+      r.getString(7) == s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}"))
+  }
+
+  test("sorted-neighbor blocking: adjacency, set bounds, and the integer verdict agree") {
+    val rows = graft.etl.Registry.byName("qdedup_sorted_nbr").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    // each record opens at most one pair per brand (adjacency, not all-pairs)
+    val lefts = rows.map(r => (r.getString(0), r.getLong(1)))
+    assert(lefts.distinct.length == lefts.length)
+    for (r <- rows) {
+      val (na, nb, ni) = (r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ni >= 0 && ni <= math.min(na, nb))
+      val j = r.getDouble(6)
+      assert(j >= 0.0 && j <= 1.0)
+      assert((r.getString(7) == "candidate") == (2 * ni >= na + nb - ni))
+    }
+  }
+
+  test("abtest arms partition the users and the moments are finite") {
+    val r = graft.etl.Registry.byName("qagg_abtest").build(spark, sfTiny).collect()(0)
+    val users = spark.read.parquet(s"$sfTiny/events.parquet")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(r.getLong(0) + r.getLong(1) == users)
+    for (c <- 2 to 6) assert(!r.getDouble(c).isNaN && !r.getDouble(c).isInfinite,
+      s"col $c not finite: $r")
+    assert(r.getDouble(4) > 0 && r.getDouble(5) > 0) // variances positive
+  }
+
+  test("acf1 is a correlation: bounded to [-1, 1] per event type") {
+    val rows = graft.etl.Registry.byName("qwin_acf").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) >= 2)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12, s"$r")
+    }
+  }
+
+  test("assoc: confidences and lift satisfy their exact count identities") {
+    val rows = graft.etl.Registry.byName("qagg_assoc").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= 1 && nab <= math.min(na, nb))
+      assert(r.getDouble(5) == nab.toDouble / na.toDouble)
+      assert(r.getDouble(6) == nab.toDouble / nb.toDouble)
+      assert(r.getDouble(7) > 0)
+    }
+  }
+
+  test("benford digit fractions are a distribution over plausible leading digits") {
+    val rows = graft.etl.Registry.byName("qagg_benford").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0).length == 1 && r.getString(0)(0).isDigit))
+    val s = rows.map(_.getDouble(2)).sum
+    assert(math.abs(s - 1.0) < 1e-9, s"fracs sum to $s")
+  }
 }

@@ -357,7 +357,11 @@ class PlanSpec extends SparkFixture {
       // funnel: three 1-row step-count frames into the summary row
       "qagg_funnel",
       // pareto: globalRanks' 1-row bounds frame + the 1-row revenue total
-      "qwin_pareto")
+      "qwin_pareto",
+      // round 8: 1-row scalar frames again — distinct-user total (assoc),
+      // order total (benford), max order date + sampled rank boundaries
+      // (rfm), globalRanks' 1-row bounds frame (gini)
+      "qagg_assoc", "qagg_benford", "qagg_rfm", "qwin_gini")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
