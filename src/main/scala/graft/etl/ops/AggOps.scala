@@ -1298,6 +1298,270 @@ object AggOps {
         "CAST((rm - 1) * 5 // n + 1 AS VARCHAR) AS segment " +
         "FROM r ORDER BY o_custkey"))
 
+  /** Cramér's V between event_type and ISO weekday — the categorical-
+    * association audit (is traffic mix day-of-week dependent?). All
+    * contingency mass is EXACT: cell/row/column/total counts, and the
+    * per-cell χ² term uses the cross-multiplied form
+    * (N·n_ij − r_i·c_j)²/(N·r_i·c_j) so no expected-count division ever
+    * happens on an inexact operand — the numerator is an exact
+    * DECIMAL(19,0)² → (38,0) square, the denominator a product of three
+    * exact-in-double counts. Per-cell IEEE terms are then ROUNDED TO SIX
+    * DECIMALS and summed as exact DECIMAL(20,6) (the qagg_entropy
+    * pattern: order-independent, cross-engine-identical), and
+    * V = √(χ²/(N·(min(r,c)−1))) is one final fixed-shape tree. Width
+    * bound: N·n_ij must fit DECIMAL(19,0) — holds through ~10⁹ events
+    * per cell at 10⁹ total; past that, bucket the contingency per
+    * partition and merge the exact cell counts first (counts, not
+    * terms, are the mergeable state).
+    *
+    * The weekday comes from pure integer arithmetic on the epoch-day
+    * number ((day+3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), so
+    * no calendar function is in the hash path at all.
+    *
+    * Scale: one (type × dow) cell aggregate (≤ |types|·7 rows) plus
+    * broadcast marginals — scan-bound at any size. */
+  private val qaggCramersv = QueryDef(
+    "qagg_cramersv",
+    build = (spark, sfDir) => {
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          ((expr("unix_micros(ts) div 86400000000") + 3L) % 7L).as("dow"))
+      val cells = base.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_ij"))
+      val rows = base.groupBy(col("event_type")).agg(count(lit(1)).as("r_i"))
+      val cols = base.groupBy(col("dow")).agg(count(lit(1)).as("c_j"))
+      val tot = base.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val diff = (col("n_total") * col("n_ij") - col("r_i") * col("c_j"))
+        .cast(DecimalType(19, 0))
+      val term = round(
+        (diff * diff).cast(DecimalType(38, 0)).cast(DoubleType) /
+          (d(col("n_total")) * d(col("r_i")) * d(col("c_j"))), 6)
+        .cast(DecimalType(20, 6))
+      val s = cells
+        .join(broadcast(rows), "event_type")
+        .join(broadcast(cols), "dow")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n_total"), col("n_types"), col("n_dows"))
+        .agg(sum(term).cast(DecimalType(38, 6)).as("chi2"))
+      s.select(col("n_types"), col("n_dows"), col("n_total"), decStr(col("chi2")).as("chi2"),
+          sqrt(col("chi2").cast(DoubleType) /
+            (d(col("n_total")) * d(least(col("n_types"), col("n_dows")) - 1)))
+            .as("cramers_v"))
+    },
+    oracle = Some(
+      "WITH b AS (SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow FROM events), " +
+        "cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_ij FROM b GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r_i FROM b GROUP BY 1), " +
+        "c AS (SELECT dow, CAST(count(*) AS BIGINT) AS c_j FROM b GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
+        "CAST(count(DISTINCT dow) AS BIGINT) AS n_dows FROM b), " +
+        "t AS (SELECT n_total, n_types, n_dows, " +
+        "CAST(round(CAST(CAST(CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) * " +
+        "CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)), 6) AS DECIMAL(20,6)) AS term " +
+        "FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot), " +
+        "s AS (SELECT n_types, n_dows, n_total, CAST(sum(term) AS DECIMAL(38,6)) AS chi2 " +
+        "FROM t GROUP BY 1, 2, 3) " +
+        "SELECT n_types, n_dows, n_total, CAST(chi2 AS VARCHAR) AS chi2, " +
+        "sqrt(CAST(CAST(chi2 AS VARCHAR) AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(least(n_types, n_dows) - 1 AS DOUBLE))) AS cramers_v " +
+        "FROM s"))
+
+  /** Grouped ordinary least squares — price-per-quantity elasticity per
+    * return flag with slope, intercept and R², the regression readout a
+    * BI layer computes without leaving SQL. All five moments (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are exact decimals at the qagg_abtest widths
+    * ((19,4)×(18,4) → int128-exact DECIMAL(38,8) products), cast ONCE to
+    * double (VARCHAR-routed in DuckDB) and pushed through one
+    * fixed-shape tree — slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²), intercept and
+    * R² spelled with byte-identical operand order in both engines.
+    *
+    * Scale: a single partial+final aggregate per group; the moment
+    * vector IS the mergeable state (this is qagg_incremental's partial
+    * pattern applied to regression — 100 TB fits because only six
+    * numbers per group ever cross the wire). */
+  private val qaggLinreg = QueryDef(
+    "qagg_linreg",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir).select(col("l_returnflag"),
+        d124(col("l_quantity")).cast(DecimalType(18, 4)).as("x18"),
+        d124(col("l_quantity")).cast(DecimalType(19, 4)).as("x19"),
+        d124(col("l_extendedprice")).cast(DecimalType(18, 4)).as("y18"),
+        d124(col("l_extendedprice")).cast(DecimalType(19, 4)).as("y19"))
+      val s = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x18")).cast(DoubleType).as("sx"),
+        sum(col("y18")).cast(DoubleType).as("sy"),
+        sum(col("x19") * col("y18")).cast(DoubleType).as("sxy"),
+        sum(col("x19") * col("x18")).cast(DoubleType).as("sxx"),
+        sum(col("y19") * col("y18")).cast(DoubleType).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val cov = nD * col("sxy") - col("sx") * col("sy")
+      val varX = nD * col("sxx") - col("sx") * col("sx")
+      val varY = nD * col("syy") - col("sy") * col("sy")
+      s.select(col("l_returnflag"), col("n"),
+          (cov / varX).as("slope"),
+          ((col("sy") - (cov / varX) * col("sx")) / nD).as("intercept"),
+          (cov * cov / (varX * varY)).as("r2"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some(
+      "WITH li AS (SELECT l_returnflag, " +
+        "CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(18,4)) AS x18, " +
+        "CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4)) AS x19, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(18,4)) AS y18, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DECIMAL(19,4)) AS y19 FROM lineitem), " +
+        "s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(CAST(sum(x18) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(y18) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(x19 * y18) AS VARCHAR) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(sum(x19 * x18) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(y19 * y18) AS VARCHAR) AS DOUBLE) AS syy " +
+        "FROM li GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope, " +
+        "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) AS intercept, " +
+        "((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) / " +
+        "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2 " +
+        "FROM s ORDER BY l_returnflag"))
+
+  /** Day-of-week seasonal index per event type — (mean daily total on
+    * that weekday) / (mean daily total overall), the time-series
+    * normalization behind every staffing/capacity curve. Both means are
+    * ratios of EXACT decimal daily-sum masses and exact day counts, so
+    * the index is a single fixed-shape IEEE expression
+    * (s·c_all)/(c_dow·s_all) over four exact operands (each cast to
+    * double once, VARCHAR-routed for the decimals). The weekday is
+    * integer epoch-day arithmetic ((day+3) mod 7), not a calendar
+    * function. Scale: two keyed aggregates (events → day, day → dow)
+    * plus a broadcast per-type total — the second stage's input is
+    * calendar-bounded, not data-bounded. */
+  private val qaggSeasonality = QueryDef(
+    "qagg_seasonality",
+    build = (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4)).as("x"))
+      val byDow = daily
+        .groupBy(col("event_type"), ((col("day") + 3L) % 7L).as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).cast(DecimalType(38, 4)).as("s"))
+      val byType = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"), sum(col("x")).cast(DecimalType(38, 4)).as("s_all"))
+      byDow.join(broadcast(byType), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), decStr(col("s")).as("dow_total"),
+          ((col("s").cast(DoubleType) * col("n_all").cast(DoubleType)) /
+            (col("n_days").cast(DoubleType) * col("s_all").cast(DoubleType))).as("idx"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    oracle = Some(
+      "WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS x FROM events GROUP BY 1, 2), " +
+        "bd AS (SELECT event_type, (day + 3) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(x) AS DECIMAL(38,4)) AS s FROM daily GROUP BY 1, 2), " +
+        "bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_all, " +
+        "CAST(sum(x) AS DECIMAL(38,4)) AS s_all FROM daily GROUP BY 1) " +
+        "SELECT event_type, dow, n_days, CAST(s AS VARCHAR) AS dow_total, " +
+        "(CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(n_all AS DOUBLE)) / " +
+        "(CAST(n_days AS DOUBLE) * CAST(CAST(s_all AS VARCHAR) AS DOUBLE)) AS idx " +
+        "FROM bd JOIN bt USING (event_type) ORDER BY event_type, dow"))
+
+  /** Functional-dependency audit — does LHS → RHS actually hold in the
+    * data? The schema-inference / data-contract primitive: for each
+    * candidate FD, count LHS groups and the groups carrying ≥ 2 distinct
+    * RHS values. Three candidates spanning both verdicts: user_id →
+    * event_type and event_type → props.k (both violated — behavioral
+    * attributes are not functions of identity), and n_nationkey →
+    * n_regionkey (holds — a true key). Everything is counts; the
+    * violation rate is one IEEE division.
+    *
+    * Scale: each FD is one keyed partial-aggregable groupBy whose
+    * output is LHS-cardinality-bounded; the three audits run as a union
+    * of independent subtrees (on a cluster they pipeline). */
+  private val qaggFdaudit = QueryDef(
+    "qagg_fdaudit",
+    build = (spark, sfDir) => {
+      def audit(df: org.apache.spark.sql.DataFrame, lhs: org.apache.spark.sql.Column,
+          rhs: org.apache.spark.sql.Column, name: String) =
+        df.groupBy(lhs.as("lhs")).agg(countDistinct(rhs).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).cast(LongType).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating").cast(DoubleType) / col("n_lhs").cast(DoubleType))
+              .as("viol_frac"))
+      val ev = Tables.events(spark, sfDir)
+      audit(ev, col("user_id"), col("event_type"), "user_id->event_type")
+        .unionAll(audit(
+          ev.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k")),
+          col("event_type"), col("k"), "event_type->props.k"))
+        .unionAll(audit(Tables.nation(spark, sfDir),
+          col("n_nationkey"), col("n_regionkey"), "n_nationkey->n_regionkey"))
+        .orderBy(col("fd"))
+    },
+    oracle = Some(
+      "WITH a1 AS (SELECT user_id AS lhs, count(DISTINCT event_type) AS nd FROM events GROUP BY 1), " +
+        "a2 AS (SELECT event_type AS lhs, count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS nd " +
+        "FROM events GROUP BY 1), " +
+        "a3 AS (SELECT n_nationkey AS lhs, count(DISTINCT n_regionkey) AS nd FROM nation GROUP BY 1), " +
+        "u AS (SELECT 'user_id->event_type' AS fd, CAST(count(*) AS BIGINT) AS n_lhs, " +
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating FROM a1 " +
+        "UNION ALL SELECT 'event_type->props.k', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM a2 " +
+        "UNION ALL SELECT 'n_nationkey->n_regionkey', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM a3) " +
+        "SELECT fd, n_lhs, n_violating, " +
+        "CAST(n_violating AS DOUBLE) / CAST(n_lhs AS DOUBLE) AS viol_frac " +
+        "FROM u ORDER BY fd"))
+
+  /** Month-over-month revenue per nation with percent change — the
+    * period-comparison readout every revenue dashboard leads with.
+    * Monthly masses are exact scale-4 decimals; pct = (cur−prev)/prev is
+    * ONE IEEE expression over two VARCHAR-routed exact operands (NULL on
+    * the first month — no sentinel). The fact table is pre-aggregated to
+    * (custkey, month) BEFORE the dimension join, so the join input is
+    * customer-cardinality-, not order-cardinality-, sized; nation then
+    * broadcasts, and the lag window runs over a nation×month frame
+    * (calendar-bounded). */
+  private val qaggMom = QueryDef(
+    "qagg_mom",
+    build = (spark, sfDir) => {
+      val perCust = Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"),
+          trunc(col("o_orderdate").cast(DateType), "month").as("month"))
+        .agg(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("rev"))
+      val monthly = perCust
+        .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("month"))
+        .agg(sum(col("rev")).cast(DecimalType(38, 4)).as("rev"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+      monthly.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("n_name"), col("month"), decStr(col("rev")).as("rev"),
+          decStr(col("prev")).as("prev_rev"),
+          ((col("rev").cast(DoubleType) - col("prev").cast(DoubleType)) /
+            col("prev").cast(DoubleType)).as("pct_change"))
+        .orderBy(col("n_name"), col("month"))
+    },
+    oracle = Some(
+      "WITH pc AS (SELECT o_custkey, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS rev FROM orders GROUP BY 1, 2), " +
+        "m AS (SELECT n_name, month, CAST(sum(rev) AS DECIMAL(38,4)) AS rev " +
+        "FROM pc JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "l AS (SELECT n_name, month, rev, " +
+        "lag(rev, 1) OVER (PARTITION BY n_name ORDER BY month) AS prev FROM m) " +
+        "SELECT n_name, month, CAST(rev AS VARCHAR) AS rev, CAST(prev AS VARCHAR) AS prev_rev, " +
+        "(CAST(CAST(rev AS VARCHAR) AS DOUBLE) - CAST(CAST(prev AS VARCHAR) AS DOUBLE)) / " +
+        "CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS pct_change " +
+        "FROM l ORDER BY n_name, month"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
@@ -1305,5 +1569,6 @@ object AggOps {
     qaggRetention, qaggMode, qaggEntropy, qaggIncremental, qaggSkew,
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
     qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge, qaggFunnel,
-    qaggAssoc, qaggBenford, qaggAbtest, qaggRfm)
+    qaggAssoc, qaggBenford, qaggAbtest, qaggRfm,
+    qaggCramersv, qaggLinreg, qaggSeasonality, qaggFdaudit, qaggMom)
 }

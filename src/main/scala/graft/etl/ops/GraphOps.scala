@@ -390,7 +390,67 @@ object GraphOps {
         "FROM cm JOIN deg da ON da.v = a JOIN deg db ON db.v = b " +
         "ORDER BY n_common DESC, a, b LIMIT 100"))
 
+  /** Bounded multi-source BFS — hop-distance histogram from a seed set
+    * (every subgraph node whose key is ≡ 0 mod 100) in the p_size ≤ 5
+    * subgraph, three relaxation rounds unrolled (dist ≤ 3; beyond-
+    * horizon nodes report −1). Each round is the qgraph_cc shape — a
+    * keyed join edge⋈dist, a min-aggregate per destination, and a
+    * least-merge — all integer min/plus, so the fixpoint prefix is
+    * bit-exact on both engines (the oracle unrolls the identical
+    * rounds; no recursive CTE dialect risk). The unreached sentinel is
+    * 999 internally and only mapped to −1 in the final projection.
+    *
+    * Scale: the textbook Pregel relaxation as keyed shuffles of
+    * (node, int) pairs; at 100 TB the same bucketed-adjacency note as
+    * PageRank applies, and a frontier-only variant (join the PREVIOUS
+    * round's improvements instead of all labels) cuts late-round
+    * traffic — with 3 rounds on a dense co-purchase graph the full
+    * relabel is the simpler, equally-shaped plan. */
+  private val qgraphBfs = QueryDef(
+    "qgraph_bfs",
+    build = (spark, sfDir) => {
+      val small = Tables.part(spark, sfDir)
+        .filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val es = edges(spark, sfDir)
+        .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
+        .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var dist = d.select(col("src").as("v")).distinct()
+        .select(col("v"),
+          when(col("v") % 100 === 0, 0L).otherwise(999L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nm = d.join(dist, d("src") === dist("v"))
+          .select(col("dst").as("v2"), (col("dist") + 1L).as("nd"))
+          .groupBy(col("v2")).agg(min(col("nd")).as("nm"))
+        dist = dist.join(nm, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("dist"), coalesce(col("nm"), col("dist"))).as("dist"))
+      }
+      dist.select(when(col("dist") >= 999L, -1L).otherwise(col("dist")).as("dist"))
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
+    },
+    oracle = Some {
+      def round(prev: String, out: String): String =
+        s"nm$out AS (SELECT d.dst AS v, min($prev.dist + 1) AS nm FROM d " +
+          s"JOIN $prev ON d.src = $prev.v GROUP BY d.dst), " +
+          s"$out AS (SELECT l.v, least(l.dist, COALESCE(nm$out.nm, l.dist)) AS dist " +
+          s"FROM $prev l LEFT JOIN nm$out ON l.v = nm$out.v)"
+      s"WITH $edgesCte, " +
+        "sm AS (SELECT p_partkey FROM part WHERE p_size <= 5), " +
+        "es AS (SELECT src, dst FROM e " +
+        "WHERE src IN (SELECT p_partkey FROM sm) AND dst IN (SELECT p_partkey FROM sm)), " +
+        "d AS (SELECT src, dst FROM es UNION ALL SELECT dst AS src, src AS dst FROM es), " +
+        "d0 AS (SELECT DISTINCT src AS v, CASE WHEN src % 100 = 0 THEN 0 ELSE 999 END AS dist FROM d), " +
+        round("d0", "d1") + ", " + round("d1", "d2") + ", " + round("d2", "d3") + " " +
+        "SELECT CAST(CASE WHEN dist >= 999 THEN -1 ELSE dist END AS BIGINT) AS dist, " +
+        "CAST(count(*) AS BIGINT) AS n_nodes FROM d3 " +
+        "GROUP BY 1 ORDER BY dist"
+    })
+
   def defs: Seq[QueryDef] =
     Seq(qgraphDegree, qgraphTriangles, qgraphPagerank, qgraphKcore, qgraphCc,
-      qgraphJaccard)
+      qgraphJaccard, qgraphBfs)
 }

@@ -1795,6 +1795,73 @@ object LlmOps {
         "min(norm2) AS min_norm2, max(norm2) AS max_norm2 " +
         "FROM v GROUP BY label ORDER BY label"))
 
+  /** Zipf-law fit over the corpus vocabulary — the log-log OLS of
+    * frequency against rank, the corpus-health diagnostic (natural text
+    * slopes ≈ −1; template/boilerplate corpora flatten or step). Term
+    * frequencies and ranks are EXACT (keyed count + a rank window over
+    * the vocabulary-sized frame with the term itself as tiebreak — the
+    * frame is vocabulary-bounded, not corpus-bounded, so the window is
+    * metadata-scale); ln(rank)/ln(freq) are rounded to six decimals and
+    * carried as exact DECIMAL(18,6) (the qagg_entropy pattern —
+    * order-independent sums, rounding ties impossible off transcendental
+    * operands), products at the (19,6)×(18,6) → DECIMAL(38,12)
+    * int128-exact widths, and slope/intercept/R² are one fixed-shape
+    * IEEE tree over the VARCHAR-routed moment sums (the qagg_linreg
+    * closer).
+    *
+    * Scale: term counting is the canonical map-side-combined explode;
+    * everything after runs on |vocab| rows. */
+  private val qllmZipf = QueryDef(
+    "qllm_zipf",
+    build = (spark, sfDir) => {
+      val freq = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast(LongType))
+      val lx = round(log(col("rank").cast(DoubleType)), 6).cast(DecimalType(18, 6))
+      val ly = round(log(col("freq").cast(DoubleType)), 6).cast(DecimalType(18, 6))
+      val t = ranked.select(
+        lx.as("lx18"), lx.cast(DecimalType(19, 6)).as("lx19"),
+        ly.as("ly18"), ly.cast(DecimalType(19, 6)).as("ly19"))
+      val s = t.agg(
+        count(lit(1)).as("n"),
+        sum(col("lx18")).cast(DoubleType).as("sx"),
+        sum(col("ly18")).cast(DoubleType).as("sy"),
+        sum(col("lx19") * col("ly18")).cast(DoubleType).as("sxy"),
+        sum(col("lx19") * col("lx18")).cast(DoubleType).as("sxx"),
+        sum(col("ly19") * col("ly18")).cast(DoubleType).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val cov = nD * col("sxy") - col("sx") * col("sy")
+      val varX = nD * col("sxx") - col("sx") * col("sx")
+      val varY = nD * col("syy") - col("sy") * col("sy")
+      s.select(col("n").as("n_vocab"),
+        (cov / varX).as("slope"),
+        ((col("sy") - (cov / varX) * col("sx")) / nD).as("intercept"),
+        (cov * cov / (varX * varY)).as("r2"))
+    },
+    oracle = Some(
+      "WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents), " +
+        "f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w WHERE w <> '' GROUP BY w), " +
+        "r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM f), " +
+        "t AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx18, " +
+        "CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(19,6)) AS lx19, " +
+        "CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly18, " +
+        "CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(19,6)) AS ly19 FROM r), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(CAST(sum(lx18) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(ly18) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(lx19 * ly18) AS VARCHAR) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(sum(lx19 * lx18) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(ly19 * ly18) AS VARCHAR) AS DOUBLE) AS syy FROM t) " +
+        "SELECT n AS n_vocab, " +
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope, " +
+        "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) AS intercept, " +
+        "((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) / " +
+        "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2 " +
+        "FROM s"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
@@ -1805,7 +1872,8 @@ object LlmOps {
     qllmRepetition, qllmBudget, qllmPack, qllmMix, qllmMixTemp,
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
     qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu,
-    qllmPmi, qllmContainment, qllmSemdedup, qllmCrossdup, qllmEmbaudit)
+    qllmPmi, qllmContainment, qllmSemdedup, qllmCrossdup, qllmEmbaudit,
+    qllmZipf)
 
   /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
     * computation a data pipeline runs at corpus scale (summary-vs-source

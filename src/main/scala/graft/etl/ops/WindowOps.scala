@@ -815,9 +815,162 @@ object WindowOps {
         "(sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf1 " +
         "FROM s ORDER BY event_type"))
 
+  /** Bollinger bands over the per-type daily value series — rolling
+    * 7-row mean with a 2σ breach flag, the qwin_anomaly integer-moment
+    * trick moved onto a sliding frame: daily masses become scale-4
+    * integer units (vi = 10⁴·Σvalue, exact), the window keeps (n, Σvi,
+    * Σvi²) with the square summed as DECIMAL(19,0)² → (38,0)
+    * (int128-exact in DuckDB as HUGEINT), and the breach test is the
+    * PURE INTEGER predicate (n·vi − Σvi)² > 4·(n·Σvi² − (Σvi)²) — i.e.
+    * z² > 4 in population-variance units with zero floating point in
+    * the decision. Only the reported midline is IEEE (one division of
+    * exact-in-double operands). Width bound: vi < 2⁵³/7 per day —
+    * ~10¹¹ in value mass, documented like qwin_anomaly's.
+    *
+    * Scale: one keyed daily aggregate then one partitioned sorted
+    * window whose frame is calendar-bounded — the raw scan never sorts. */
+  private val qwinBollinger = QueryDef(
+    "qwin_bollinger",
+    build = (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
+          .cast(DecimalType(18, 4)).as("x"))
+        .select(col("event_type"), col("day"), col("x"),
+          (col("x") * 10000).cast(LongType).as("vi"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      val vi19 = col("vi").cast(DecimalType(19, 0))
+      val m = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("svi", sum(col("vi")).over(w))
+        .withColumn("svvi", sum(vi19 * vi19).over(w).cast(DecimalType(38, 0)))
+      val devi = (col("n") * col("vi") - col("svi")).cast(DecimalType(19, 0))
+      val svi19 = col("svi").cast(DecimalType(19, 0))
+      val di = (col("n").cast(DecimalType(19, 0)) * col("svvi") -
+        (svi19 * svi19).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+      m.select(col("event_type"), col("day"), decStr(col("x")).as("x"),
+          (col("svi").cast(DoubleType) / (col("n").cast(DoubleType) * 10000.0)).as("mid"),
+          when((devi * devi).cast(DecimalType(38, 0)) > di * 4, 1).otherwise(0)
+            .cast(IntegerType).as("breach"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some(
+      "WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DECIMAL(18,4)) AS x FROM events GROUP BY 1, 2), " +
+        "v AS (SELECT event_type, day, x, CAST(x * 10000 AS BIGINT) AS vi FROM daily), " +
+        "m AS (SELECT event_type, day, x, vi, " +
+        "CAST(count(*) OVER w AS HUGEINT) AS n, " +
+        "CAST(sum(vi) OVER w AS HUGEINT) AS svi, " +
+        "CAST(sum(vi * vi) OVER w AS HUGEINT) AS svvi " +
+        "FROM v WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, day, CAST(x AS VARCHAR) AS x, " +
+        "CAST(svi AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS mid, " +
+        "CAST(CASE WHEN (n * vi - svi) * (n * vi - svi) > 4 * (n * svvi - svi * svi) " +
+        "THEN 1 ELSE 0 END AS INT) AS breach " +
+        "FROM m ORDER BY event_type, day"))
+
+  /** Relative-strength index (Wilder's RSI, simple-average form) over
+    * the per-type daily series — the momentum oscillator, computed with
+    * ZERO floating point until the final readout: daily deltas in exact
+    * scale-4 integer units, gains/losses split by integer sign, 14-row
+    * rolling gain/loss masses as integer window sums, and
+    * RSI = 100·Σgain/(Σgain+Σloss) as ONE IEEE expression over
+    * exact-in-double operands (NULL while the series is flat). First
+    * row per type (no delta) is excluded by the lag, not a sentinel.
+    * Same shape discipline as qwin_bollinger: keyed daily aggregate,
+    * then one partitioned sorted window — never a raw-row sort. */
+  private val qwinRsi = QueryDef(
+    "qwin_rsi",
+    build = (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
+          .cast(DecimalType(18, 4)).as("x"))
+        .select(col("event_type"), col("day"), (col("x") * 10000).cast(LongType).as("vi"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val d = daily.withColumn("diff", col("vi") - lag(col("vi"), 1).over(wo))
+        .filter(col("diff").isNotNull)
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      val g = d
+        .withColumn("sg", sum(greatest(col("diff"), lit(0L))).over(wr))
+        .withColumn("sl", sum(greatest(-col("diff"), lit(0L))).over(wr))
+      g.select(col("event_type"), col("day"), col("diff"),
+          (lit(100.0) * col("sg").cast(DoubleType) /
+            nullif(col("sg") + col("sl"), lit(0L)).cast(DoubleType)).as("rsi"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some(
+      "WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi " +
+        "FROM events GROUP BY 1, 2), " +
+        "d AS (SELECT event_type, day, vi - lag(vi, 1) OVER (PARTITION BY event_type ORDER BY day) AS diff " +
+        "FROM daily), " +
+        "g AS (SELECT event_type, day, diff, " +
+        "sum(greatest(diff, 0)) OVER w AS sg, sum(greatest(-diff, 0)) OVER w AS sl " +
+        "FROM d WHERE diff IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, day, diff, " +
+        "100.0 * CAST(sg AS DOUBLE) / CAST(nullif(sg + sl, 0) AS DOUBLE) AS rsi " +
+        "FROM g ORDER BY event_type, day"))
+
+  /** Running volume-weighted average price per part — the execution-
+    * quality benchmark, as cumulative exact-decimal notional over
+    * cumulative exact-decimal volume in strict (shipdate, orderkey,
+    * linenumber) order: notional per fill is the int128-exact
+    * (12,4)×(12,4) product, both running sums are unbounded-preceding
+    * window sums pinned to DECIMAL(38,·) (non-narrowing on both
+    * engines), and VWAP is ONE IEEE division of the two VARCHAR-routed
+    * masses. A 1-in-20 part-key slice keeps the demo output bounded
+    * while preserving the plan (the filter is a pushed-down scan
+    * predicate, not a sample).
+    *
+    * Scale: ONE window partitioned by the high-cardinality part key —
+    * each partition sorts its own fills; no global sort, no join. */
+  private val qwinVwap = QueryDef(
+    "qwin_vwap",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .filter(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          d124(col("l_quantity")).as("q"),
+          (d124(col("l_extendedprice")) * d124(col("l_quantity")))
+            .cast(DecimalType(28, 8)).as("notional"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      li.withColumn("cum_qty", sum(col("q")).over(w).cast(DecimalType(38, 4)))
+        .withColumn("cum_notional", sum(col("notional")).over(w).cast(DecimalType(38, 8)))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+          decStr(col("cum_qty")).as("cum_qty"),
+          decStr(col("cum_notional")).as("cum_notional"),
+          (col("cum_notional").cast(DoubleType) / col("cum_qty").cast(DoubleType))
+            .as("vwap"))
+        .orderBy(col("l_partkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some(
+      "WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, " +
+        "CAST(l_quantity AS DECIMAL(12,4)) AS q, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(28,8)) AS notional " +
+        "FROM lineitem WHERE l_partkey % 20 = 0), " +
+        "c AS (SELECT l_partkey, l_orderkey, l_linenumber, ship_date, " +
+        "CAST(sum(q) OVER w AS DECIMAL(38,4)) AS cum_qty, " +
+        "CAST(sum(notional) OVER w AS DECIMAL(38,8)) AS cum_notional " +
+        "FROM li WINDOW w AS (PARTITION BY l_partkey ORDER BY ship_date, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT l_partkey, l_orderkey, l_linenumber, ship_date, " +
+        "CAST(cum_qty AS VARCHAR) AS cum_qty, CAST(cum_notional AS VARCHAR) AS cum_notional, " +
+        "CAST(CAST(cum_notional AS VARCHAR) AS DOUBLE) / CAST(CAST(cum_qty AS VARCHAR) AS DOUBLE) AS vwap " +
+        "FROM c ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
-    qwinMedian, qwinHampel, qwinPareto, qwinDrawdown, qwinGini, qwinAcf)
+    qwinMedian, qwinHampel, qwinPareto, qwinDrawdown, qwinGini, qwinAcf,
+    qwinBollinger, qwinRsi, qwinVwap)
 }

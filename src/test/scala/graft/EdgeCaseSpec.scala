@@ -613,4 +613,152 @@ class EdgeCaseSpec extends SparkFixture {
     val s = rows.map(_.getDouble(2)).sum
     assert(math.abs(s - 1.0) < 1e-9, s"fracs sum to $s")
   }
+
+  test("cramers v is bounded [0,1] over the full contingency mass") {
+    val r = graft.etl.Registry.byName("qagg_cramersv").build(spark, sfTiny).collect()(0)
+    val nEvents = spark.read.parquet(s"$sfTiny/events.parquet").count()
+    assert(r.getLong(2) == nEvents)
+    assert(BigDecimal(r.getString(3)) >= 0)
+    val v = r.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0, s"V out of range: $v")
+  }
+
+  test("linreg matches a direct double-precision OLS reference per group") {
+    val out = graft.etl.Registry.byName("qagg_linreg").build(spark, sfTiny)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val data = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for ((flag, rows) <- data) {
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gn, gs, gi, gr2) = out(flag)
+      assert(gn == rows.length)
+      assert(math.abs(gs - slope) < 1e-6 * math.max(1.0, math.abs(slope)),
+        s"$flag slope $gs != $slope")
+      assert(math.abs(gi - (sy - slope * sx) / n) < 1e-4, s"$flag intercept $gi")
+      assert(gr2 >= 0.0 && gr2 <= 1.0, s"$flag r2 $gr2")
+    }
+  }
+
+  test("seasonality indices weighted by day counts average to one per type") {
+    val rows = graft.etl.Registry.byName("qagg_seasonality").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val nDays = g.map(_.getLong(2)).sum
+      val wsum = g.map(r => r.getLong(2) * r.getDouble(4)).sum
+      assert(math.abs(wsum - nDays) < 1e-6 * nDays,
+        s"sum(n_days*idx)=$wsum != n_all=$nDays")
+      assert(g.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+    }
+  }
+
+  test("fd audit: the true key FD holds, the behavioral FDs report their rates") {
+    val rows = graft.etl.Registry.byName("qagg_fdaudit").build(spark, sfTiny)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == 3)
+    val (nl, nv, f) = rows("n_nationkey->n_regionkey")
+    assert(nl == 25 && nv == 0 && f == 0.0)
+    for ((fd, (l, v, frac)) <- rows) {
+      assert(v >= 0 && v <= l, fd)
+      assert(frac == v.toDouble / l.toDouble, fd)
+    }
+  }
+
+  test("mom: prev_rev chains to the prior month's rev and pct matches") {
+    val rows = graft.etl.Registry.byName("qagg_mom").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val ordered = g.sortBy(_.getDate(1).toString)
+      assert(ordered.head.isNullAt(3) && ordered.head.isNullAt(4))
+      for (Array(prev, cur) <- ordered.sliding(2) if !cur.isNullAt(3)) {
+        assert(cur.getString(3) == prev.getString(2),
+          s"prev_rev ${cur.getString(3)} != prior rev ${prev.getString(2)}")
+        val p = BigDecimal(cur.getString(3)).toDouble
+        val c = BigDecimal(cur.getString(2)).toDouble
+        assert(math.abs(cur.getDouble(4) - (c - p) / p) < 1e-12)
+      }
+    }
+  }
+
+  test("bollinger: midline and breach flag match a hand-rolled 7-row window") {
+    val rows = graft.etl.Registry.byName("qwin_bollinger").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val ordered = g.sortBy(_.getLong(1))
+      val vis = ordered.map(r => (BigDecimal(r.getString(2)) * 10000).toLongExact)
+      for (i <- ordered.indices) {
+        val win = vis.slice(math.max(0, i - 6), i + 1)
+        val n = win.length.toLong
+        val svi = win.sum
+        val svvi = win.map(v => BigInt(v) * BigInt(v)).sum
+        val mid = svi.toDouble / (n.toDouble * 10000.0)
+        assert(ordered(i).getDouble(3) == mid, s"mid mismatch at $i")
+        val devi = BigInt(n * vis(i) - svi)
+        val di = BigInt(n) * svvi - BigInt(svi) * BigInt(svi)
+        val breach = if (devi * devi > 4 * di) 1 else 0
+        assert(ordered(i).getInt(4) == breach, s"breach mismatch at $i")
+      }
+    }
+  }
+
+  test("rsi: bounded [0,100] and equal to 100*gain/(gain+loss) over 14 rows") {
+    val rows = graft.etl.Registry.byName("qwin_rsi").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val ordered = g.sortBy(_.getLong(1))
+      val diffs = ordered.map(_.getLong(2))
+      for (i <- ordered.indices) {
+        val win = diffs.slice(math.max(0, i - 13), i + 1)
+        val sg = win.map(d => math.max(d, 0L)).sum
+        val sl = win.map(d => math.max(-d, 0L)).sum
+        if (sg + sl == 0L) assert(ordered(i).isNullAt(3))
+        else {
+          val rsi = 100.0 * sg.toDouble / (sg + sl).toDouble
+          assert(ordered(i).getDouble(3) == rsi, s"rsi mismatch at $i")
+          assert(rsi >= 0.0 && rsi <= 100.0)
+        }
+      }
+    }
+  }
+
+  test("vwap: running masses are monotone and the final row is the part's total") {
+    val rows = graft.etl.Registry.byName("qwin_vwap").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((pk, g) <- rows.groupBy(_.getLong(0))) {
+      assert(pk % 20 == 0)
+      val ordered = g.sortBy(r => (r.getDate(3).toString, r.getLong(1), r.getInt(2)))
+      val qtys = ordered.map(r => BigDecimal(r.getString(4)))
+      assert(qtys.sliding(2).forall(p => p.length < 2 || p(0) < p(1)), "cum_qty monotone")
+      val last = ordered.last
+      assert(math.abs(last.getDouble(6) -
+        BigDecimal(last.getString(5)).toDouble / BigDecimal(last.getString(4)).toDouble) < 1e-12)
+    }
+  }
+
+  test("bfs: histogram covers the subgraph and distances stay in {-1,0..3}") {
+    val rows = graft.etl.Registry.byName("qgraph_bfs").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val dists = rows.map(_.getLong(0)).toSet
+    assert(dists.subsetOf(Set(-1L, 0L, 1L, 2L, 3L)), s"$dists")
+    assert(dists.contains(0L), "seed nodes must appear at distance 0")
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("zipf: slope is negative with a sane fit over the exact vocabulary") {
+    val r = graft.etl.Registry.byName("qllm_zipf").build(spark, sfTiny).collect()(0)
+    val vocab = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").select(countDistinct(col("w")))
+      .collect()(0).getLong(0)
+    assert(r.getLong(0) == vocab)
+    assert(r.getDouble(1) < 0.0, s"zipf slope should be negative: ${r.getDouble(1)}")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }

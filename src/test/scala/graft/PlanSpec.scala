@@ -361,7 +361,11 @@ class PlanSpec extends SparkFixture {
       // round 8: 1-row scalar frames again — distinct-user total (assoc),
       // order total (benford), max order date + sampled rank boundaries
       // (rfm), globalRanks' 1-row bounds frame (gini)
-      "qagg_assoc", "qagg_benford", "qagg_rfm", "qwin_gini")
+      "qagg_assoc", "qagg_benford", "qagg_rfm", "qwin_gini",
+      // round 8b: 1-row scalar frames — (N, n_types, n_dows) contingency
+      // totals (cramersv); zipf's global moment row needs no BNLJ but its
+      // vocab-bounded rank window shares the histogram shape
+      "qagg_cramersv")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
