@@ -156,6 +156,27 @@ object ExtractFixtures {
     }
   }
 
+  /** The qsink_csv aggregate written as JSON LINES with the measures
+    * NESTED under a `stats` struct — the sink twin for the JSON format,
+    * exercising the nested-object encode/decode path the flat CSV twin
+    * cannot. Decimal masses ride as exact strings (D15), so the
+    * round trip is associativity-proof like the CSV one. */
+  def eventsDailyJson(spark: SparkSession, sfDir: String): String = {
+    val dir = root(sfDir).resolve("events_daily_json")
+    ensure(dir) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      Tables.events(spark, sfDir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Dets.decStr(sum(Dets.d124(col("value"))).cast(DecimalType(38, 4))).as("sum_v"))
+        .select(col("day"), col("event_type"),
+          struct(col("n"), col("sum_v")).as("stats"))
+        .coalesce(1)
+        .write.mode("overwrite").json(dir.toString)
+    }
+  }
+
   /** customer as header-less CSV plus two corrupt lines. Spark's CSV
     * writer emits shortest-round-trip doubles, so the re-read values are
     * bit-identical to the parquet originals.

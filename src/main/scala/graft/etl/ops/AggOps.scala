@@ -1562,6 +1562,111 @@ object AggOps {
         "CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS pct_change " +
         "FROM l ORDER BY n_name, month"))
 
+  /** Monthly cohort retention matrix — the product-analytics triangle:
+    * customers grouped by FIRST-order month, activity counted per
+    * (cohort, month-offset) cell, rate = cell/cohort-size. Month index
+    * is pure integer arithmetic (year·12 + month−1) so offsets never
+    * touch interval semantics; all counts exact; the rate is one IEEE
+    * division. The activity frame is pre-deduped to (customer, month)
+    * BEFORE any join, and the cohort-size frame is calendar-bounded so
+    * it broadcasts.
+    *
+    * Scale: two keyed aggregates over (customer, month) + one
+    * calendar-bounded cell aggregate — the fact table is touched once. */
+  private val qaggCohort = QueryDef(
+    "qagg_cohort",
+    build = (spark, sfDir) => {
+      val act = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          trunc(col("o_orderdate").cast(DateType), "month").as("month"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast(LongType).as("mi"))
+        .distinct()
+      val cohort = act.groupBy(col("o_custkey"))
+        .agg(min(col("mi")).as("c_mi"), min(col("month")).as("cohort_month"))
+      val cells = act.join(cohort, "o_custkey")
+        .groupBy(col("cohort_month"), (col("mi") - col("c_mi")).as("month_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy(col("cohort_month")).agg(count(lit(1)).as("n0"))
+      cells.join(broadcast(sizes), "cohort_month")
+        .select(col("cohort_month"), col("month_offset"), col("n_active"), col("n0"),
+          (col("n_active").cast(DoubleType) / col("n0").cast(DoubleType)).as("rate"))
+        .orderBy(col("cohort_month"), col("month_offset"))
+    },
+    oracle = Some(
+      "WITH act AS (SELECT DISTINCT o_custkey, " +
+        "CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
+        "CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi " +
+        "FROM orders), " +
+        "cohort AS (SELECT o_custkey, min(mi) AS c_mi, min(month) AS cohort_month FROM act GROUP BY 1), " +
+        "cells AS (SELECT cohort_month, mi - c_mi AS month_offset, CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM act JOIN cohort USING (o_custkey) GROUP BY 1, 2), " +
+        "sz AS (SELECT cohort_month, CAST(count(*) AS BIGINT) AS n0 FROM cohort GROUP BY 1) " +
+        "SELECT cohort_month, month_offset, n_active, n0, " +
+        "CAST(n_active AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate " +
+        "FROM cells JOIN sz USING (cohort_month) ORDER BY cohort_month, month_offset"))
+
+  /** Weekly active-user transition census — retained / churned / new
+    * per week-over-week step, the engagement funnel's denominator. The
+    * (user, week) activity frame is deduped once, then FULL-OUTER
+    * self-joined against its own week+1 projection on the (user, week)
+    * key — one keyed shuffle join decides all three verdicts; the final
+    * week (no next-week data yet) is excluded via the broadcast max-week
+    * scalar. Week = epoch_µs div 604.8e9 — pure integer bucketing, no
+    * calendar function. All counts exact; retention is one IEEE
+    * division.
+    *
+    * Scale: dedup + join + census are all keyed on (user, week); at
+    * 100 TB the weekly frames are what a real DAU/WAU pipeline already
+    * materializes — this is their merge step. */
+  private val qaggChurn = QueryDef(
+    "qagg_churn",
+    build = (spark, sfDir) => {
+      val uw = Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      val nxt = uw.select(col("user_id"), (col("week") - 1L).as("week"),
+        lit(1).as("in_next"))
+      val cur = uw.withColumn("in_cur", lit(1))
+      val maxw = uw.agg(max(col("week")).as("maxw"))
+      val j = cur.join(nxt, Seq("user_id", "week"), "full_outer")
+      j.groupBy(col("week")).agg(
+          sum(coalesce(col("in_cur"), lit(0))).cast(LongType).as("n_active"),
+          sum(when(col("in_cur") === 1 && col("in_next") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_retained"),
+          sum(when(col("in_cur") === 1 && col("in_next").isNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_churned"),
+          sum(when(col("in_cur").isNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_new"))
+        .crossJoin(broadcast(maxw))
+        // drop the final week (no next-week data) and the synthetic
+        // week-before-first row the next-week projection creates
+        // (n_active = 0 would make the rate 0/0 — engines disagree on it)
+        .filter(col("week") < col("maxw") && col("n_active") > 0)
+        .select(col("week"), col("n_active"), col("n_retained"),
+          col("n_churned"), col("n_new"),
+          (col("n_retained").cast(DoubleType) / col("n_active").cast(DoubleType))
+            .as("retention_rate"))
+        .orderBy(col("week"))
+    },
+    oracle = Some(
+      "WITH uw AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events), " +
+        "nxt AS (SELECT user_id, week - 1 AS week, 1 AS in_next FROM uw), " +
+        "cur AS (SELECT user_id, week, 1 AS in_cur FROM uw), " +
+        "mw AS (SELECT max(week) AS maxw FROM uw), " +
+        "j AS (SELECT COALESCE(cur.user_id, nxt.user_id) AS user_id, " +
+        "COALESCE(cur.week, nxt.week) AS week, cur.in_cur, nxt.in_next " +
+        "FROM cur FULL OUTER JOIN nxt ON cur.user_id = nxt.user_id AND cur.week = nxt.week), " +
+        "c AS (SELECT week, CAST(sum(COALESCE(in_cur, 0)) AS BIGINT) AS n_active, " +
+        "CAST(sum(CASE WHEN in_cur = 1 AND in_next = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(sum(CASE WHEN in_cur = 1 AND in_next IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned, " +
+        "CAST(sum(CASE WHEN in_cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new " +
+        "FROM j GROUP BY week) " +
+        "SELECT week, n_active, n_retained, n_churned, n_new, " +
+        "CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE) AS retention_rate " +
+        "FROM c CROSS JOIN mw WHERE week < maxw AND n_active > 0 ORDER BY week"))
+
   def defs: Seq[QueryDef] = Seq(
     qaggPricing, qaggStats, qaggDistinct, qaggHaving, qaggGroupingsets,
     qaggRollup, qaggCube, qaggPivot, qaggPercentile, qaggCollect,
@@ -1570,5 +1675,6 @@ object AggOps {
     qaggMad, qaggBitwise, qaggOhlc, qaggCms, qaggFreqpairs, qaggWquantile,
     qaggGram, qaggRollingDau, qaggArgmax, qaggHllmerge, qaggFunnel,
     qaggAssoc, qaggBenford, qaggAbtest, qaggRfm,
-    qaggCramersv, qaggLinreg, qaggSeasonality, qaggFdaudit, qaggMom)
+    qaggCramersv, qaggLinreg, qaggSeasonality, qaggFdaudit, qaggMom,
+    qaggCohort, qaggChurn)
 }

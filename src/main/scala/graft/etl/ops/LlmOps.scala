@@ -1862,6 +1862,60 @@ object LlmOps {
         "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2 " +
         "FROM s"))
 
+  /** Lexical-diversity profile per source — the vocabulary-richness
+    * screen (template/boilerplate sources collapse both numbers): the
+    * corpus-mass type–token ratio Σdistinct/Σtokens (per-doc distinct
+    * counted MAP-SIDE with array_distinct — no explode for this half),
+    * and the hapax-legomena fraction of the source's vocabulary (terms
+    * seen exactly once — the long-tail health signal), from one
+    * (source, term) keyed count. Both ratios are single IEEE divisions
+    * of exact counts.
+    *
+    * Scale: the TTR half never shuffles raw tokens (per-doc reduction
+    * is inside the scan projection); the hapax half is the standard
+    * map-side-combined term count, output bounded by |sources|·|vocab|. */
+  private val qllmLexdiv = QueryDef(
+    "qllm_lexdiv",
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").cast(LongType).as("n_w"),
+          expr("size(array_distinct(filter(split(text, ' '), x -> x <> '')))")
+            .cast(LongType).as("n_d"))
+      val ttr = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_w")).cast(LongType).as("n_tokens"),
+        sum(col("n_d")).cast(LongType).as("n_doc_types"))
+      val hapax = Tables.documents(spark, sfDir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_vocab"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast(LongType).as("n_hapax"))
+      ttr.join(hapax, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+          (col("n_doc_types").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("ttr"),
+          (col("n_hapax").cast(DoubleType) / col("n_vocab").cast(DoubleType)).as("hapax_frac"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT source, " +
+        "CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_w, " +
+        "CAST(len(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_d " +
+        "FROM documents), " +
+        "t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_w) AS BIGINT) AS n_tokens, CAST(sum(n_d) AS BIGINT) AS n_doc_types " +
+        "FROM d GROUP BY 1), " +
+        "wc AS (SELECT source, w, count(*) AS cnt FROM " +
+        "(SELECT source, unnest(str_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY 1, 2), " +
+        "h AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, " +
+        "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax FROM wc GROUP BY 1) " +
+        "SELECT source, n_docs, n_tokens, n_vocab, n_hapax, " +
+        "CAST(n_doc_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, " +
+        "CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE) AS hapax_frac " +
+        "FROM t JOIN h USING (source) ORDER BY source"))
+
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
     qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
@@ -1873,7 +1927,7 @@ object LlmOps {
     qllmPii, qllmBoilerplate, qllmUrlnorm, qllmPplBucket, qllmBigramLm, qllmDedupE2e,
     qllmBpePairs, qllmNovelty, qllmRouge2, qllmDupfrac, qllmBleu,
     qllmPmi, qllmContainment, qllmSemdedup, qllmCrossdup, qllmEmbaudit,
-    qllmZipf)
+    qllmZipf, qllmLexdiv)
 
   /** ROUGE-2 between near-duplicate candidate pairs — the eval-metric
     * computation a data pipeline runs at corpus scale (summary-vs-source

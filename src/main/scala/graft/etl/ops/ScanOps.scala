@@ -452,9 +452,43 @@ object ScanOps {
         "CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS sum_bal " +
         "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"))
 
+  /** JSON sink round trip — the qsink_csv story through the JSON-lines
+    * writer with the measures NESTED under a struct (the decode surface
+    * CSV cannot exercise): daily per-type aggregates out through
+    * `write.json`, back through a declared nested-schema read, struct
+    * fields projected out and re-aggregated per day across types. The
+    * oracle recomputes the two-level aggregate from the parquet ORIGINAL,
+    * so quoting, nesting, or decimal-string corruption in the sink breaks
+    * the hash; exact decimal strings make the re-sum associativity-proof. */
+  private val qsinkJson = QueryDef(
+    "qsink_json",
+    build = (spark, sfDir) => {
+      val dir = ExtractFixtures.eventsDailyJson(spark, sfDir)
+      spark.read
+        .schema("day BIGINT, event_type STRING, stats STRUCT<n: BIGINT, sum_v: STRING>")
+        .json(dir)
+        .select(col("day"), col("stats.n").as("n"),
+          col("stats.sum_v").cast(DecimalType(38, 4)).as("sv"))
+        .groupBy(col("day"))
+        .agg(sum(col("n")).cast(LongType).as("n_events"),
+          count(lit(1)).as("n_types"),
+          decStr(sum(col("sv")).cast(DecimalType(38, 4))).as("total_value"))
+        .orderBy(col("day"))
+    },
+    oracle = Some(
+      "WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(value AS DECIMAL(12,4)) AS v FROM events), " +
+        "d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(v) AS DECIMAL(38,4)) AS sv FROM e GROUP BY 1, 2) " +
+        "SELECT day, CAST(sum(n) AS BIGINT) AS n_events, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(CAST(sum(sv) AS DECIMAL(38,4)) AS STRING) AS total_value " +
+        "FROM d GROUP BY day ORDER BY day"))
+
   def defs: Seq[QueryDef] = Seq(
     qscanProject, qscanPushdown, qscanUnionFiles, qscanCsv, qscanJson,
     qscanOrc, qscanText, qscanEvolution, qscanMetadata, qscanBinary,
-    qsinkPartitioned, qsinkCsv, qfilterPredicates, qprojectExpr, qfilterSubquery) ++
+    qsinkPartitioned, qsinkCsv, qsinkJson, qfilterPredicates, qprojectExpr,
+    qfilterSubquery) ++
     (if (avroAvailable) Seq(qscanAvro) else Nil)
 }

@@ -967,10 +967,113 @@ object WindowOps {
         "CAST(CAST(cum_notional AS VARCHAR) AS DOUBLE) / CAST(CAST(cum_qty AS VARCHAR) AS DOUBLE) AS vwap " +
         "FROM c ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber"))
 
+  /** Inter-order gap analysis per customer — the reorder-cadence /
+    * at-risk signal: consecutive-order day gaps from ONE lag window in
+    * strict (orderdate, orderkey) order, reduced to per-customer
+    * (n_orders, span, max gap, mean gap). The mean needs no gap column
+    * at all — consecutive gaps telescope, so mean = span/(n−1), one
+    * IEEE division of exact integers (NULL for single-order customers,
+    * not a sentinel). Everything else is integer day arithmetic.
+    *
+    * Scale: the window partitions on the high-cardinality customer key
+    * and the follow-up groupBy reuses the SAME partitioning — one
+    * shuffle serves both. */
+  private val qwinOrdergap = QueryDef(
+    "qwin_ordergap",
+    build = (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"), col("o_orderkey"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("d"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)).cast(LongType))
+      o.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n_orders"),
+          datediff(max(col("d")), min(col("d"))).cast(LongType).as("span_days"),
+          max(col("gap")).as("max_gap_days"))
+        .select(col("o_custkey"), col("n_orders"), col("span_days"), col("max_gap_days"),
+          (col("span_days").cast(DoubleType) /
+            nullif(col("n_orders") - 1L, lit(0L)).cast(DoubleType)).as("mean_gap_days"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some(
+      "WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey), " +
+        "CAST(o_orderdate AS DATE)) AS BIGINT) AS gap FROM orders), " +
+        "g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS span_days, " +
+        "max(gap) AS max_gap_days FROM o GROUP BY 1) " +
+        "SELECT o_custkey, n_orders, span_days, max_gap_days, " +
+        "CAST(span_days AS DOUBLE) / CAST(nullif(n_orders - 1, 0) AS DOUBLE) AS mean_gap_days " +
+        "FROM g ORDER BY o_custkey"))
+
+  /** Moving-average crossover detector (the \"golden cross\" signal) —
+    * SMA(3) vs SMA(10) over the per-type daily series with ZERO floating
+    * point anywhere: the comparison s3/c3 vs s10/c10 cross-multiplies to
+    * the integer predicate s3·c10 vs s10·c3 (window counts ≤ 10 keep the
+    * products in int64), the regime is its sign, and a cross fires when
+    * two consecutive FULL (c10 = 10) windows flip sign strictly
+    * (−1 ↔ +1; a flat tie day parks the regime at 0 and fires nothing).
+    * Bit-exactness is structural, not managed — every column is integer.
+    *
+    * Scale: same discipline as qwin_bollinger — keyed daily aggregate,
+    * then one calendar-bounded sorted window serving both frames and
+    * both lags. */
+  private val qwinSmacross = QueryDef(
+    "qwin_smacross",
+    build = (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
+          .cast(DecimalType(18, 4)).as("x"))
+        .select(col("event_type"), col("day"), (col("x") * 10000).cast(LongType).as("vi"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w3 = wo.rowsBetween(-2, 0)
+      val w10 = wo.rowsBetween(-9, 0)
+      val m = daily
+        .withColumn("s3", sum(col("vi")).over(w3))
+        .withColumn("c3", count(lit(1)).over(w3))
+        .withColumn("s10", sum(col("vi")).over(w10))
+        .withColumn("c10", count(lit(1)).over(w10))
+      val sgn = when(col("s3") * col("c10") > col("s10") * col("c3"), 1)
+        .when(col("s3") * col("c10") < col("s10") * col("c3"), -1)
+        .otherwise(0).cast(IntegerType)
+      val s = m.withColumn("sign", sgn)
+        .withColumn("full_win", when(col("c10") === 10, 1).otherwise(0).cast(IntegerType))
+        .withColumn("prev_sign", lag(col("sign"), 1).over(wo))
+        .withColumn("prev_full", lag(col("full_win"), 1).over(wo))
+      s.select(col("event_type"), col("day"), col("sign"), col("full_win"),
+          when(col("full_win") === 1 && col("prev_full") === 1 &&
+            col("sign") * col("prev_sign") === -1, 1).otherwise(0)
+            .cast(IntegerType).as("crossed"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some(
+      "WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, day, " +
+        "sum(vi) OVER w3 AS s3, count(*) OVER w3 AS c3, " +
+        "sum(vi) OVER w10 AS s10, count(*) OVER w10 AS c10 " +
+        "FROM daily WINDOW " +
+        "w3 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), " +
+        "w10 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "sg AS (SELECT event_type, day, " +
+        "CAST(CASE WHEN s3 * c10 > s10 * c3 THEN 1 WHEN s3 * c10 < s10 * c3 THEN -1 ELSE 0 END AS INT) AS sign, " +
+        "CAST(CASE WHEN c10 = 10 THEN 1 ELSE 0 END AS INT) AS full_win FROM m), " +
+        "p AS (SELECT event_type, day, sign, full_win, " +
+        "lag(sign, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_sign, " +
+        "lag(full_win, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_full FROM sg) " +
+        "SELECT event_type, day, sign, full_win, " +
+        "CAST(CASE WHEN full_win = 1 AND prev_full = 1 AND sign * prev_sign = -1 THEN 1 ELSE 0 END AS INT) AS crossed " +
+        "FROM p ORDER BY event_type, day"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
     qwinMedian, qwinHampel, qwinPareto, qwinDrawdown, qwinGini, qwinAcf,
-    qwinBollinger, qwinRsi, qwinVwap)
+    qwinBollinger, qwinRsi, qwinVwap, qwinOrdergap, qwinSmacross)
 }

@@ -751,6 +751,94 @@ class EdgeCaseSpec extends SparkFixture {
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("cohort: offset-0 cells equal the cohort size and rates stay in (0,1]") {
+    val rows = graft.etl.Registry.byName("qagg_cohort").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (off, n, n0, rate) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(off >= 0 && n >= 1 && n <= n0)
+      assert(rate == n.toDouble / n0.toDouble)
+      if (off == 0) assert(n == n0, s"cohort month itself must be fully active: $r")
+    }
+  }
+
+  test("churn: retained + churned = active, and counts match a set reference") {
+    val rows = graft.etl.Registry.byName("qagg_churn").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val weeks = graft.etl.Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    for (r <- rows) {
+      val w = r.getLong(0)
+      val (a, ret, ch, nw) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ret + ch == a, s"week $w: retained+churned != active")
+      val cur = weeks(w); val nxt = weeks.getOrElse(w + 1, Set.empty[Long])
+      assert(a == cur.size && ret == (cur & nxt).size &&
+        ch == (cur -- nxt).size && nw == (nxt -- cur).size, s"week $w mismatch")
+      assert(r.getDouble(5) == ret.toDouble / a.toDouble)
+    }
+  }
+
+  test("ordergap: span telescopes the gaps and mean uses n-1") {
+    val rows = graft.etl.Registry.byName("qwin_ordergap").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, span) = (r.getLong(1), r.getLong(2))
+      if (n == 1) {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"single-order customer: $r")
+      } else {
+        val maxGap = r.getLong(3)
+        assert(maxGap <= span && maxGap * (n - 1) >= span,
+          s"max gap must bound span/(n-1): $r")
+        assert(r.getDouble(4) == span.toDouble / (n - 1).toDouble)
+      }
+    }
+  }
+
+  test("smacross: crossings only fire on strict sign flips between full windows") {
+    val rows = graft.etl.Registry.byName("qwin_smacross").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val ordered = g.sortBy(_.getLong(1))
+      // first 9 days cannot be full; crossings need two consecutive fulls
+      assert(ordered.take(9).forall(_.getInt(3) == 0))
+      for (Array(p, c) <- ordered.sliding(2)) {
+        val fires = c.getInt(4) == 1
+        val eligible = p.getInt(3) == 1 && c.getInt(3) == 1 &&
+          c.getInt(2) * p.getInt(2) == -1
+        assert(fires == eligible, s"cross flag wrong at day ${c.getLong(1)}")
+      }
+    }
+  }
+
+  test("lexdiv: ratios bounded and hapax never exceeds vocabulary") {
+    val rows = graft.etl.Registry.byName("qllm_lexdiv").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (toks, vocab, hapax) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(vocab <= toks && hapax <= vocab)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("json sink round trip: day totals equal the direct parquet aggregate") {
+    val out = graft.etl.Registry.byName("qsink_json").build(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val direct = graft.etl.Tables.events(spark, sfTiny)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("nt"),
+        sum(expr("cast(value as decimal(12,4))")).as("sv"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3))).toMap
+    assert(out.keySet == direct.keySet)
+    for ((d, (n, nt, sv)) <- out) {
+      val (dn, dnt, dsv) = direct(d)
+      assert(n == dn && nt == dnt && BigDecimal(sv) == BigDecimal(dsv), s"day $d")
+    }
+  }
+
   test("zipf: slope is negative with a sane fit over the exact vocabulary") {
     val r = graft.etl.Registry.byName("qllm_zipf").build(spark, sfTiny).collect()(0)
     val vocab = spark.read.parquet(s"$sfTiny/documents.parquet")

@@ -363,9 +363,8 @@ class PlanSpec extends SparkFixture {
       // (rfm), globalRanks' 1-row bounds frame (gini)
       "qagg_assoc", "qagg_benford", "qagg_rfm", "qwin_gini",
       // round 8b: 1-row scalar frames — (N, n_types, n_dows) contingency
-      // totals (cramersv); zipf's global moment row needs no BNLJ but its
-      // vocab-bounded rank window shares the histogram shape
-      "qagg_cramersv")
+      // totals (cramersv); the max-week scalar (churn)
+      "qagg_cramersv", "qagg_churn")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
