@@ -1318,19 +1318,28 @@ object AggOps {
     * number ((day+3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), so
     * no calendar function is in the hash path at all.
     *
-    * Scale: one (type × dow) cell aggregate (≤ |types|·7 rows) plus
-    * broadcast marginals — scan-bound at any size. */
+    * Scale: ONE scan, one (type × dow) cell aggregate (≤ |types|·7
+    * rows); every marginal re-aggregates the checkpointed cell table,
+    * so the fact table is touched exactly once — scan-bound at any
+    * size. */
   private val qaggCramersv = QueryDef(
     "qagg_cramersv",
     build = (spark, sfDir) => {
-      val base = Tables.events(spark, sfDir)
+      // the fact table is scanned ONCE: every marginal (row, column,
+      // grand total, dimension cardinalities) re-aggregates the ≤
+      // |types|·7-row cell table, which also makes the marginals exactly
+      // consistent with the cells by construction
+      val cells = Tables.events(spark, sfDir)
         .select(col("event_type"),
           ((expr("unix_micros(ts) div 86400000000") + 3L) % 7L).as("dow"))
-      val cells = base.groupBy(col("event_type"), col("dow"))
+        .groupBy(col("event_type"), col("dow"))
         .agg(count(lit(1)).as("n_ij"))
-      val rows = base.groupBy(col("event_type")).agg(count(lit(1)).as("r_i"))
-      val cols = base.groupBy(col("dow")).agg(count(lit(1)).as("c_j"))
-      val tot = base.agg(count(lit(1)).as("n_total"),
+        .localCheckpoint()
+      val rows = cells.groupBy(col("event_type"))
+        .agg(sum(col("n_ij")).cast(LongType).as("r_i"))
+      val cols = cells.groupBy(col("dow"))
+        .agg(sum(col("n_ij")).cast(LongType).as("c_j"))
+      val tot = cells.agg(sum(col("n_ij")).cast(LongType).as("n_total"),
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(col("dow")).as("n_dows"))
       val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
@@ -1354,11 +1363,11 @@ object AggOps {
     oracle = Some(
       "WITH b AS (SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow FROM events), " +
         "cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_ij FROM b GROUP BY 1, 2), " +
-        "r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r_i FROM b GROUP BY 1), " +
-        "c AS (SELECT dow, CAST(count(*) AS BIGINT) AS c_j FROM b GROUP BY 1), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+        "r AS (SELECT event_type, CAST(sum(n_ij) AS BIGINT) AS r_i FROM cells GROUP BY 1), " +
+        "c AS (SELECT dow, CAST(sum(n_ij) AS BIGINT) AS c_j FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_total, " +
         "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
-        "CAST(count(DISTINCT dow) AS BIGINT) AS n_dows FROM b), " +
+        "CAST(count(DISTINCT dow) AS BIGINT) AS n_dows FROM cells), " +
         "t AS (SELECT n_total, n_types, n_dows, " +
         "CAST(round(CAST(CAST(CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) * " +
         "CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) / " +
