@@ -77,5 +77,25 @@ object Dets {
   /** D2: exact decimal before any aggregation of a double measure. */
   def d124(c: Column): Column = dec(c, 12, 4)
 
+  /** The fixed-shape OLS/Pearson closer over six exact moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²), already cast to double: returns
+    * (slope, intercept, r2, corr). The OPERAND ORDER of these trees is
+    * the cross-engine bit-exactness contract shared by qagg_corr,
+    * qagg_linreg and qllm_zipf (their oracles spell the identical
+    * trees) — one definition so a reshaping cannot reach only some of
+    * them. */
+  def olsClose(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column, syy: Column): (Column, Column, Column, Column) = {
+    import org.apache.spark.sql.types.DoubleType
+    val nD = n.cast(DoubleType)
+    val cov = nD * sxy - sx * sy
+    val varX = nD * sxx - sx * sx
+    val varY = nD * syy - sy * sy
+    (cov / varX,
+      (sy - (cov / varX) * sx) / nD,
+      cov * cov / (varX * varY),
+      cov / (sqrt(varX) * sqrt(varY)))
+  }
+
   def one124: Column = lit(1).cast(DecimalType(12, 4))
 }

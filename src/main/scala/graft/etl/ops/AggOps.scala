@@ -404,14 +404,10 @@ object AggOps {
           sum(x19 * x18).cast(DoubleType).as("sxx"),
           sum(y19 * y18).cast(DoubleType).as("syy"),
           sum(x19 * y18).cast(DoubleType).as("sxy"))
-      val nD = col("n").cast(DoubleType)
-      val cov = nD * col("sxy") - col("sx") * col("sy")
-      val slope = cov / (nD * col("sxx") - col("sx") * col("sx"))
+      val (slope, intercept, _, corr) = olsClose(col("n"), col("sx"),
+        col("sy"), col("sxy"), col("sxx"), col("syy"))
       s.select(col("l_returnflag"), col("n"),
-        (cov / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
-          * sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
-        slope.as("slope"),
-        ((col("sy") - slope * col("sx")) / nD).as("intercept"))
+        corr.as("corr_qty_price"), slope.as("slope"), intercept.as("intercept"))
         .orderBy(col("l_returnflag"))
     },
     oracle = Some(
@@ -1318,6 +1314,11 @@ object AggOps {
     * number ((day+3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), so
     * no calendar function is in the hash path at all.
     *
+    * The cell table is densified to the FULL type × dow grid before
+    * the term sum (an empty cell still contributes its expected mass
+    * r·c/N — dropping it would bias χ² toward independence on sparse
+    * mixes).
+    *
     * Scale: ONE scan, one (type × dow) cell aggregate (≤ |types|·7
     * rows); every marginal re-aggregates the checkpointed cell table,
     * so the fact table is touched exactly once — scan-bound at any
@@ -1343,15 +1344,20 @@ object AggOps {
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(col("dow")).as("n_dows"))
       val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      // densify to the FULL type × dow grid: an empty cell still
+      // contributes its expected mass ((N·0 − r·c)²/(N·r·c) = r·c/N) —
+      // dropping it would bias χ² toward independence on sparse mixes
+      val grid = broadcast(rows).crossJoin(broadcast(cols))
+        .join(cells, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"), col("r_i"), col("c_j"),
+          coalesce(col("n_ij"), lit(0L)).as("n_ij"))
       val diff = (col("n_total") * col("n_ij") - col("r_i") * col("c_j"))
         .cast(DecimalType(19, 0))
       val term = round(
         (diff * diff).cast(DecimalType(38, 0)).cast(DoubleType) /
           (d(col("n_total")) * d(col("r_i")) * d(col("c_j"))), 6)
         .cast(DecimalType(20, 6))
-      val s = cells
-        .join(broadcast(rows), "event_type")
-        .join(broadcast(cols), "dow")
+      val s = grid
         .crossJoin(broadcast(tot))
         .groupBy(col("n_total"), col("n_types"), col("n_dows"))
         .agg(sum(term).cast(DecimalType(38, 6)).as("chi2"))
@@ -1368,11 +1374,13 @@ object AggOps {
         "tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_total, " +
         "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
         "CAST(count(DISTINCT dow) AS BIGINT) AS n_dows FROM cells), " +
+        "grid AS (SELECT r.event_type, c.dow, r.r_i, c.c_j, COALESCE(cells.n_ij, 0) AS n_ij " +
+        "FROM r CROSS JOIN c LEFT JOIN cells USING (event_type, dow)), " +
         "t AS (SELECT n_total, n_types, n_dows, " +
         "CAST(round(CAST(CAST(CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) * " +
         "CAST(n_total * n_ij - r_i * c_j AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) / " +
         "(CAST(n_total AS DOUBLE) * CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE)), 6) AS DECIMAL(20,6)) AS term " +
-        "FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot), " +
+        "FROM grid CROSS JOIN tot), " +
         "s AS (SELECT n_types, n_dows, n_total, CAST(sum(term) AS DECIMAL(38,6)) AS chi2 " +
         "FROM t GROUP BY 1, 2, 3) " +
         "SELECT n_types, n_dows, n_total, CAST(chi2 AS VARCHAR) AS chi2, " +
@@ -1408,14 +1416,10 @@ object AggOps {
         sum(col("x19") * col("y18")).cast(DoubleType).as("sxy"),
         sum(col("x19") * col("x18")).cast(DoubleType).as("sxx"),
         sum(col("y19") * col("y18")).cast(DoubleType).as("syy"))
-      val nD = col("n").cast(DoubleType)
-      val cov = nD * col("sxy") - col("sx") * col("sy")
-      val varX = nD * col("sxx") - col("sx") * col("sx")
-      val varY = nD * col("syy") - col("sy") * col("sy")
+      val (slope, intercept, r2, _) = olsClose(col("n"), col("sx"),
+        col("sy"), col("sxy"), col("sxx"), col("syy"))
       s.select(col("l_returnflag"), col("n"),
-          (cov / varX).as("slope"),
-          ((col("sy") - (cov / varX) * col("sx")) / nD).as("intercept"),
-          (cov * cov / (varX * varY)).as("r2"))
+          slope.as("slope"), intercept.as("intercept"), r2.as("r2"))
         .orderBy(col("l_returnflag"))
     },
     oracle = Some(

@@ -1832,14 +1832,10 @@ object LlmOps {
         sum(col("lx19") * col("ly18")).cast(DoubleType).as("sxy"),
         sum(col("lx19") * col("lx18")).cast(DoubleType).as("sxx"),
         sum(col("ly19") * col("ly18")).cast(DoubleType).as("syy"))
-      val nD = col("n").cast(DoubleType)
-      val cov = nD * col("sxy") - col("sx") * col("sy")
-      val varX = nD * col("sxx") - col("sx") * col("sx")
-      val varY = nD * col("syy") - col("sy") * col("sy")
+      val (slope, intercept, r2, _) = graft.etl.Dets.olsClose(col("n"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
       s.select(col("n").as("n_vocab"),
-        (cov / varX).as("slope"),
-        ((col("sy") - (cov / varX) * col("sx")) / nD).as("intercept"),
-        (cov * cov / (varX * varY)).as("r2"))
+        slope.as("slope"), intercept.as("intercept"), r2.as("r2"))
     },
     oracle = Some(
       "WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents), " +

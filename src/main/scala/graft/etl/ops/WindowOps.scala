@@ -788,11 +788,9 @@ object WindowOps {
         sum(col("p19") * col("p18")).cast(DoubleType).as("sxx"),
         sum(col("x19") * col("x18")).cast(DoubleType).as("syy"),
         sum(col("p19") * col("x18")).cast(DoubleType).as("sxy"))
-      val nD = col("n_pairs").cast(DoubleType)
-      s.select(col("event_type"), col("n_pairs"),
-        ((nD * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
-            sqrt(nD * col("syy") - col("sy") * col("sy")))).as("acf1"))
+      val (_, _, _, corr) = graft.etl.Dets.olsClose(col("n_pairs"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+      s.select(col("event_type"), col("n_pairs"), corr.as("acf1"))
         .orderBy(col("event_type"))
     },
     oracle = Some(
@@ -829,16 +827,28 @@ object WindowOps {
     *
     * Scale: one keyed daily aggregate then one partitioned sorted
     * window whose frame is calendar-bounded — the raw scan never sorts. */
+  /** Shared by the three daily-indicator queries (bollinger / rsi /
+    * smacross): per-type daily value mass as (event_type, day, x, vi) —
+    * x the exact DECIMAL(18,4) daily sum (the (38,4)→(18,4) pin is the
+    * load-bearing width discipline: Spark nulls and DuckDB errors on a
+    * genuine overflow, and vi = 10⁴·x must stay < 2⁵³/14 for the widest
+    * window's integer sums — ~10¹¹ in daily value mass), vi the scale-4
+    * integer units all three indicators window over. ONE definition so
+    * a width change cannot silently reach only some of them. */
+  private def dailyVi(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
+        .cast(DecimalType(18, 4)).as("x"))
+      .select(col("event_type"), col("day"), col("x"),
+        (col("x") * 10000).cast(LongType).as("vi"))
+
   private val qwinBollinger = QueryDef(
     "qwin_bollinger",
     build = (spark, sfDir) => {
-      val daily = Tables.events(spark, sfDir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
-          .cast(DecimalType(18, 4)).as("x"))
-        .select(col("event_type"), col("day"), col("x"),
-          (col("x") * 10000).cast(LongType).as("vi"))
+      val daily = dailyVi(spark, sfDir)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-6, 0)
       val vi19 = col("vi").cast(DecimalType(19, 0))
@@ -884,12 +894,7 @@ object WindowOps {
   private val qwinRsi = QueryDef(
     "qwin_rsi",
     build = (spark, sfDir) => {
-      val daily = Tables.events(spark, sfDir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
-          .cast(DecimalType(18, 4)).as("x"))
-        .select(col("event_type"), col("day"), (col("x") * 10000).cast(LongType).as("vi"))
+      val daily = dailyVi(spark, sfDir).drop("x")
       val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val d = daily.withColumn("diff", col("vi") - lag(col("vi"), 1).over(wo))
         .filter(col("diff").isNotNull)
@@ -1023,12 +1028,7 @@ object WindowOps {
   private val qwinSmacross = QueryDef(
     "qwin_smacross",
     build = (spark, sfDir) => {
-      val daily = Tables.events(spark, sfDir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(sum(d124(col("value"))).cast(DecimalType(38, 4))
-          .cast(DecimalType(18, 4)).as("x"))
-        .select(col("event_type"), col("day"), (col("x") * 10000).cast(LongType).as("vi"))
+      val daily = dailyVi(spark, sfDir).drop("x")
       val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val w3 = wo.rowsBetween(-2, 0)
       val w10 = wo.rowsBetween(-9, 0)
