@@ -479,17 +479,36 @@ object Graft {
     * per-bucket (never all-pairs) while still surfacing the
     * close-but-wrong-label examples a contrastive loss needs. Ties break
     * on (sim DESC, neg_id): sims are bit-identical doubles (shared fold
-    * shape), so the ranking is total and cross-engine stable. */
+    * shape), so the ranking is total and cross-engine stable.
+    *
+    * `candidateCap` bounds the NEGATIVE pool per (bucket, label) to the
+    * `candidateCap` smallest vec_ids — the deterministic analogue of the
+    * candidate sampling every production miner does. It exists because
+    * SRP sign bits cannot split a TIGHT CLUSTER (near-identical vectors
+    * share every sign bit at any plane count), so on clustered corpora
+    * bucket sizes track cluster sizes and the uncapped within-bucket
+    * join goes quadratic in them — measured 8.8× on 3× data at sf3
+    * before the cap. With the cap each anchor scores ≤ cap·|labels|
+    * candidates: linear in n, and anchors are never dropped. */
   def hardNegatives(vectors: DataFrame, id: Column, vec: Column, label: Column,
-      planes: DataFrame, k: Int): DataFrame = {
+      planes: DataFrame, k: Int, candidateCap: Int = Int.MaxValue): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(candidateCap > 0, s"candidateCap must be positive, got $candidateCap")
     val v = vectors.select(id.as("vec_id"), vec.as("__v"), label.as("__l"))
     val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
     val a = withEmb.select(col("bucket"), col("vec_id").as("anchor"),
       col("__l").as("label_a"), col("__v").as("__va"))
-    val b = withEmb.select(col("bucket"), col("vec_id").as("neg_id"),
+    val bAll = withEmb.select(col("bucket"), col("vec_id").as("neg_id"),
       col("__l").as("label_n"), col("__v").as("__vb"))
+    val b =
+      if (candidateCap == Int.MaxValue) bAll
+      else {
+        val wc = Window.partitionBy(col("bucket"), col("label_n"))
+          .orderBy(col("neg_id"))
+        bAll.withColumn("__cr", row_number().over(wc))
+          .filter(col("__cr") <= candidateCap).drop("__cr")
+      }
     val scored = a.join(b, Seq("bucket"))
       .filter(col("label_a") =!= col("label_n")) // different label ⇒ anchor ≠ neg
       .select(col("anchor"), col("label_a"), col("neg_id"), col("label_n"),

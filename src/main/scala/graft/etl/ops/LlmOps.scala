@@ -180,12 +180,22 @@ object LlmOps {
       // so oracle parity holds at every scale; ceil(log2(·)) is
       // ulp-flip-safe because n/8 only lands on an integer log2 at exact
       // powers of two, where log2 is exact in both libms.
+      //
+      // Plane scaling alone is NOT enough on clustered corpora (this
+      // fixture is a 10-cluster mixture): sign bits cannot split a tight
+      // cluster, so the largest buckets track cluster sizes whatever p
+      // is — the sf3 run measured the uncapped join at 8.8× on 3× data.
+      // candidateCap = 64 bounds the negative pool per (bucket, label)
+      // to the smallest vec_ids (deterministic candidate sampling, the
+      // production miner's move), restoring linearity; the oracle
+      // applies the identical cap.
       val pc = e.agg(greatest(lit(5L),
         ceil(log2(count(lit(1)).cast(DoubleType) / lit(8.0)))).as("pc"))
       val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
         .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
       graft.api.Graft
-        .hardNegatives(e, col("vec_id"), col("embedding"), col("label"), planes, k = 3)
+        .hardNegatives(e, col("vec_id"), col("embedding"), col("label"), planes,
+          k = 3, candidateCap = 64)
         .orderBy(col("anchor"), col("rnk"))
     },
     oracle = Some(
@@ -199,9 +209,11 @@ object LlmOps {
         "bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id), " +
         "v AS (SELECT e.vec_id, e.embedding, e.label, bk.bucket " +
         "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), " +
+        "vc AS (SELECT * FROM (SELECT v.*, row_number() OVER " +
+        "(PARTITION BY bucket, label ORDER BY vec_id) AS cr FROM v) WHERE cr <= 64), " +
         s"scored AS (SELECT a.vec_id AS anchor, a.label AS label_a, " +
         s"b.vec_id AS neg_id, b.label AS label_n, ${dcos("a.embedding", "b.embedding")} AS sim " +
-        "FROM v a JOIN v b ON a.bucket = b.bucket AND a.label <> b.label), " +
+        "FROM v a JOIN vc b ON a.bucket = b.bucket AND a.label <> b.label), " +
         "r AS (SELECT *, CAST(row_number() OVER " +
         "(PARTITION BY anchor ORDER BY sim DESC, neg_id) AS BIGINT) AS rnk FROM scored) " +
         "SELECT anchor, label_a, neg_id, label_n, sim, rnk FROM r WHERE rnk <= 3 " +
