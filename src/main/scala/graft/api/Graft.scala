@@ -53,18 +53,15 @@ object Graft {
     * then hash adjacent word-hash pairs — no bigram string is ever built.
     * The 100 TB shape for sketching: the only per-token cost is one hash,
     * and everything downstream (signatures, bands) carries longs. */
-  def shingleHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = split(lower(text), " ")
-    // Materialize the word-hash array in its own projection: referenced
-    // twice below, so CollapseProject keeps it a single evaluation — inline
-    // it and Catalyst re-expands the whole array per index (O(n²) hashing,
-    // observed as a 6× regression before this split).
-    df.select(id.as("doc_id"), transform(words, w => xxhash64(w)).as("__wh"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("__wh")) - 1),
-          i => xxhash64(element_at(col("__wh"), i), element_at(col("__wh"), i + 1))))).as("h64"))
-  }
+  def shingleHashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    // One-pass native gram hashing ([[graft.functions.NgramHashChain]]):
+    // values bit-identical to the previous
+    // xxhash64(element_at(wh, i), element_at(wh, i+1)) shape over
+    // wh = transform(words, xxhash64), with each word hashed once off
+    // its UTF8String memory instead of per-index interpreted lambdas.
+    df.select(id.as("doc_id"),
+      explode(array_distinct(graft.functions.NgramFunctions
+        .ngram_hash_chain(split(lower(text), " "), 2))).as("h64"))
 
   /** MinHash signatures (k XOR-rehash permutations of one xxhash64 per
     * shingle) as an array column, one row per document — computed by the
@@ -1040,9 +1037,8 @@ object Graft {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val grams = df.select(id.as("__id"), split(lower(text), " ").as("__w"))
       .filter(size(col("__w")) >= n)
-      .select(col("__id"), explode(expr(
-        s"transform(sequence(1, size(__w) - ${n - 1}), i -> xxhash64(array_join(slice(__w, i, $n), ' ')))"))
-        .as("__g"))
+      .select(col("__id"), explode(
+        graft.functions.NgramFunctions.ngram_hashes(col("__w"), n)).as("__g"))
     val boiler = grams.select(col("__id"), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select(col("__g"))

@@ -676,9 +676,7 @@ object LlmOps {
           split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 8)
       val grams = docs.select(col("doc_id"), col("split"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' ')))"))
-          .as("g"))
+        explode(graft.functions.NgramFunctions.ngram_hashes(col("w"), 8)).as("g"))
       val trainGrams = grams.filter(col("split") === "train").select(col("g")).distinct()
       // ONE distinct (doc, gram) frame feeds both the per-doc gram count
       // and the leak join — identical subtrees, so Spark's exchange reuse
@@ -2000,9 +1998,16 @@ object LlmOps {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 5)
+      // gram hashing rides the native one-pass expression
+      // ([[graft.functions.NgramHashes]] — values bit-identical to the
+      // xxhash64(array_join(slice)) shape it replaces). Measured dead
+      // end, do not retry: hashing per-word hashes via nested lambdas
+      // (wh = transform(w, xxhash64), gram = xxhash64(wh[j..j+4])) read
+      // 50.6 s vs 10.0 s at sf1 — higher-order lambdas evaluate
+      // interpreted and five boxed GetArrayItem calls per gram dwarf
+      // the join+hash intrinsic pair.
       val grams = docs.select(col("doc_id"),
-        expr(
-          "array_distinct(transform(sequence(1, size(w) - 4), i -> xxhash64(array_join(slice(w, i, 5), ' '))))")
+        array_distinct(graft.functions.NgramFunctions.ngram_hashes(col("w"), 5))
           .as("gs"))
         .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
           explode(col("gs")).as("g"))
@@ -2055,8 +2060,7 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 8)
       val grams = docs.select(col("doc_id"),
-        expr(
-          "array_distinct(transform(sequence(1, size(w) - 7), i -> xxhash64(array_join(slice(w, i, 8), ' '))))")
+        array_distinct(graft.functions.NgramFunctions.ngram_hashes(col("w"), 8))
           .as("gs"))
         .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
           explode(col("gs")).as("g"))
@@ -2112,11 +2116,12 @@ object LlmOps {
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // MULTISET gram counts — no array_distinct, each occurrence counts.
       def gramCounts(n: Int): DataFrame = {
-        val gexpr =
-          if (n == 1) "transform(w, x -> xxhash64(x))"
-          else s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(array_join(slice(w, i, $n), ' ')))"
+        // ngram_hashes(w, 1) == transform(w, xxhash64) value-for-value
+        // (a 1-gram slice is the word's own bytes), so one native path
+        // serves both arms
         docs.filter(size(col("w")) >= n)
-          .select(col("doc_id"), explode(expr(gexpr)).as("g"))
+          .select(col("doc_id"),
+            explode(graft.functions.NgramFunctions.ngram_hashes(col("w"), n)).as("g"))
           .groupBy(col("doc_id"), col("g"))
           .agg(count(lit(1)).as("c"))
       }

@@ -438,4 +438,50 @@ class PropertySpec extends SparkFixture {
     val e2 = intercept[Exception] { drift.collect() }
     assert(e2.getMessage != null)
   }
+
+  test("ngram_hashes is bit-identical to the xxhash64(array_join(slice)) shape") {
+    // the native expression replaces the interpreted transform in the
+    // gram dedup family — its VALUES must match exactly, or hashes from
+    // different call sites would stop joining
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val d = graft.etl.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          graft.functions.NgramFunctions.ngram_hashes(col("w"), n).as("fast"),
+          expr(s"CASE WHEN size(w) >= $n THEN " +
+            s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(array_join(slice(w, i, $n), ' '))) " +
+            "ELSE array() END").as("ref"))
+        .filter(not(col("fast") === col("ref")))
+      assert(d.count() == 0, s"n=$n: native gram hashes diverge from the SQL shape")
+    }
+    // degenerate inputs: empty array, single word, and a word with
+    // multi-byte UTF-8 (offset arithmetic is in BYTES)
+    val sp = spark
+    import sp.implicits._
+    val edge = Seq(Seq.empty[String], Seq("solo"), Seq("héllo", "wörld", "日本"))
+      .toDF("w")
+      .select(
+        graft.functions.NgramFunctions.ngram_hashes(col("w"), 2).as("fast"),
+        expr("CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(1, size(w) - 1), i -> xxhash64(array_join(slice(w, i, 2), ' '))) " +
+          "ELSE array() END").as("ref"))
+      .collect()
+    for (r <- edge)
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"edge-case divergence: $r")
+  }
+
+  test("ngram_hash_chain is bit-identical to the chained-xxhash64 shingle shape") {
+    for (n <- Seq(1, 2, 3)) {
+      val d = graft.etl.Tables.documents(spark, sfTiny)
+        .select(split(lower(col("text")), " ").as("w"))
+        .select(
+          graft.functions.NgramFunctions.ngram_hash_chain(col("w"), n).as("fast"),
+          expr(s"CASE WHEN size(w) >= $n THEN " +
+            "transform(sequence(1, size(w) - " + (n - 1) + "), i -> " +
+            s"xxhash64(${(0 until n).map(k => s"xxhash64(element_at(w, i + $k))").mkString(", ")})) " +
+            "ELSE array() END").as("ref"))
+        .filter(not(col("fast") === col("ref")))
+      assert(d.count() == 0, s"n=$n: chain hashes diverge from the SQL shape")
+    }
+  }
 }
