@@ -1397,11 +1397,18 @@ object LlmOps {
       val u = ws.select(explode(col("w")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("c1"))
       val vv = u.agg(count(lit(1)).as("v"))
+      // the bigram travels as its chain HASH (native one-pass
+      // [[graft.functions.NgramHashChain]]) — the count groupBy and the
+      // count join shuffle fixed-width longs, never bigram strings; w1
+      // stays only for the BROADCAST unigram join. Same 2⁻⁶⁴ collision
+      // caveat as every hashed-gram shuffle; the oracle still counts
+      // literal string bigrams.
       val bg = ws.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
-            "(a, b) -> named_struct('w1', a, 'b', concat(a, ' ', b)))")).as("s"))
-        .select(col("doc_id"), col("s.w1").as("w1"), col("s.b").as("b"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          graft.functions.NgramFunctions.ngram_hash_chain(col("w"), 2),
+          (a, h) => struct(a.as("w1"), h.as("bh")))).as("s"))
+        .select(col("doc_id"), col("s.w1").as("w1"), col("s.bh").as("b"))
       val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
       val lp = round(log((col("c12") + 1).cast(DoubleType) /
         (col("c1") + col("v")).cast(DoubleType)), 6).cast(DecimalType(18, 6))
@@ -1501,13 +1508,20 @@ object LlmOps {
   private val qllmBpePairs = QueryDef(
     "qllm_bpe_pairs",
     build = (spark, sfDir) =>
+      // the real BPE trick: reduce to the WORD-FREQUENCY dict first
+      // (one keyed, partially-aggregated groupBy), then explode character
+      // pairs only over DISTINCT words weighted by their counts —
+      // Σ wcnt per pair ≡ the per-occurrence count, but the explode runs
+      // on |vocab| rows instead of every word occurrence (Zipf makes
+      // that orders of magnitude smaller on any real corpus)
       Tables.documents(spark, sfDir)
         .select(explode(split(lower(col("text")), "\\s+")).as("w"))
         .filter(length(col("w")) >= 2)
-        .select(explode(expr(
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .select(col("wcnt"), explode(expr(
           "transform(sequence(1, length(w) - 1), " +
             "i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).cast(LongType).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20),
     oracle = Some(
