@@ -567,6 +567,110 @@ object Multimodal {
         "CAST(sum(bit) AS BIGINT) AS n_ones " +
         "FROM bits GROUP BY media_id ORDER BY media_id"))
 
+  /** Pixel-intensity histogram over the REAL BMP encode→decode round
+    * trip — the exposure/contrast audit an image-corpus pipeline runs
+    * before training (dead-black, blown-white, or low-dynamic-range
+    * images show up as collapsed bins): each doc's 32×32 grayscale
+    * image rides the same [[phashPixel]] formula → [[encodeBmpGray]] →
+    * [[decodeBmpGray]] path as qmm_phash, then the DECODED pixels are
+    * bucketed into 16 intensity bins (v div 16, pure integer). The
+    * oracle regenerates the pixels from `generate_series` without ever
+    * seeing the binary — a corrupted stride/flip/palette shifts bin
+    * counts and fails the hash, making this the image family's THIRD
+    * oracle-checked decode path.
+    *
+    * Scale: encode → decode → 16-cell histogram in ONE narrow
+    * mapPartitions; payloads never shuffle, output is 16·n_docs rows. */
+  private val qmmHistogram = QueryDef(
+    "qmm_histogram",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { rows =>
+          rows.flatMap { id =>
+            val data = Array.tabulate(32 * 32) { i =>
+              phashPixel(id, i / 32, i % 32).toByte
+            }
+            val img = decodeBmpGray(encodeBmpGray(data, w = 32))
+            require(img.width == 32 && img.height == 32, s"bad round trip for $id")
+            val bins = new Array[Long](16)
+            var i = 0
+            while (i < img.pixels.length) {
+              bins((img.pixels(i) & 0xFF) >> 4) += 1L
+              i += 1
+            }
+            (0 until 16).filter(bins(_) > 0L).map(b => (id, b.toLong, bins(b)))
+          }
+        }
+        .toDF("media_id", "bin", "n_px")
+        .orderBy(col("media_id"), col("bin"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id AS media_id FROM documents), " +
+        "i AS (SELECT media_id, unnest(generate_series(0, 1023)) AS idx FROM d), " +
+        "p AS (SELECT media_id, " +
+        "((media_id * 7 + (idx // 32) * 13 + (idx % 32) * 5) % 256) // 16 AS bin FROM i) " +
+        "SELECT media_id, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_px " +
+        "FROM p GROUP BY media_id, bin ORDER BY media_id, bin"))
+
+  /** Silence / clipping audit over the decoded PCM stream — the audio
+    * corpus-quality screen (dead microphones and clipped takes are the
+    * two dominant discard reasons): per doc, counts of near-silent
+    * (|v| < 1000) and near-clipped (|v| > 32000) samples plus the exact
+    * amplitude extremes, all integer, from the same
+    * [[pcmSample]] → [[encodePcm]] → [[decodePcm]] round trip as
+    * qmm_audio — the audio family's second oracle-checked decode path
+    * (windowed energy pins per-window sums; this pins the tails of the
+    * amplitude distribution).
+    *
+    * Scale: one narrow mapPartitions, one output row per doc. */
+  private val qmmSilence = QueryDef(
+    "qmm_silence",
+    build = (spark, sfDir) => {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), least(col("n_chars"), lit(1200L)).cast(IntegerType).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, n) =>
+            if (n < 1) None
+            else {
+              val pcm = encodePcm(Array.tabulate(n)(i => pcmSample(id, i)))
+              val (_, samples) = decodePcm(pcm)
+              var silent = 0L; var clipped = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var i = 0
+              while (i < samples.length) {
+                val v = samples(i).toLong
+                val a = math.abs(v)
+                if (a < 1000L) silent += 1L
+                if (a > 32000L) clipped += 1L
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              Some((id, samples.length.toLong, silent, clipped, mn, mx))
+            }
+          }
+        }
+        .toDF("media_id", "n_samples", "n_silent", "n_clipped", "min_amp", "max_amp")
+        .orderBy(col("media_id"))
+    },
+    oracle = Some(
+      "WITH d AS (SELECT doc_id AS media_id, CAST(least(n_chars, 1200) AS INTEGER) AS n FROM documents), " +
+        "i AS (SELECT media_id, unnest(generate_series(0, n - 1)) AS idx FROM d WHERE n >= 1), " +
+        "s AS (SELECT media_id, ((media_id * 31 + idx * 17) % 65536) - 32768 AS v FROM i) " +
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(CASE WHEN abs(v) < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, " +
+        "CAST(sum(CASE WHEN abs(v) > 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped, " +
+        "CAST(min(v) AS BIGINT) AS min_amp, CAST(max(v) AS BIGINT) AS max_amp " +
+        "FROM s GROUP BY media_id ORDER BY media_id"))
+
   def defs: Seq[QueryDef] =
-    Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames, qmmAudio, qmmPhash)
+    Seq(qmmMeta, qmmFeatures, qmmResize, qmmFrames, qmmAudio, qmmPhash,
+      qmmHistogram, qmmSilence)
 }

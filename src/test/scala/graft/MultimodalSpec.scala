@@ -245,4 +245,33 @@ class MultimodalSpec extends SparkFixture {
       assert(ones == java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
     }
   }
+
+  test("qmm_histogram: per-image bins sum to 1024 and match the pixel formula") {
+    val rows = graft.etl.Registry.byName("qmm_histogram")
+      .build(spark, sfTiny).collect()
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId.nonEmpty)
+    for ((id, g) <- byId.take(20)) {
+      assert(g.map(_.getLong(2)).sum == 1024L, s"id $id bins must cover all pixels")
+      val expect = new Array[Long](16)
+      for (y <- 0 until 32; x <- 0 until 32)
+        expect(graft.multimodal.Multimodal.phashPixel(id, y, x) >> 4) += 1L
+      for (r <- g) assert(r.getLong(2) == expect(r.getLong(1).toInt),
+        s"id $id bin ${r.getLong(1)}")
+    }
+  }
+
+  test("qmm_silence: tail counts match a direct fold over the sample formula") {
+    val rows = graft.etl.Registry.byName("qmm_silence")
+      .build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows.take(30)) {
+      val id = r.getLong(0); val n = r.getLong(1).toInt
+      val samples = Array.tabulate(n)(i => graft.multimodal.Multimodal.pcmSample(id, i))
+      assert(r.getLong(2) == samples.count(v => math.abs(v.toLong) < 1000L))
+      assert(r.getLong(3) == samples.count(v => math.abs(v.toLong) > 32000L))
+      assert(r.getLong(4) == samples.map(_.toLong).min)
+      assert(r.getLong(5) == samples.map(_.toLong).max)
+    }
+  }
 }
