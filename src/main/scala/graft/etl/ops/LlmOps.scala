@@ -1386,9 +1386,10 @@ object LlmOps {
     * log-prob is CAST TO DECIMAL before the per-doc sum, so the sum is
     * exact integer arithmetic — shuffle-order independent. Scale: the
     * unigram table + vocab size broadcast (metadata-scale); the bigram
-    * count join shuffles on the bigram key — at 100 TB hash it to a long
-    * first (the qllm_ngram_jaccard trick; kept as strings here for exact
-    * count parity with the oracle's string join). */
+    * count groupBy and count join key on the NATIVE CHAIN HASH
+    * ([[graft.functions.NgramHashChain]]) — fixed-width longs on the
+    * wire, never bigram strings, under the standard 2⁻⁶⁴ hashed-gram
+    * collision caveat (the oracle still counts literal string joins). */
   private val qllmBigramLm = QueryDef(
     "qllm_bigram_lm",
     build = (spark, sfDir) => {

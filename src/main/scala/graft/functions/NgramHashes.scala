@@ -27,8 +27,11 @@ import org.apache.spark.unsafe.Platform
   * values themselves are unchanged.
   *
   * Rows with fewer than n words produce an empty array (callers filter
-  * `size(w) >= n` anyway); null words cannot occur from `split` and are
-  * rejected at analysis time via the input type check.
+  * `size(w) >= n` anyway). Null ELEMENTS are rejected at runtime with a
+  * descriptive error: `split` (every call site) never yields them, and
+  * the SQL shape's null behavior (array_join silently skips nulls) is a
+  * footgun this expression deliberately refuses to replicate — a null
+  * word reaching a gram pipeline is a bug upstream, not data.
   */
 case class NgramHashes(child: Expression, n: Int)
     extends UnaryExpression {
@@ -69,6 +72,7 @@ object NgramHashUtil {
     val strs = new Array[org.apache.spark.unsafe.types.UTF8String](m)
     while (i < m) {
       val s = words.getUTF8String(i)
+      require(s != null, "ngram_hashes: null word element (upstream bug — split never yields nulls)")
       strs(i) = s
       offsets(i) = total + i // i separator bytes precede word i
       total += s.numBytes()
@@ -105,6 +109,7 @@ object NgramHashUtil {
     var i = 0
     while (i < m) {
       val s = words.getUTF8String(i)
+      require(s != null, "ngram_hash_chain: null word element (upstream bug — split never yields nulls)")
       wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       i += 1
     }

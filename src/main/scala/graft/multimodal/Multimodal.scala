@@ -575,9 +575,12 @@ object Multimodal {
     * [[decodeBmpGray]] path as qmm_phash, then the DECODED pixels are
     * bucketed into 16 intensity bins (v div 16, pure integer). The
     * oracle regenerates the pixels from `generate_series` without ever
-    * seeing the binary — a corrupted stride/flip/palette shifts bin
-    * counts and fails the hash, making this the image family's THIRD
-    * oracle-checked decode path.
+    * seeing the binary. Honest coverage note: a histogram is
+    * permutation-INVARIANT, so pixel-reordering corruption (the classic
+    * bottom-up flip) passes it — qmm_phash's position-sensitive block
+    * hash is what catches those; this path pins the VALUE distribution
+    * (palette remaps, dropped/duplicated stride bytes shift bin counts
+    * and fail the hash).
     *
     * Scale: encode → decode → 16-cell histogram in ONE narrow
     * mapPartitions; payloads never shuffle, output is 16·n_docs rows. */
