@@ -27,6 +27,29 @@ class ExtensionsSpec extends SparkFixture {
     assert(sqlTop == apiTop)
   }
 
+  test("ngram_hashes / ngram_hash_chain registered for SQL text match the Column API") {
+    GraftExtensions.register(spark)
+    val v = Tables.view(spark, sfTiny, "documents")
+    val sql = spark.sql(
+      s"""SELECT doc_id, ngram_hashes(split(lower(text), ' '), 3) AS g,
+         |ngram_hash_chain(split(lower(text), ' '), 2) AS c
+         |FROM $v ORDER BY doc_id LIMIT 20""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val api = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        graft.functions.NgramFunctions.ngram_hashes(split(lower(col("text")), " "), 3).as("g"),
+        graft.functions.NgramFunctions.ngram_hash_chain(split(lower(col("text")), " "), 2).as("c"))
+      .orderBy(col("doc_id")).limit(20)
+      .collect().map(_.toString).toSeq
+    assert(sql == api)
+    // the gram size must be a literal — data-driven n is a usage error
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT ngram_hashes(split(text, ' '), CAST(n_chars AS INT)) FROM $v LIMIT 1")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("BandJoinRewrite: rewritten band join returns exactly the naive join's rows") {
     val sp = spark
     import sp.implicits._
