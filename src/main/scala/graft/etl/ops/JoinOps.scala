@@ -650,9 +650,61 @@ object JoinOps {
         "FROM m WHERE event_type = 'purchase' AND click_ts_us IS NOT NULL " +
         "AND click_ts_us >= ts_us - 3600000000 ORDER BY event_id"))
 
+  /** Right outer join — the mirror completeness point of qjoin_left on
+    * a DIFFERENT dimension pair (lineitem ⟕ supplier from the fact
+    * side): suppliers with zero lineitems survive with count 0. Spark
+    * physically flips a right join into the mirrored left join, so the
+    * declared surface pins the semantics while the plan stays the same
+    * hash/sort-merge shape as every other equi-join here. */
+  private val qjoinRight = QueryDef(
+    "qjoin_right",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val s = Tables.supplier(spark, sfDir)
+      li.join(s, col("l_suppkey") === col("s_suppkey"), "right")
+        .groupBy(col("s_suppkey"))
+        .agg(count(col("l_orderkey")).as("n_lineitems"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some(
+      "SELECT s_suppkey, count(l_orderkey) AS n_lineitems FROM lineitem " +
+        "RIGHT JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_suppkey ORDER BY s_suppkey"))
+
+  /** Dynamic partition pruning as a DECLARED query (it was PlanSpec-only
+    * before): the fact is the year-partitioned orders layout, the dim is
+    * a SELECTIVE year set derived from lineitem (early ship years), and
+    * the join on the partition column plants a `dynamicpruning` subquery
+    * in the fact scan — at 100 TB the fact side opens only the surviving
+    * year directories instead of all of them. The oracle expresses the
+    * same semantics as an IN-subquery over the raw parquet, so a pruning
+    * bug that drops or adds partitions fails the hash. */
+  private val qjoinDpp = QueryDef(
+    "qjoin_dpp",
+    build = (spark, sfDir) => {
+      val dir = graft.etl.ExtractFixtures.ordersByYear(spark, sfDir)
+      val fact = spark.read.parquet(dir)
+      val selYears = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") < lit("1996-07-01").cast(DateType))
+        .select(year(col("l_shipdate")).as("o_year")).distinct()
+      fact.join(selYears, "o_year")
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          decStr(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    },
+    oracle = Some(
+      "SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year, o_orderstatus, " +
+        "count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM orders WHERE date_part('year', o_orderdate) IN " +
+        "(SELECT DISTINCT date_part('year', l_shipdate) FROM lineitem WHERE l_shipdate < DATE '1996-07-01') " +
+        "GROUP BY o_year, o_orderstatus ORDER BY o_year, o_orderstatus"))
+
   def defs: Seq[QueryDef] = Seq(
     qjoinInner, qjoinBroadcast, qjoinLeft, qjoinFull, qjoinSemi, qjoinAnti,
     qjoinCross, qjoinThetaRange, qjoinRangeBinned, qjoinBandAuto, qjoinAsof,
     qjoinAsofNative, qjoinSalted, qjoinStar, qjoinNullsafe, qjoinInterval,
-    qjoinBucketed, qjoinBloom, qjoinSpatialGrid, qjoinAsofTol)
+    qjoinBucketed, qjoinBloom, qjoinSpatialGrid, qjoinAsofTol,
+    qjoinRight, qjoinDpp)
 }

@@ -369,9 +369,66 @@ object SetOps {
         "CASE WHEN n_inter * 2 >= n_a + n_b - n_inter THEN 'candidate' ELSE 'distinct' END AS verdict " +
         "FROM t ORDER BY p_brand, key_a"))
 
+  /** Keyset (seek-method) pagination — the 100 TB-safe alternative to
+    * OFFSET: the next page is `WHERE (k1, k2) > cursor ORDER BY k1, k2
+    * LIMIT n`, which plans as a pushed-down predicate plus
+    * TakeOrderedAndProject (per-partition top-k, k-row merge) — no scan
+    * of the skipped prefix, no global sort, unlike OFFSET which must
+    * produce and discard every earlier row. Cursor = the (brand,
+    * partkey) pair a previous page ended on; (p_brand, p_partkey) is a
+    * total order because partkey is unique. */
+  private val qsortKeyset = QueryDef(
+    "qsort_keyset",
+    build = (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .filter(col("p_brand") > "Brand#3" ||
+          (col("p_brand") === "Brand#3" && col("p_partkey") > 40L))
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+        .limit(25),
+    oracle = Some(
+      "SELECT p_brand, p_partkey, p_name FROM part " +
+        "WHERE p_brand > 'Brand#3' OR (p_brand = 'Brand#3' AND p_partkey > 40) " +
+        "ORDER BY p_brand, p_partkey LIMIT 25"))
+
+  /** Symmetric difference of two derived key sets — which parts shipped
+    * in exactly ONE half of 1995 (the churn-style set comparison behind
+    * assortments/inventory diffs): both halves reduce to distinct key
+    * sets, ONE full-outer keyed join decides the verdict, and
+    * both-present rows drop out. Output is (key, only_in) with a total
+    * order. Scale: two scan-filtered distincts + one keyed join — the
+    * same shape at any size; no EXCEPT/UNION pair re-shuffling the
+    * bigger side twice. */
+  private val qsetSymdiff = QueryDef(
+    "qset_symdiff",
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      def half(from: String, until: String) = li
+        .filter(col("l_shipdate") >= to_date(lit(from)) &&
+          col("l_shipdate") < to_date(lit(until)))
+        .select(col("l_partkey")).distinct()
+      val h1 = half("1995-01-01", "1995-07-01").withColumn("in_h1", lit(1))
+      val h2 = half("1995-07-01", "1996-01-01").withColumn("in_h2", lit(1))
+      h1.join(h2, Seq("l_partkey"), "full_outer")
+        .filter(col("in_h1").isNull || col("in_h2").isNull)
+        .select(col("l_partkey"),
+          when(col("in_h1") === 1, "h1_only").otherwise("h2_only").as("only_in"))
+        .orderBy(col("l_partkey"))
+    },
+    oracle = Some(
+      "WITH h1 AS (SELECT DISTINCT l_partkey FROM lineitem " +
+        "WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-07-01'), " +
+        "h2 AS (SELECT DISTINCT l_partkey FROM lineitem " +
+        "WHERE l_shipdate >= DATE '1995-07-01' AND l_shipdate < DATE '1996-01-01'), " +
+        "j AS (SELECT COALESCE(h1.l_partkey, h2.l_partkey) AS l_partkey, " +
+        "h1.l_partkey IS NOT NULL AS a, h2.l_partkey IS NOT NULL AS b " +
+        "FROM h1 FULL OUTER JOIN h2 ON h1.l_partkey = h2.l_partkey) " +
+        "SELECT l_partkey, CASE WHEN a THEN 'h1_only' ELSE 'h2_only' END AS only_in " +
+        "FROM j WHERE NOT (a AND b) ORDER BY l_partkey"))
+
   def defs: Seq[QueryDef] = Seq(
     qsortMultikey, qsortNulls, qsetUnion, qsetIntersect, qsetExcept,
     qsetIntersectAll, qsetExceptAll,
     qsetDistinct, qdedupExact, qdedupClusters, qsetUpsert, qsetCdcdiff,
-    qsortZorder, qdedupSortedNbr)
+    qsortZorder, qdedupSortedNbr, qsortKeyset, qsetSymdiff)
 }

@@ -27,6 +27,22 @@ class PlanSpec extends SparkFixture {
     assert(cols.size < 11 && cols.nonEmpty, s"scan not pruned: $cols")
   }
 
+  test("qjoin_dpp: the declared query's fact scan carries a dynamicpruning subquery") {
+    // the point of promoting DPP to the gated surface: the plan itself —
+    // not just the answer — must show the partition-column join planting
+    // runtime pruning in the partitioned fact scan
+    val p = plan("qjoin_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruning subquery in the qjoin_dpp fact scan:\n$p")
+  }
+
+  test("qsort_keyset: cursor predicate pushes to the scan and the page is TakeOrdered") {
+    val p = plan("qsort_keyset")
+    assert(p.contains("TakeOrderedAndProject"), s"keyset page must not global-sort:\n$p")
+    assert(raw"PushedFilters: \[[^\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"cursor bound did not reach the parquet scan:\n$p")
+  }
+
   test("qsink_partitioned: the year filter prunes at the partition-directory level") {
     // the declared load-step round trip: reading back a partitionBy(o_year)
     // layout with a year filter must show the filter under PartitionFilters
