@@ -651,7 +651,7 @@ object JoinOps {
         "AND click_ts_us >= ts_us - 3600000000 ORDER BY event_id"))
 
   /** Right outer join — the mirror completeness point of qjoin_left on
-    * a DIFFERENT dimension pair (lineitem ⟕ supplier from the fact
+    * a DIFFERENT dimension pair (lineitem ⟖ supplier from the fact
     * side): suppliers with zero lineitems survive with count 0. Spark
     * physically flips a right join into the mirrored left join, so the
     * declared surface pins the semantics while the plan stays the same

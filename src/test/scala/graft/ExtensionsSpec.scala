@@ -47,7 +47,8 @@ class ExtensionsSpec extends SparkFixture {
       spark.sql(s"SELECT ngram_hashes(split(text, ' '), CAST(n_chars AS INT)) FROM $v LIMIT 1")
         .collect()
     }
-    assert(err.getMessage != null)
+    assert(err.getMessage != null &&
+      err.getMessage.contains("gram size must be an integer literal"), err.getMessage)
   }
 
   test("BandJoinRewrite: rewritten band join returns exactly the naive join's rows") {

@@ -39,8 +39,11 @@ class PlanSpec extends SparkFixture {
   test("qsort_keyset: cursor predicate pushes to the scan and the page is TakeOrdered") {
     val p = plan("qsort_keyset")
     assert(p.contains("TakeOrderedAndProject"), s"keyset page must not global-sort:\n$p")
-    assert(raw"PushedFilters: \[[^\]]*p_brand".r.findFirstIn(p).isDefined,
-      s"cursor bound did not reach the parquet scan:\n$p")
+    // the inferred IsNotNull(p_brand) is always pushed, so matching any
+    // p_brand filter would pass vacuously — pin the cursor DISJUNCTION
+    // itself (Or(GreaterThan(brand,...), ...)) inside PushedFilters
+    assert(raw"PushedFilters: \[[^\]]*Or\(GreaterThan\(p_brand".r.findFirstIn(p).isDefined,
+      s"cursor disjunction did not reach the parquet scan:\n$p")
   }
 
   test("qsink_partitioned: the year filter prunes at the partition-directory level") {
