@@ -839,6 +839,51 @@ class EdgeCaseSpec extends SparkFixture {
     }
   }
 
+  test("right join: supplier side is preserved and zero-lineitem counts are 0") {
+    val rows = graft.etl.Registry.byName("qjoin_right").build(spark, sfTiny).collect()
+    val nSupp = spark.read.parquet(s"$sfTiny/supplier.parquet").count()
+    assert(rows.length == nSupp, "every supplier must survive the right join")
+    assert(rows.forall(_.getLong(1) >= 0))
+  }
+
+  test("symdiff verdicts match an independent set computation") {
+    val rows = graft.etl.Registry.byName("qset_symdiff").build(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def keys(lo: String, hi: String) =
+      graft.etl.Tables.lineitem(spark, sfTiny)
+        .filter(col("l_shipdate") >= to_date(lit(lo)) &&
+          col("l_shipdate") < to_date(lit(hi)))
+        .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    val h1 = keys("1995-01-01", "1995-07-01")
+    val h2 = keys("1995-07-01", "1996-01-01")
+    val expect = (h1 -- h2).map(_ -> "h1_only").toMap ++ (h2 -- h1).map(_ -> "h2_only")
+    assert(rows == expect)
+  }
+
+  test("keyset page: 25 rows, strictly after the cursor, contiguous in the total order") {
+    val page = graft.etl.Registry.byName("qsort_keyset").build(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(page.length == 25)
+    assert(page.forall { case (b, k) => b > "Brand#3" || (b == "Brand#3" && k > 40L) })
+    // page equals the first 25 of the full post-cursor ordering — no gaps
+    val all = spark.read.parquet(s"$sfTiny/part.parquet")
+      .select(col("p_brand"), col("p_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (b, k) => b > "Brand#3" || (b == "Brand#3" && k > 40L) }
+      .sorted.take(25)
+    assert(page.toSeq == all.toSeq)
+  }
+
+  test("dpp join returns exactly the rows of the selective-year semantics") {
+    val rows = graft.etl.Registry.byName("qjoin_dpp").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val years = graft.etl.Tables.lineitem(spark, sfTiny)
+      .filter(col("l_shipdate") < to_date(lit("1996-07-01")))
+      .select(year(col("l_shipdate"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet.subsetOf(years),
+      "a year outside the dim set leaked through the pruned join")
+  }
+
   test("zipf: slope is negative with a sane fit over the exact vocabulary") {
     val r = graft.etl.Registry.byName("qllm_zipf").build(spark, sfTiny).collect()(0)
     val vocab = spark.read.parquet(s"$sfTiny/documents.parquet")
