@@ -248,9 +248,14 @@ object GraphOps {
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("v"))
+        // the surviving-node set shrinks every peel and at k = 100 is a
+        // small hub set — BROADCAST it so both endpoint semi-joins run
+        // map-side and the edge frame never shuffles (for a low k where
+        // keep ≈ all nodes, the shuffled semi-join would be the right
+        // shape instead; k is the declared contract here)
         ecur = ecur
-          .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint()
         out = out :+ summary(ecur, r)
