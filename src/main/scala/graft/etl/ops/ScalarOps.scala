@@ -354,8 +354,36 @@ object ScalarOps {
         "CAST(sum(busdays) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_busdays " +
         "FROM b GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  /** Fiscal-calendar mapping (July year start) — the finance-reporting
+    * remap every revenue pipeline carries: fiscal year = calendar year
+    * + 1 for Jul–Dec, fiscal quarter = ((month + 5) mod 12) div 3 + 1,
+    * all PURE INTEGER month arithmetic (no calendar function beyond
+    * extracting year/month, identical in both engines), rolled up to
+    * exact revenue per (fiscal_year, fiscal_quarter). */
+  private val qdateFiscal = QueryDef(
+    "qdate_fiscal",
+    build = (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir).select(
+        (year(col("o_orderdate")) +
+          when(month(col("o_orderdate")) >= 7, 1).otherwise(0)).as("fy"),
+        expr("(month(o_orderdate) + 5) % 12 div 3 + 1").cast(IntegerType).as("fq"),
+        graft.etl.Dets.d124(col("o_totalprice")).as("p"))
+      o.groupBy(col("fy"), col("fq"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.etl.Dets.decStr(sum(col("p")).cast(DecimalType(38, 4))).as("revenue"))
+        .orderBy(col("fy"), col("fq"))
+    },
+    oracle = Some(
+      "WITH o AS (SELECT CAST(date_part('year', o_orderdate) + " +
+        "CASE WHEN date_part('month', o_orderdate) >= 7 THEN 1 ELSE 0 END AS INTEGER) AS fy, " +
+        "CAST((CAST(date_part('month', o_orderdate) AS INTEGER) + 5) % 12 // 3 + 1 AS INTEGER) AS fq, " +
+        "CAST(o_totalprice AS DECIMAL(12,4)) AS p FROM orders) " +
+        "SELECT fy, fq, count(*) AS n_orders, " +
+        "CAST(CAST(sum(p) AS DECIMAL(38,4)) AS STRING) AS revenue " +
+        "FROM o GROUP BY fy, fq ORDER BY fy, fq"))
+
   def defs: Seq[QueryDef] = Seq(
     qstrFuncs, qstrRegex, qstrFuzzy, qstrHashes, qdateFuncs, qmathFuncs,
     qjsonFuncs, qarrayFuncs, qmapFuncs, qexplodeWords, qstrMask, qdateCalendar,
-    qdateBusday)
+    qdateBusday, qdateFiscal)
 }

@@ -1070,10 +1070,69 @@ object WindowOps {
         "CAST(CASE WHEN full_win = 1 AND prev_full = 1 AND sign * prev_sign = -1 THEN 1 ELSE 0 END AS INT) AS crossed " +
         "FROM p ORDER BY event_type, day"))
 
+  /** Expanding-window z-score outliers — qwin_anomaly's leak-free twin:
+    * each event is scored against the moments of STRICTLY PRIOR events
+    * only (`ROWS UNBOUNDED PRECEDING TO 1 PRECEDING`), the contract a
+    * feature pipeline needs to avoid lookahead leakage (the
+    * full-partition variant uses the event's own future — fine for
+    * monitoring, wrong for training features). Same integer-moment
+    * machinery: scale-4 integer units, prior-window (n, Σvi, Σvi²),
+    * and the outlier verdict is the PURE INTEGER predicate
+    * (n·vi − Σvi)² > 4·(n·Σvi² − Σvi²) — z² > 4 with zero fp in the
+    * decision; only the reported z is IEEE, computed from exact
+    * operands with the same VARCHAR-routed tree as qwin_anomaly. Rows
+    * with < 2 prior events emit nothing (no variance to score
+    * against).
+    *
+    * Scale: one keyed sorted window over the high-cardinality user
+    * key; output is outliers only — sparse however big the stream. */
+  private val qwinExpanding = QueryDef(
+    "qwin_expanding",
+    build = (spark, sfDir) => {
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          d124(col("value")).as("val"),
+          (d124(col("value")) * 10000).cast(LongType).as("vi"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vi19 = col("vi").cast(DecimalType(19, 0))
+      val m = base
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("svi", sum(col("vi")).over(w))
+        .withColumn("svvi", sum(vi19 * vi19).over(w).cast(DecimalType(38, 0)))
+        .filter(col("n") >= 2)
+      val devi = (col("n") * col("vi") - col("svi")).cast(DecimalType(19, 0))
+      val svi19 = col("svi").cast(DecimalType(19, 0))
+      val di = (col("n").cast(DecimalType(19, 0)) * col("svvi") -
+        (svi19 * svi19).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+      m.filter((devi * devi).cast(DecimalType(38, 0)) > di * 4)
+        .select(col("event_id"), col("user_id"), col("n").as("n_prior"),
+          col("val").cast(StringType).as("value"),
+          round(devi.cast(DoubleType) / sqrt(di.cast(DoubleType)), 6).as("z"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some(
+      "WITH v AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(value AS DECIMAL(12,4)) AS val, " +
+        "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi FROM events), " +
+        "m AS (SELECT event_id, user_id, val, vi, " +
+        "CAST(count(*) OVER w AS HUGEINT) AS n, " +
+        "CAST(sum(vi) OVER w AS HUGEINT) AS svi, " +
+        "CAST(sum(vi * vi) OVER w AS HUGEINT) AS svvi " +
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "j AS (SELECT *, n * vi - svi AS devi, n * svvi - svi * svi AS di FROM m WHERE n >= 2) " +
+        "SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior, CAST(val AS STRING) AS value, " +
+        "round(CAST(CAST(devi AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(di AS VARCHAR) AS DOUBLE)), 6) AS z " +
+        "FROM j WHERE devi * devi > 4 * di ORDER BY event_id"))
+
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,
     qwinNtileDist, qwinFirstLast, qwinScd2, qwinGapfill, qwinSessionize,
     qwinStreak, qwinAnomaly, qwinEma, qwinDist, qwinSlope, qwinCusum,
     qwinMedian, qwinHampel, qwinPareto, qwinDrawdown, qwinGini, qwinAcf,
-    qwinBollinger, qwinRsi, qwinVwap, qwinOrdergap, qwinSmacross)
+    qwinBollinger, qwinRsi, qwinVwap, qwinOrdergap, qwinSmacross,
+    qwinExpanding)
 }

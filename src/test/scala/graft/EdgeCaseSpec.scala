@@ -884,6 +884,49 @@ class EdgeCaseSpec extends SparkFixture {
       "a year outside the dim set leaked through the pruned join")
   }
 
+  test("expanding z-score is leak-free: flags match a strictly-prior-moments fold") {
+    val out = graft.etl.Registry.byName("qwin_expanding").build(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val events = graft.etl.Tables.events(spark, sfTiny)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("cast(cast(value as decimal(12,4)) * 10000 as bigint)").as("vi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    var flagged = 0
+    for ((_, rows) <- events) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var n = 0L; var svi = BigInt(0); var svvi = BigInt(0)
+      for ((_, _, eid, vi) <- ordered) {
+        if (n >= 2) {
+          val devi = BigInt(n) * vi - svi
+          val di = BigInt(n) * svvi - svi * svi
+          val isOut = devi * devi > 4 * di
+          assert(out.contains(eid) == isOut, s"event $eid flag mismatch")
+          if (isOut) {
+            flagged += 1
+            val z = math.rint(devi.toDouble / math.sqrt(di.toDouble) * 1e6) / 1e6
+            assert(out(eid)._1 == n && out(eid)._2 == z, s"event $eid stats")
+          }
+        }
+        // the CURRENT row joins the moments only after being scored
+        n += 1; svi += vi; svvi += BigInt(vi) * vi
+      }
+    }
+    assert(flagged == out.size && flagged > 0)
+  }
+
+  test("fiscal mapping: quarters partition months correctly at the July boundary") {
+    val rows = graft.etl.Registry.byName("qdate_fiscal").build(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 4))
+    // total orders conserved across the remap
+    val total = spark.read.parquet(s"$sfTiny/orders.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    // spot formula: July is (fy+1, Q1), June is (fy, Q4), December (fy+1, Q2)
+    for ((m, fq) <- Seq(7 -> 1, 9 -> 1, 10 -> 2, 12 -> 2, 1 -> 3, 4 -> 4, 6 -> 4))
+      assert((m + 5) % 12 / 3 + 1 == fq, s"month $m should be fiscal Q$fq")
+  }
+
   test("zipf: slope is negative with a sane fit over the exact vocabulary") {
     val r = graft.etl.Registry.byName("qllm_zipf").build(spark, sfTiny).collect()(0)
     val vocab = spark.read.parquet(s"$sfTiny/documents.parquet")
