@@ -134,8 +134,10 @@ object Bench {
         name -> timed(name, fn)
       }
     }
+    // 12 auto-isolated entries (round-8 verdict item 5: wide enough that a
+    // cross-round like-for-like table of the slow set needs no manual runs)
     val isolateKeys: Seq[String] = explicitIsolate.getOrElse(
-      results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(6).map(_._1))
+      results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(12).map(_._1))
     val isolated = isolateKeys.sorted.map { name =>
       timed(name, SparkEntry.queries(name)) // warm the exact subtree first
       name -> timed(name, SparkEntry.queries(name))

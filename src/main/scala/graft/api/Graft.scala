@@ -514,6 +514,45 @@ object Graft {
     scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
   }
 
+  /** Bounded SRP near-dup surface: per vector, the `k` most cosine-similar
+    * OTHER vectors in its SRP bucket — the linear-output production twin of
+    * [[srpCandidates]]'s full pair enumeration. On clustered corpora the
+    * "every pair ≥ threshold" answer is itself quadratic in cluster mass
+    * (~24% of ALL pairs pass cos ≥ 0.3 on the sf3 fixture — no candidate
+    * generator can beat output size), so any 100 TB consumer wants a
+    * per-vector bounded answer instead: exactly ≤ k rows per vector, and
+    * with `candidateCap` (the [[hardNegatives]] cap: per bucket, the
+    * `candidateCap` smallest ids form the candidate pool — deterministic
+    * sampling, mirrored in the oracle) each anchor scores ≤ cap
+    * candidates, so total work AND total output are linear in n at any
+    * cluster shape. Ties break on (sim DESC, nbr_id): sims are
+    * bit-identical doubles (shared fold shape), so the ranking is total
+    * and cross-engine stable. Anchors whose bucket holds no other
+    * candidate emit nothing (an isolated vector has no neighbors). */
+  def srpTopK(vectors: DataFrame, id: Column, vec: Column, planes: DataFrame,
+      k: Int, candidateCap: Int = Int.MaxValue): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(candidateCap > 0, s"candidateCap must be positive, got $candidateCap")
+    val v = vectors.select(id.as("vec_id"), vec.as("__v"))
+    val bk = srpBuckets(vectors, id, vec, planes)
+    val withEmb = v.join(bk, "vec_id")
+    val a = withEmb.select(col("bucket"), col("vec_id").as("anchor"), col("__v").as("__va"))
+    val bAll = withEmb.select(col("bucket"), col("vec_id").as("nbr_id"), col("__v").as("__vb"))
+    val b =
+      if (candidateCap == Int.MaxValue) bAll
+      else {
+        val wc = Window.partitionBy(col("bucket")).orderBy(col("nbr_id"))
+        bAll.withColumn("__cr", row_number().over(wc))
+          .filter(col("__cr") <= candidateCap).drop("__cr")
+      }
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("anchor") =!= col("nbr_id"))
+      .select(col("anchor"), col("nbr_id"),
+        cosine_similarity(col("__va"), col("__vb")).as("sim"))
+    val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Deterministic sampling & splits
   // ------------------------------------------------------------------

@@ -219,6 +219,52 @@ object LlmOps {
         "SELECT anchor, label_a, neg_id, label_n, sim, rnk FROM r WHERE rnk <= 3 " +
         "ORDER BY anchor, rnk"))
 
+  /** Bounded SRP near-dup: per vector, its top-5 most cosine-similar
+    * bucket-mates (see [[graft.api.Graft.srpTopK]]) — the linear-output
+    * production twin of `qllm_srp_lsh`. That query's DECLARED answer
+    * (every pair at cosine ≥ 0.3) is quadratic in cluster mass on a
+    * clustered corpus (~24% of ALL pairs pass on the sf3 fixture — the
+    * output, not the candidate generator, is the scale-killer; PERF.md
+    * records the 31.9 s sf3 measurement), so the 100 TB consumer asks the
+    * bounded question instead: ≤ 5 rows per vector, candidate pool capped
+    * at the 64 smallest ids per bucket (deterministic sampling, mirrored
+    * in the oracle), total work and output linear in n at any cluster
+    * shape. Plane count scales with the corpus (the qllm_hardneg sizing
+    * rule) and sims are bit-identical doubles (shared fold shape), so
+    * the (sim DESC, nbr_id) ranking is cross-engine exact. */
+  private val qllmSrpTopk = QueryDef(
+    "qllm_srp_topk",
+    build = (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+      val pc = e.agg(greatest(lit(5L),
+        ceil(log2(count(lit(1)).cast(DoubleType) / lit(8.0)))).as("pc"))
+      val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
+        .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
+      graft.api.Graft
+        .srpTopK(e, col("vec_id"), col("embedding"), planes, k = 5, candidateCap = 64)
+        .orderBy(col("anchor"), col("rnk"))
+    },
+    oracle = Some(
+      "WITH pcnt AS (SELECT GREATEST(5, CAST(ceil(log2(count(*) / 8.0)) AS BIGINT)) AS pc " +
+        "FROM embeddings), " +
+        "pl AS (SELECT CAST(vec_id AS INTEGER) AS pid, embedding AS p_emb " +
+        "FROM embeddings, pcnt WHERE vec_id < pc), " +
+        s"bits AS (SELECT e.vec_id, CASE WHEN ${dcos("e.embedding", "p.p_emb")} >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END AS bv " +
+        "FROM embeddings e CROSS JOIN pl p), " +
+        "bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id), " +
+        "v AS (SELECT e.vec_id, e.embedding, bk.bucket " +
+        "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), " +
+        "vc AS (SELECT * FROM (SELECT v.*, row_number() OVER " +
+        "(PARTITION BY bucket ORDER BY vec_id) AS cr FROM v) WHERE cr <= 64), " +
+        s"scored AS (SELECT a.vec_id AS anchor, b.vec_id AS nbr_id, " +
+        s"${dcos("a.embedding", "b.embedding")} AS sim " +
+        "FROM v a JOIN vc b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER " +
+        "(PARTITION BY anchor ORDER BY sim DESC, nbr_id) AS BIGINT) AS rnk FROM scored) " +
+        "SELECT anchor, nbr_id, sim, rnk FROM r WHERE rnk <= 5 " +
+        "ORDER BY anchor, rnk"))
+
   /** IVF-style bucketed ANN: vectors 0..7 act as centroids; assign every
     * vector to its best centroid (map-side argmax aggregation — see
     * [[graft.api.Graft.ivfTopK]]), then top-3 per cell. */
@@ -1939,7 +1985,8 @@ object LlmOps {
 
   def defs: Seq[QueryDef] = Seq(
     qllmIncrDedup,
-    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmIvf, qllmHardneg,
+    qllmDedupNorm, qllmSimsearch, qllmLabelKnn, qllmCosNeardup, qllmSrpLsh, qllmSrpTopk,
+    qllmIvf, qllmHardneg,
     qllmTextstats, qllmSourceProfile, qllmLangid, qllmQuality, qllmTokcount,
     qllmFingerprint, qllmNgramJaccard, qllmMinhash, qllmSimhash,
     qllmSampleHash, qllmSplit, qllmTfidf, qllmSeqs, qllmSeqsTopn, qllmContamination,
