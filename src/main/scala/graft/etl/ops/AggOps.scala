@@ -1431,8 +1431,14 @@ object AggOps {
         .join(cells, Seq("event_type", "dow"), "left")
         .select(col("event_type"), col("dow"), col("r_i"), col("c_j"),
           coalesce(col("n_ij"), lit(0L)).as("n_ij"))
-      val diff = (col("n_total") * col("n_ij") - col("r_i") * col("c_j"))
-        .cast(DecimalType(19, 0))
+      // operands cast to DECIMAL BEFORE the multiply (round-8 advice
+      // item): long·long would wrap silently past ~10⁹ events per cell
+      // while DuckDB's HUGEINT errors — in decimal space Spark widens to
+      // (38,0) and ANSI-errors at the final (19,0) cast instead, matching
+      // the oracle's fail-loud behavior beyond the documented bound
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(19, 0))
+      val diff = (d19(col("n_total")) * d19(col("n_ij")) -
+        d19(col("r_i")) * d19(col("c_j"))).cast(DecimalType(19, 0))
       val term = round(
         (diff * diff).cast(DecimalType(38, 0)).cast(DoubleType) /
           (d(col("n_total")) * d(col("r_i")) * d(col("c_j"))), 6)

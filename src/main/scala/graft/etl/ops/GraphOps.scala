@@ -232,6 +232,15 @@ object GraphOps {
     "qgraph_kcore",
     build = (spark, sfDir) => {
       val k = 100
+      // executable form of the broadcast contract below (round-8 advice
+      // item): broadcasting the keep-set is only the right scale choice
+      // while k is large enough that survivors are a small hub set. A
+      // future low-k edit must switch the two semi-joins to shuffled
+      // form, and this require makes that coupling fail loudly instead
+      // of silently collecting ~every node to the driver.
+      require(k >= 50,
+        s"k=$k: the broadcast keep-set peel assumes a high-k hub set; " +
+          "use shuffled semi-joins for low k")
       def summary(ecur: DataFrame, round: Int): DataFrame = {
         val nodes = ecur.select(col("src").as("v"))
           .unionAll(ecur.select(col("dst").as("v")))

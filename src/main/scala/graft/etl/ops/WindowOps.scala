@@ -1082,7 +1082,11 @@ object WindowOps {
     * decision; only the reported z is IEEE, computed from exact
     * operands with the same VARCHAR-routed tree as qwin_anomaly. Rows
     * with < 2 prior events emit nothing (no variance to score
-    * against).
+    * against), and so does a ZERO-VARIANCE prior window (di = 0 with a
+    * differing current value would put ±Infinity in the z column, whose
+    * formatting/serialization is the one piece of this tree that is NOT
+    * cross-engine pinned — and a z-score against zero variance is
+    * meaningless anyway; round-8 advice item).
     *
     * Scale: one keyed sorted window over the high-cardinality user
     * key; output is outliers only — sparse however big the stream. */
@@ -1107,7 +1111,7 @@ object WindowOps {
       val svi19 = col("svi").cast(DecimalType(19, 0))
       val di = (col("n").cast(DecimalType(19, 0)) * col("svvi") -
         (svi19 * svi19).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
-      m.filter((devi * devi).cast(DecimalType(38, 0)) > di * 4)
+      m.filter(di > 0 && (devi * devi).cast(DecimalType(38, 0)) > di * 4)
         .select(col("event_id"), col("user_id"), col("n").as("n_prior"),
           col("val").cast(StringType).as("value"),
           round(devi.cast(DoubleType) / sqrt(di.cast(DoubleType)), 6).as("z"))
@@ -1126,7 +1130,7 @@ object WindowOps {
         "j AS (SELECT *, n * vi - svi AS devi, n * svvi - svi * svi AS di FROM m WHERE n >= 2) " +
         "SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior, CAST(val AS STRING) AS value, " +
         "round(CAST(CAST(devi AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(di AS VARCHAR) AS DOUBLE)), 6) AS z " +
-        "FROM j WHERE devi * devi > 4 * di ORDER BY event_id"))
+        "FROM j WHERE di > 0 AND devi * devi > 4 * di ORDER BY event_id"))
 
   def defs: Seq[QueryDef] = Seq(
     qwinRank, qwinTopkGroup, qwinLagLead, qwinRunning, qwinRangeFrame,

@@ -383,7 +383,10 @@ class PlanSpec extends SparkFixture {
       "qagg_assoc", "qagg_benford", "qagg_rfm", "qwin_gini",
       // round 8b: 1-row scalar frames — (N, n_types, n_dows) contingency
       // totals (cramersv); the max-week scalar (churn)
-      "qagg_cramersv", "qagg_churn")
+      "qagg_cramersv", "qagg_churn",
+      // round 9: srp_topk carries the same ≤planes-row broadcast
+      // hyperplane frame as srp_lsh/hardneg
+      "qllm_srp_topk")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -393,6 +396,31 @@ class PlanSpec extends SparkFixture {
       else None
     }
     assert(offenders.isEmpty, s"unexpected non-equi join plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("full inventory: every static plan stays under the 16-exchange budget") {
+    // the qagg_mad lesson (33-exchange static plan from un-materialized
+    // subtree duplication) as a suite-wide gate: a future edit that drops
+    // a localCheckpoint or fans a frame into N re-derived branches fails
+    // here loudly instead of shipping ~10 stages of pure overhead. The
+    // ceiling is a BUDGET, not a target — most declared plans sit far
+    // under it (see qagg_mad's own <10 pin below). SHUFFLE exchanges
+    // only: a BroadcastExchange of a 1-row/metadata frame is per-executor
+    // work, not a stage boundary, and the broadcast-heavy scalar plans
+    // legitimately carry many of them. Counted on the AQE-off static plan
+    // so runtime reuse can't mask structural duplication; ReusedExchange
+    // is structural reuse and doesn't count.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val over = Registry.all.flatMap { q =>
+        val shuffles = q.build(spark, sfTiny).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        if (shuffles > 16) Some(s"${q.name}: $shuffles shuffle exchanges") else None
+      }
+      assert(over.isEmpty, s"static plans over the exchange budget:\n${over.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {

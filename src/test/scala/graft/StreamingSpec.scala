@@ -390,6 +390,63 @@ class StreamingSpec extends SparkFixture {
     assert(got == want, s"got $got want $want") // every row exactly once
   }
 
+  test("foreachBatch overwrite-by-batchId sink: a mid-batch kill replays without dup rows") {
+    // The sink third of the exactly-once triangle (source offsets and
+    // aggregate state are pinned by the two tests around this one): the
+    // built-in file sink gets exactly-once from its own commit log, but
+    // every external-system sink goes through foreachBatch, whose
+    // contract is AT-LEAST-once delivery + a (batchId, data) pair that is
+    // STABLE across replays — idempotence is the sink author's job. The
+    // production recipe: partition the output by batchId and OVERWRITE
+    // that partition, so a replayed batch replaces its own partial write
+    // instead of appending a duplicate. This test injects the worst-case
+    // failure point — AFTER the sink write durably lands, BEFORE the
+    // streaming commit log records the batch — restarts from the same
+    // checkpoint, and asserts the replay leaves every row exactly once.
+    val sp = spark
+    import sp.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val stream = MemoryStream[Ev]
+    @volatile var killNext = false
+    def start() = stream.toDF().writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // idempotent sink: overwrite THIS batch's partition only
+        df.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        if (killNext) { killNext = false; sys.error("injected kill after sink write, before commit") }
+      }
+      .outputMode("append").start()
+    val batch1 = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:05:00"), "view", 2.0, 2L))
+    val batch2 = Seq(
+      Ev(ts("2024-01-01 10:10:00"), "purchase", 3.0, 1L))
+    val q1 = start()
+    try { stream.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // second batch: the sink write lands, then the query dies before the
+    // commit log entry — the exact window where a naive append sink dups
+    killNext = true
+    stream.addData(batch2: _*)
+    val q2 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // the partial write is already on disk (that's the premise)
+    assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("batch_id=")),
+      "injected kill must land AFTER the sink write")
+    val q3 = start() // same checkpoint: the uncommitted batch REPLAYS
+    try q3.processAllAvailable() finally q3.stop()
+    val got = sp.read.schema(batch1.toDF().schema)
+      .option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = (batch1 ++ batch2).toDF()
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"replayed batch duplicated or lost rows: got $got want $want")
+  }
+
   test("state-store recovery: aggregate counts survive a checkpointed restart (file source)") {
     // The production streaming property: kill a query mid-stream, restart
     // from its checkpoint, and the recovered STATE (not just the source
