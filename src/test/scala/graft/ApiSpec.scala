@@ -45,6 +45,31 @@ class ApiSpec extends SparkFixture {
     assert(byVec(12L) == 0L, "cosine tie must break to the lowest centroid id")
   }
 
+  test("srpTopK: per-bucket top-k equals brute force within the bucket; cap bounds the pool") {
+    val sp = spark
+    import sp.implicits._
+    // one plane (x-axis): positive-x vectors share bucket 1, negative-x
+    // bucket 0 — so 1,2,4 are bucket-mates and 3 is alone (emits nothing)
+    val vectors = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val planes = Seq((0, Array(1.0f, 0.0f))).toDF("pid", "p_emb")
+    val out = Graft.srpTopK(vectors, col("vec_id"), col("embedding"), planes, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force within {1,2,4}: 1's best is 2 (cos≈0.99), 2's best is 1,
+    // 4's best is 2 (0.5·0.9+0.8·0.1 normalized beats 1's 0.5)
+    assert(out == Map(1L -> 2L, 2L -> 1L, 4L -> 2L), s"got $out")
+    // candidateCap=1 restricts every anchor's pool to the smallest id
+    // per bucket (vec 1) — so 1 itself gets no candidate, 2 and 4 get 1
+    val capped = Graft.srpTopK(vectors, col("vec_id"), col("embedding"), planes,
+        k = 3, candidateCap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(capped == Set(2L -> 1L, 4L -> 1L), s"got $capped")
+  }
+
   test("textQuality computes exact counts and average word length") {
     val sp = spark
     import sp.implicits._
