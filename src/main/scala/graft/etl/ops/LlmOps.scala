@@ -44,8 +44,11 @@ object LlmOps {
     s"(${ddot(a, b)} / (sqrt(${dnorm2(a)}) * sqrt(${dnorm2(b)})))"
 
   // ---- shared normalization (qllm_dedup_norm / qllm_fingerprint) -----
+  // single-pass native normalizer, bit-identical to
+  // trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+  // (PropertySpec pins the parity; see graft.functions.NormalizeText)
   private def snorm(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    graft.functions.TextFunctions.normalize_text(c)
   private val dnormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
@@ -559,8 +562,16 @@ object LlmOps {
     * (both engines' libm agrees at the 6 dp the output rounds to —
     * verified at all gate SFs), ranking on the ROUNDED score + word
     * tiebreak so a last-ulp ln difference can never flip a rank. Window
-    * partitioned by doc — no global sort; df table is one narrow
-    * aggregate joined back by word hash. */
+    * partitioned by doc — no global sort.
+    *
+    * The df table is VOCABULARY-sized (Heaps-law sublinear in corpus —
+    * the qllm_dsir reasoning), so it joins back BROADCAST: without the
+    * hint the equi-join re-shuffles the whole tf frame by word, and AQE
+    * cannot save that cost — both join inputs finish their shuffle
+    * WRITES before AQE can switch the strategy, so the big side's
+    * exchange happens anyway (measured: this hint cut the sf3 isolate
+    * from ~11 s). A corpus whose vocab outgrows executor memory (~10⁹
+    * junk tokens) falls back to the hashed-term equi-join. */
   private val qllmTfidf = QueryDef(
     "qllm_tfidf",
     build = (spark, sfDir) => {
@@ -570,7 +581,7 @@ object LlmOps {
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("dfw"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfw, "word").crossJoin(broadcast(n))
+      val scored = tf.join(broadcast(dfw), "word").crossJoin(broadcast(n))
         .withColumn("score", round(col("tf").cast(DoubleType) *
           log(col("n_docs").cast(DoubleType) / col("dfw").cast(DoubleType)), 6))
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("word"))

@@ -470,6 +470,41 @@ class PropertySpec extends SparkFixture {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"edge-case divergence: $r")
   }
 
+  test("normalize_text is bit-identical to the lower+regex+trim shape") {
+    // the native one-pass normalizer replaces the dedup-key
+    // canonicalization tree — byte-identical output or fingerprints from
+    // different call sites (and the DuckDB oracle) stop matching
+    val ref = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    val d = graft.etl.Tables.documents(spark, sfTiny)
+      .select(col("text"))
+      .select(graft.functions.TextFunctions.normalize_text(col("text")).as("fast"),
+        ref(col("text")).as("slow"))
+      .filter(not(col("fast") <=> col("slow")))
+    assert(d.count() == 0, "native normalize_text diverges from the SQL shape on fixture text")
+    // adversarial inputs: unicode (fallback path, incl. case mappings
+    // that LAND in ascii — Kelvin sign K̊ → k, İ → i + combining dot),
+    // runs of droppable chars between spaces, leading/trailing space,
+    // empty, all-droppable, digits, and a scalacheck sweep
+    val sp = spark
+    import sp.implicits._
+    val hand = Seq(
+      "", " ", "   ", ".,;", "a", "A", " a ", "a  b", "a . b", "A.B..C",
+      "42 x  9", "KELVIN", "İstanbul", "héllo wörld", "日本 語",
+      "tab\tand\nnewline", "MiXeD CaSe  with   runs", "ABC---def___ghi")
+    val gen = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('.'), Gen.const('é'),
+      Gen.const('Z'), Gen.const('\t'))).map(_.mkString)
+    val all = hand ++ samples(gen, 40)
+    val rows = all.toDF("t")
+      .select(graft.functions.TextFunctions.normalize_text(col("t")).as("fast"),
+        ref(col("t")).as("slow"))
+      .collect()
+    for (r <- rows)
+      assert(r.getString(0) == r.getString(1),
+        s"divergence: fast=${r.getString(0)} slow=${r.getString(1)}")
+  }
+
   test("ngram_hash_chain is bit-identical to the chained-xxhash64 shingle shape") {
     for (n <- Seq(1, 2, 3)) {
       val d = graft.etl.Tables.documents(spark, sfTiny)
