@@ -70,6 +70,31 @@ class ApiSpec extends SparkFixture {
     assert(capped == Set(2L -> 1L, 4L -> 1L), s"got $capped")
   }
 
+  test("srpTopK survives total cluster collapse: bounded work and ≤ k rows per anchor") {
+    // the cluster-collapse regression guard (PERF.md round 8b): when
+    // every vector is near-identical, ALL of them share one SRP bucket
+    // at any plane count — the candidate cap must bound each anchor's
+    // pool (and the output) regardless, or the bucket join goes n²
+    val sp = spark
+    import sp.implicits._
+    val n = 500
+    val vectors = (0L until n).map(i =>
+      // one tight cluster: tiny perturbations, all positive dot with the plane
+      (i, Array(1.0f, (i % 7).toFloat * 1e-6f))).toDF("vec_id", "embedding")
+    val planes = Seq((0, Array(1.0f, 0.0f))).toDF("pid", "p_emb")
+    val out = Graft.srpTopK(vectors, col("vec_id"), col("embedding"), planes,
+      k = 3, candidateCap = 16)
+    val rows = out.collect()
+    // output bounded: ≤ k per anchor, and only capped-pool candidates
+    assert(rows.length <= n * 3, s"output not linear: ${rows.length}")
+    val perAnchor = rows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perAnchor.max <= 3)
+    // every neighbor comes from the 16 smallest ids (the capped pool)
+    assert(rows.forall(_.getLong(1) < 16), "candidate outside the deterministic cap pool")
+    // anchors are NOT dropped by the cap: all 500 get neighbors
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+  }
+
   test("textQuality computes exact counts and average word length") {
     val sp = spark
     import sp.implicits._

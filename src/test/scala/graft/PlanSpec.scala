@@ -423,6 +423,33 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qagg_rfm: fused ranks — three bucket-partitioned windows, no customer-key join") {
+    // round 9 fused the three globalRanksSampled passes (3 sample
+    // subtrees + 3 join-backs on o_custkey) into one boundary pass and
+    // three CHAINED per-bucket windows; this pins the fusion so a future
+    // edit can't quietly reintroduce the 3-join shape (5.5 s of fixed
+    // stage overhead at sf0.1)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.byName("qagg_rfm").build(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      // exactly three rank windows, each partitioned by its bucket column
+      assert(raw"Window \[.*row_number".r.findAllIn(p).size == 3, p.take(2000))
+      // 9 bucket-keyed exchanges: per metric ONE data-bearing window
+      // shuffle plus two metadata-scale aggregates (per-bucket counts and
+      // the ≤64-row triangular offsets) — anything beyond that means a
+      // replayed subtree
+      assert(raw"Exchange hashpartitioning\(__bk\d".r.findAllIn(p).size <= 9,
+        "bucket-keyed exchange count grew — a rank subtree is replaying")
+      // the fused shape has no shuffle or sort-merge join keyed on the
+      // customer column — scores ride the same frame
+      assert(!raw"SortMergeJoin \[o_custkey".r.findFirstIn(p).isDefined &&
+        !raw"Exchange hashpartitioning\(o_custkey".r.findFirstIn(p).isDefined,
+        "customer-key join-back reintroduced")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {
     // the median/MAD/outlier branches all re-read the two value
     // histograms; without materialization the static plan duplicated the
