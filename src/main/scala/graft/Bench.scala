@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
   * the driver's 2000-char tail window (round 1 proved a 73-entry per-query
   * map overflows it and fails to parse, BENCH_r01.json `parsed: null`;
   * BENCH_r02–05 confirm the window is exactly 2000 chars), so it carries
-  * the suite total plus only the 24 slowest queries and the isolated
-  * re-run map (~1.2 KB). The FULL
+  * the suite total plus only the 24 slowest queries and the 12-entry
+  * isolated re-run map (~1.5 KB). The FULL
   * per-query map — which the round-5 verdict needs for cross-round
   * regression diffs — goes to `bench_full_latest.json` at the repo root,
   * a TRACKED file committed with each round, plus `target/bench_full.json`
@@ -115,7 +115,7 @@ object Bench {
     // Isolation pass (round-7 verdict item 3): suite-attributed times
     // absorb whatever warmup/box noise lands on a query's slot, so every
     // per-query perf claim used to need a manual re-run. Default runs:
-    // full suite, then the 6 slowest re-run warm — `queries` stays the
+    // full suite, then the 12 slowest re-run warm — `queries` stays the
     // attributed map (comparable with prior rounds), `isolated` is the
     // steady-state cost. With an explicit `--isolate k1,k2,...` the full
     // suite is SKIPPED: each named query runs twice post-warmup in an
@@ -138,16 +138,31 @@ object Bench {
     // cross-round like-for-like table of the slow set needs no manual runs)
     val isolateKeys: Seq[String] = explicitIsolate.getOrElse(
       results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(12).map(_._1))
-    val isolated = isolateKeys.sorted.map { name =>
-      timed(name, SparkEntry.queries(name)) // warm the exact subtree first
-      name -> timed(name, SparkEntry.queries(name))
+    // A failed isolate must never read as a fast one: the interrupted sf10
+    // run recorded 0.03-s "isolated" entries for queries whose re-run died
+    // with the SparkContext (each count() failed instantly), which would
+    // diff as a 100× improvement against any prior round. Record an
+    // isolated time only when BOTH the warm and the measured run succeed,
+    // and stop isolating outright once the context is gone — every
+    // subsequent entry would be the same instant failure.
+    val isolated = isolateKeys.sorted.flatMap { name =>
+      if (spark.sparkContext.isStopped) None
+      else {
+        val failedBefore = failed.size
+        timed(name, SparkEntry.queries(name)) // warm the exact subtree first
+        val dt = timed(name, SparkEntry.queries(name))
+        if (failed.size > failedBefore) None else Some(name -> dt)
+      }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def toJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val slowest = results.sortBy(-_._2).take(24)
-    val errJson = s""","errors":${failed.size},"failed":${failed.sorted
+    // Distinct: a query whose warm AND measured isolate runs both die (e.g.
+    // a dead SparkContext) appends its name twice — one broken query must
+    // read as one error, not two, or cross-round "errors":N diffs lie.
+    val errJson = s""","errors":${failed.distinct.size},"failed":${failed.distinct.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val isoJson = s""","isolated":${toJson(isolated)}"""
     val full =

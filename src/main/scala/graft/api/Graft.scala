@@ -491,29 +491,52 @@ object Graft {
     * before the cap. With the cap each anchor scores ≤ cap·|labels|
     * candidates: linear in n, and anchors are never dropped. */
   def hardNegatives(vectors: DataFrame, id: Column, vec: Column, label: Column,
-      planes: DataFrame, k: Int, candidateCap: Int = Int.MaxValue): DataFrame = {
+      planes: DataFrame, k: Int, candidateCap: Int = Int.MaxValue): DataFrame =
+    srpBucketTopK(vectors, id, vec, Some(label), planes, k, candidateCap, "neg_id")
+
+  /** Shared core of [[hardNegatives]] and [[srpTopK]] — the SRP
+    * bucket-join top-k shape: assign buckets, optionally cap the
+    * candidate pool to the `candidateCap` smallest candidate ids per
+    * (bucket[, candidate label]), score anchor × candidate cosine within
+    * the bucket only, keep each anchor's top `k` by (sim DESC, candidate
+    * id). With a label the candidate filter is label_a ≠ label_n (which
+    * implies anchor ≠ candidate) and labels ride along in the output;
+    * without one it is anchor ≠ candidate. One body so the cap semantics
+    * and the tie-break can never silently diverge between the two
+    * declared surfaces. */
+  private def srpBucketTopK(vectors: DataFrame, id: Column, vec: Column,
+      labelOpt: Option[Column], planes: DataFrame, k: Int, candidateCap: Int,
+      candCol: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(candidateCap > 0, s"candidateCap must be positive, got $candidateCap")
-    val v = vectors.select(id.as("vec_id"), vec.as("__v"), label.as("__l"))
+    val v = vectors.select(
+      Seq(id.as("vec_id"), vec.as("__v")) ++ labelOpt.map(_.as("__l")): _*)
     val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
-    val a = withEmb.select(col("bucket"), col("vec_id").as("anchor"),
-      col("__l").as("label_a"), col("__v").as("__va"))
-    val bAll = withEmb.select(col("bucket"), col("vec_id").as("neg_id"),
-      col("__l").as("label_n"), col("__v").as("__vb"))
+    val a = withEmb.select(
+      Seq(col("bucket"), col("vec_id").as("anchor")) ++
+        labelOpt.map(_ => col("__l").as("label_a")) :+ col("__v").as("__va"): _*)
+    val bAll = withEmb.select(
+      Seq(col("bucket"), col("vec_id").as(candCol)) ++
+        labelOpt.map(_ => col("__l").as("label_n")) :+ col("__v").as("__vb"): _*)
     val b =
       if (candidateCap == Int.MaxValue) bAll
       else {
-        val wc = Window.partitionBy(col("bucket"), col("label_n"))
-          .orderBy(col("neg_id"))
+        val capKeys = col("bucket") +: labelOpt.map(_ => col("label_n")).toSeq
+        val wc = Window.partitionBy(capKeys: _*).orderBy(col(candCol))
         bAll.withColumn("__cr", row_number().over(wc))
           .filter(col("__cr") <= candidateCap).drop("__cr")
       }
-    val scored = a.join(b, Seq("bucket"))
-      .filter(col("label_a") =!= col("label_n")) // different label ⇒ anchor ≠ neg
-      .select(col("anchor"), col("label_a"), col("neg_id"), col("label_n"),
-        cosine_similarity(col("__va"), col("__vb")).as("sim"))
-    val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col("neg_id"))
+    val joined = a.join(b, Seq("bucket"))
+    val filtered = labelOpt match {
+      case Some(_) => joined.filter(col("label_a") =!= col("label_n"))
+      case None    => joined.filter(col("anchor") =!= col(candCol))
+    }
+    val scored = filtered.select(
+      Seq(col("anchor")) ++ labelOpt.map(_ => col("label_a")) ++
+        Seq(col(candCol)) ++ labelOpt.map(_ => col("label_n")) :+
+        cosine_similarity(col("__va"), col("__vb")).as("sim"): _*)
+    val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col(candCol))
     scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
   }
 
@@ -533,28 +556,8 @@ object Graft {
     * and cross-engine stable. Anchors whose bucket holds no other
     * candidate emit nothing (an isolated vector has no neighbors). */
   def srpTopK(vectors: DataFrame, id: Column, vec: Column, planes: DataFrame,
-      k: Int, candidateCap: Int = Int.MaxValue): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(candidateCap > 0, s"candidateCap must be positive, got $candidateCap")
-    val v = vectors.select(id.as("vec_id"), vec.as("__v"))
-    val bk = srpBuckets(vectors, id, vec, planes)
-    val withEmb = v.join(bk, "vec_id")
-    val a = withEmb.select(col("bucket"), col("vec_id").as("anchor"), col("__v").as("__va"))
-    val bAll = withEmb.select(col("bucket"), col("vec_id").as("nbr_id"), col("__v").as("__vb"))
-    val b =
-      if (candidateCap == Int.MaxValue) bAll
-      else {
-        val wc = Window.partitionBy(col("bucket")).orderBy(col("nbr_id"))
-        bAll.withColumn("__cr", row_number().over(wc))
-          .filter(col("__cr") <= candidateCap).drop("__cr")
-      }
-    val scored = a.join(b, Seq("bucket"))
-      .filter(col("anchor") =!= col("nbr_id"))
-      .select(col("anchor"), col("nbr_id"),
-        cosine_similarity(col("__va"), col("__vb")).as("sim"))
-    val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
-  }
+      k: Int, candidateCap: Int = Int.MaxValue): DataFrame =
+    srpBucketTopK(vectors, id, vec, None, planes, k, candidateCap, "nbr_id")
 
   // ------------------------------------------------------------------
   // Deterministic sampling & splits
@@ -670,7 +673,12 @@ object Graft {
       orderCol, tiebreaks)
 
   /** The bucketing pass of [[globalRanksSampled]], exposed for balance
-    * tests: appends `__bucket` (sampled-quantile, order-preserving). */
+    * tests: appends `__bucket` (sampled-quantile, order-preserving).
+    * NOTE: `qagg_rfm` (etl/ops/AggOps.scala) re-expresses this marks →
+    * boundaries → bucket math fused across three metrics in one pass —
+    * a fix to the quantile-cut arithmetic or the null/NaN contract here
+    * must be mirrored there (its RfmSpec plan pin and oracle will catch
+    * a silent divergence, but only at test time). */
   private[graft] def sampledBuckets(df: DataFrame, orderCol: Column,
       tiebreaks: Seq[Column], buckets: Int, sampleOneIn: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

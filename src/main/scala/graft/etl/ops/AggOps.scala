@@ -1321,11 +1321,23 @@ object AggOps {
       // an empty sample leaves a null array → bucket 0 for every row
       // (one bucket, still exact ranks — the degraded-balance contract)
       val emptyD = expr("CAST(array() AS ARRAY<DOUBLE>)")
+      // same null/NaN contract as Graft.sampledBuckets (which this fused
+      // pass re-expresses — keep the marks/bucket math in sync with it):
+      // a null metric fails FAST instead of silently landing in bucket 0
+      // where the rank window would sort it first, and NaN routes to the
+      // last bucket to match Spark's NaN-greatest sort order. Both
+      // branches are unreachable for today's non-null long/decimal
+      // aggregates; they guard the contract against a future nullable
+      // metric (e.g. a left join upstream).
       val bucketed = metrics.zipWithIndex.foldLeft(cust.crossJoin(broadcast(bounds))) {
         case (df, ((_, m), i)) =>
           val md = m.cast(DoubleType)
           df.withColumn(s"__bk$i",
-            size(filter(coalesce(col(s"__bnd$i"), emptyD), b => b <= md)).cast(LongType))
+            when(m.isNull,
+              raise_error(lit("qagg_rfm: rank metric must be non-null")).cast(LongType))
+              .when(isnan(md), lit(nb - 1L))
+              .otherwise(
+                size(filter(coalesce(col(s"__bnd$i"), emptyD), b => b <= md)).cast(LongType)))
       }.drop(metrics.indices.map(i => s"__bnd$i"): _*)
       val nRow = cust.agg(count(lit(1)).cast(LongType).as("__n"))
       // three chained exact ranks: per metric, a broadcast triangular

@@ -570,8 +570,11 @@ object LlmOps {
     * cannot save that cost — both join inputs finish their shuffle
     * WRITES before AQE can switch the strategy, so the big side's
     * exchange happens anyway (measured: this hint cut the sf3 isolate
-    * from ~11 s). A corpus whose vocab outgrows executor memory (~10⁹
-    * junk tokens) falls back to the hashed-term equi-join. */
+    * from ~11 s). The hint is UNCONDITIONAL — Spark honors an explicit
+    * broadcast() regardless of autoBroadcastJoinThreshold, so a corpus
+    * whose vocabulary outgrows driver memory (~10⁹ junk tokens) fails
+    * loudly here rather than degrading; such a corpus must pre-prune its
+    * vocab (min-df filter) or drop the hint and take the shuffle. */
   private val qllmTfidf = QueryDef(
     "qllm_tfidf",
     build = (spark, sfDir) => {

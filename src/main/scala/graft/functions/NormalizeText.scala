@@ -57,14 +57,18 @@ object NormalizeTextUtil {
     // copy once; getBytes may or may not copy depending on layout, and
     // the scan below reads every byte anyway
     val in = s.getBytes
-    var i = 0
-    while (i < n) { if (in(i) < 0) return fallback(s); i += 1 }
+    // ASCII detection rides INSIDE the transform loop — the hot path
+    // (pure-ASCII documents) must not pay a second full scan just to
+    // pick fast-vs-fallback. Bailing mid-transform is safe because the
+    // fallback recomputes from the original UTF8String; the only waste
+    // on a non-ASCII row is the (rare-path) out-buffer allocation.
     val out = new Array[Byte](n)
     var o = 0
     var pendingSpace = false
-    i = 0
+    var i = 0
     while (i < n) {
       var c = in(i)
+      if (c < 0) return fallback(s)
       if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
