@@ -53,6 +53,24 @@ object GraphOps {
     spark.read.schema("src BIGINT, dst BIGINT").parquet(dir)
   }
 
+  /** Edge-frame checkpoint: localCheckpoint with SERIALIZED, spillable
+    * storage (MEMORY_AND_DISK_SER) instead of the default deserialized
+    * level. The graph family checkpoints frames proportional to the EDGE
+    * count (90 M edges at sf10, 9 M per sf — linear in the fact table),
+    * and the default level materializes each partition as deserialized
+    * row objects: at sf10 qgraph_pagerank's direction-doubled 180 M-row
+    * frame unrolled ~8.6 GB of row objects across 32 concurrent tasks
+    * and died of executor-thread heap OOM (killing the whole
+    * SparkContext via SparkUncaughtExceptionHandler — measured twice,
+    * full-suite and clean-JVM isolate). Serialized storage packs the
+    * two-long rows contiguously (~3× smaller), unrolls incrementally,
+    * and spills cleanly; the per-iteration deserialization cost is a
+    * columnar-scan-class read, not a plan change. This is also the
+    * honest 100 TB shape: a cluster stages iteration state to
+    * serialized/disk-backed storage, never as heap object graphs. */
+  private def ckptEdges(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private val edgesCte =
     "lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM lp a " +
@@ -101,11 +119,10 @@ object GraphOps {
       // of re-running the distinct + order self-join + two broadcast filters
       // per consumer — at 100 TB this is "stage the subgraph to fast storage
       // before the multi-pass census", the standard triangle-counting shape.
-      val e = edges(spark, sfDir)
+      val e = ckptEdges(edges(spark, sfDir)
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .select(col("src"), col("dst")))
       val wedges = e.select(col("src").as("a"), col("dst").as("b"))
         .join(e.select(col("src").as("b2"), col("dst").as("c")), col("b") === col("b2"))
         .select(col("a"), col("b"), col("c"))
@@ -166,8 +183,13 @@ object GraphOps {
       // `deg` is checkpointed too — it doubles as the node list and appears
       // in every iteration's dangling-mass left join.
       val e = edges(spark, sfDir)
-      val dir = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+      // the checkpoint is LOAD-BEARING at scale, not just a lineage cut:
+      // without it the three unrolled iterations fuse into stages whose
+      // concurrent sort/join buffers exhaust managed memory at sf10
+      // (UNABLE_TO_ACQUIRE_MEMORY in a clean 16 GB JVM — measured; the
+      // serialized checkpoint variant runs the same fixture in 82 s)
+      val dir = ckptEdges(
+        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val dird = dir.join(deg, Seq("src"))
@@ -248,7 +270,7 @@ object GraphOps {
         val nEdges = ecur.agg(count(lit(1)).as("n_edges"))
         nodes.crossJoin(nEdges).select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
       }
-      var ecur = edges(spark, sfDir).localCheckpoint()
+      var ecur = ckptEdges(edges(spark, sfDir))
       var out = Seq(summary(ecur, 0))
       for (r <- 1 to 3) {
         val keep = ecur.select(col("src").as("v"))
@@ -262,11 +284,10 @@ object GraphOps {
         // map-side and the edge frame never shuffles (for a low k where
         // keep ≈ all nodes, the shuffled semi-join would be the right
         // shape instead; k is the declared contract here)
-        ecur = ecur
+        ecur = ckptEdges(ecur
           .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
           .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-          .localCheckpoint()
+          .select(col("src"), col("dst")))
         out = out :+ summary(ecur, r)
       }
       out.reduce(_ unionAll _).orderBy(col("round"))
@@ -314,8 +335,8 @@ object GraphOps {
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+      val d = ckptEdges(
+        es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
       var lbl = d.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
       for (_ <- 1 to 4) {
@@ -370,8 +391,8 @@ object GraphOps {
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+      val d = ckptEdges(
+        es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
       val deg = d.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val common = d.select(col("dst").as("a"), col("src").as("n1"))
         .join(d.select(col("src").as("n2"), col("dst").as("b")),
@@ -430,8 +451,8 @@ object GraphOps {
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+      val d = ckptEdges(
+        es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
       var dist = d.select(col("src").as("v")).distinct()
         .select(col("v"),
           when(col("v") % 100 === 0, 0L).otherwise(999L).as("dist"))
