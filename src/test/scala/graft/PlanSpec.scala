@@ -450,6 +450,29 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qgraph_pagerank: edge-scale checkpoint is serialized and spillable (the sf10 OOM pin)") {
+    // At sf10 the direction-doubled edge frame (180 M rows) under the
+    // DEFAULT deserialized localCheckpoint level unrolled ~8.6 GB of row
+    // objects across 32 tasks and heap-OOM-killed the whole SparkContext
+    // (PERF.md round 9b — reproduced twice). ckptEdges stages every
+    // edge-scale graph frame MEMORY_AND_DISK_SER instead; this pins the
+    // storage level so a refactor back to plain .localCheckpoint() cannot
+    // silently reintroduce the failure mode. The eager checkpoint
+    // materializes at build() time, so the new persistent RDDs are
+    // observable immediately; they are unpersisted afterwards to leave
+    // the shared session clean.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Registry.byName("qgraph_pagerank").build(spark, sfTiny)
+    val created = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    try {
+      val levels = created.values.map(_.getStorageLevel).toSeq
+      assert(levels.nonEmpty, "pagerank's eager checkpoints did not materialize at build")
+      assert(levels.exists(l => l.useDisk && !l.deserialized),
+        s"no serialized spillable checkpoint among storage levels: ${levels.mkString(", ")}")
+    } finally created.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {
     // the median/MAD/outlier branches all re-read the two value
     // histograms; without materialization the static plan duplicated the
