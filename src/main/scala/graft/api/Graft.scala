@@ -439,8 +439,9 @@ object Graft {
     *
     * Returns (bucket, vec_a < vec_b, sim) pairs with exact cosine ≥
     * `threshold`. 100 TB shape: one broadcast dot per (vector, plane),
-    * bucket resolved in a partial aggregate, and the only join key is a
-    * fixed-width long bucket id.
+    * bucket resolved in a partial aggregate, and the join key is the
+    * fixed-width (bucket, tile, tile) triple of the tiled self-join
+    * below — never the vectors themselves.
     */
   /** Signed-random-projection bucket per vector: bit b of `bucket` is the
     * sign of cos(v, plane_b). Planes are broadcast (≤ 64 rows by
@@ -460,13 +461,45 @@ object Graft {
   }
 
   def srpCandidates(vectors: DataFrame, id: Column, vec: Column,
-      planes: DataFrame, threshold: Double): DataFrame = {
+      planes: DataFrame, threshold: Double,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val v = vectors.select(id.as("vec_id"), vec.as("__v"))
     val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
-    val l = withEmb.select(col("bucket"), col("vec_id").as("vec_a"), col("__v").as("__va"))
-    val r = withEmb.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"))
-    l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+    // Tiled within-bucket self-join. A plain join on `bucket` puts a
+    // bucket's ENTIRE m²/2 pair enumeration in one task — and SRP sign
+    // bits cannot split a tight embedding cluster, so on clustered
+    // corpora the largest bucket tracks the largest cluster and one
+    // straggler task runs for minutes while the rest of the cluster
+    // idles (measured: 6 min single-task at a 37 k-vector bucket, sf10).
+    // Instead each bucket's id-ordered rows are cut into fixed
+    // `blockSize` tiles and the join key becomes (bucket, tile_a,
+    // tile_b): the pair SET — and therefore the output — is unchanged,
+    // but the quadratic work now lands in ~g²/2 independent tasks of at
+    // most blockSize² pairs each (g = tiles in the bucket), which is the
+    // shape that spreads across a 1000-executor cluster. Cost: each row
+    // is replicated once per tile it must meet (≤ g copies, only for
+    // rows in oversized buckets — a bucket within one tile keeps exactly
+    // one copy per side) plus one partitioned row_number window.
+    val wIdx = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val idx = withEmb
+      .withColumn("__i", row_number().over(wIdx).cast(LongType) - 1L)
+      // last tile index of this bucket: tiles above it never exist, so
+      // the left side's fan-out stops there
+      .withColumn("__tmax",
+        floor((count(lit(1)).over(Window.partitionBy(col("bucket"))) - 1L)
+          / lit(blockSize.toLong)).cast(IntegerType))
+      .withColumn("__t", floor(col("__i") / lit(blockSize.toLong)).cast(IntegerType))
+    // ids are ordered within the bucket, so vec_a < vec_b implies
+    // tile_a <= tile_b: the left row fans out to tiles [t, tmax], the
+    // right row to tile pairs [0, t] — every ordered tile pair (p <= q)
+    // is produced exactly once from each side
+    val l = idx.select(col("bucket"), col("vec_id").as("vec_a"), col("__v").as("__va"),
+      col("__t").as("__p"), explode(sequence(col("__t"), col("__tmax"))).as("__q"))
+    val r = idx.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"),
+      explode(sequence(lit(0), col("__t"))).as("__p"), col("__t").as("__q"))
+    l.join(r, Seq("bucket", "__p", "__q")).filter(col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         cosine_similarity(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -95,6 +95,35 @@ class ApiSpec extends SparkFixture {
     assert(rows.map(_.getLong(0)).distinct.length == n)
   }
 
+  test("srpCandidates tiling is invisible: multi-tile output equals the one-tile pair set") {
+    // the straggler-task fix (PERF.md round 9c): a bucket larger than
+    // blockSize is enumerated across (tile_a, tile_b) join keys instead
+    // of one task per bucket. The pair SET must be exactly the one-tile
+    // (= pre-tiling) enumeration — same pairs, same sims, no dups, no
+    // holes — including tiles that are partially filled and the
+    // diagonal tiles where vec_a < vec_b does the dedup.
+    val sp = spark
+    import sp.implicits._
+    // one tight positive-x cluster of 23 (forces 5 tiles at blockSize=5,
+    // last tile partial) plus 3 negative-x vectors in a second bucket
+    val vectors = ((0L until 23L).map(i =>
+        (i, Array(1.0f, (i % 5).toFloat * 0.01f))) ++
+      Seq((100L, Array(-1.0f, 0.0f)), (101L, Array(-0.9f, 0.2f)),
+        (102L, Array(-1.0f, 0.3f))))
+      .toDF("vec_id", "embedding")
+    val planes = Seq((0, Array(1.0f, 0.0f))).toDF("pid", "p_emb")
+    def pairs(blockSize: Int): Set[(Long, Long, Long, Double)] =
+      Graft.srpCandidates(vectors, col("vec_id"), col("embedding"), planes,
+          threshold = -1.0, blockSize = blockSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val tiled = pairs(5)
+    val oneTile = pairs(Int.MaxValue)
+    assert(tiled == oneTile, "tiled pair set diverges from the one-tile enumeration")
+    // threshold -1 keeps every within-bucket pair: 23·22/2 + 3·2/2
+    assert(oneTile.size == 23 * 22 / 2 + 3, s"expected full pair set, got ${oneTile.size}")
+  }
+
   test("textQuality computes exact counts and average word length") {
     val sp = spark
     import sp.implicits._

@@ -341,6 +341,21 @@ class PlanSpec extends SparkFixture {
       s"band join still nest-loops:\n$p")
   }
 
+  test("qllm_srp_lsh: the within-bucket self-join is tiled (bucket + two tile keys)") {
+    // the straggler-task pin (PERF.md round 9c): joining candidate pairs
+    // on `bucket` ALONE puts a whole bucket's quadratic enumeration in
+    // one task — a 6-minute straggler on the sf10 cluster fixture. The
+    // tiled shape joins on (bucket, tile_a, tile_b) so the same pair set
+    // spreads across ~g²/2 tasks. Pin the three-column equi-key so a
+    // refactor back to the bucket-only join fails here, not in a bench.
+    // string-match (the AQE wrapper hides its child from collect): the
+    // pair join must key on [bucket…, __p…, __q…], not [bucket…] alone
+    val p = plan("qllm_srp_lsh")
+    assert(raw"(SortMergeJoin|ShuffledHashJoin) \[bucket#\d+L, __p#\d+, __q#\d+\]".r
+      .findFirstIn(p).isDefined,
+      s"the within-bucket pair join lost its tile keys:\n$p")
+  }
+
   test("full inventory: zero CartesianProduct; BNLJ only at declared 1-row/cross sites") {
     // PERF.md's shuffle audit as a permanent gate, not prose: an
     // accidental non-equi join (the classic 100 TB killer) anywhere in
