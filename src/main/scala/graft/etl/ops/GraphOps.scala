@@ -186,12 +186,18 @@ object GraphOps {
       // without it the three unrolled iterations fuse into stages whose
       // concurrent sort/join buffers exhaust managed memory at sf10
       // (UNABLE_TO_ACQUIRE_MEMORY in a clean 16 GB JVM — measured; the
-      // serialized checkpoint variant runs the same fixture in 82 s)
+      // serialized checkpoint variant runs the same fixture in 82 s).
+      // A src-repartitioned+sorted checkpoint (to let iterations stream
+      // the edge side exchange-free) was tried and REJECTED on
+      // measurement: sf10 isolate unchanged (~90 s) and the extra
+      // sort+unroll pressure at checkpoint-creation time produced a
+      // transient failure — at this scale the per-iteration cost is the
+      // (dst, contribution) aggregate shuffle, not the edge-side join
+      // exchange, so pre-clustering buys nothing the loop can spend.
       val dir = ckptEdges(
         e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val dird = dir.join(deg, Seq("src"))
       val nRow = deg.agg(count(lit(1)).as("n"))
       // every node appears in deg (symmetric graph: in-degree == out-degree
       // > 0), so deg doubles as the node list and nothing dangles. Each
@@ -201,9 +207,18 @@ object GraphOps {
       val nodes = deg.select(col("src").as("v")).crossJoin(broadcast(nRow))
       var pr = nodes.select(col("v"), expr("1000000000000 div n").as("pr"))
       for (_ <- 1 to 3) {
-        val contrib = dird
-          .join(pr, dird("src") === pr("v"))
-          .select(col("dst"), expr("pr div deg").as("c"))
+        // per-node outgoing share (pr div deg) is resolved NODE-side — a
+        // node-scale join of the rank table to deg — instead of carrying
+        // deg on every edge row: the edge frame stays two longs wide and
+        // the only data moving per iteration are rank-scale rows plus
+        // the unavoidable (dst, contribution) aggregate shuffle.
+        val share = pr
+          .join(deg.select(col("src").as("__dv"), col("deg")),
+            col("v") === col("__dv"))
+          .select(col("v").as("__sv"), expr("pr div deg").as("__share"))
+        val contrib = dir
+          .join(share, dir("src") === share("__sv"))
+          .select(col("dst"), col("__share").as("c"))
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("cv"), col("s"))
