@@ -129,8 +129,10 @@ object GraphOps {
         .join(e.select(col("src").as("a2"), col("dst").as("c2")),
           col("a") === col("a2") && col("c") === col("c2"))
         .agg(count(lit(1)).as("n_triangles"))
-      val deg = e.select(col("src").as("v"))
-        .unionAll(e.select(col("dst").as("v")))
+      // one scan of the checkpointed subgraph instead of a unionAll's
+      // two (the kcore round-9c lesson): each edge yields exactly its
+      // two endpoint rows, identical counts
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("v"))
         .groupBy(col("v"))
         .agg(count(lit(1)).as("degree"))
       val stats = deg.agg(

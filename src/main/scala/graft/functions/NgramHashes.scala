@@ -72,7 +72,13 @@ object NgramHashUtil {
     val strs = new Array[org.apache.spark.unsafe.types.UTF8String](m)
     while (i < m) {
       val s = words.getUTF8String(i)
-      require(s != null, "ngram_hashes: null word element (upstream bug — split never yields nulls)")
+      // typed runtime error (round-9 advice item): surfaces as a
+      // SparkException execution failure, not a bare
+      // IllegalArgumentException from a library-internal require
+      if (s == null) {
+        throw new org.apache.spark.SparkException(
+          "ngram_hashes: null word element (upstream bug — split never yields nulls)")
+      }
       strs(i) = s
       offsets(i) = total + i // i separator bytes precede word i
       total += s.numBytes()
@@ -109,7 +115,10 @@ object NgramHashUtil {
     var i = 0
     while (i < m) {
       val s = words.getUTF8String(i)
-      require(s != null, "ngram_hash_chain: null word element (upstream bug — split never yields nulls)")
+      if (s == null) {
+        throw new org.apache.spark.SparkException(
+          "ngram_hash_chain: null word element (upstream bug — split never yields nulls)")
+      }
       wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       i += 1
     }
