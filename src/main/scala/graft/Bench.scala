@@ -20,6 +20,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tungsten's default 64 MB page is sized for ≥1 GB of heap per
+      // core; at local[32] each concurrent task's fair share of the
+      // unified pool is a few hundred MB, and 32 concurrent 64 MB-page
+      // consumers heap-OOM'd the 100× fixture's graph aggregates in an
+      // 8 GB JVM (PERF.md round 9d). 16 MB pages match the page size to
+      // the per-task budget: the sf10 suite runs 460 s / 0 errors at
+      // 16 GB (65 s faster than with default pages) and the graph
+      // family's non-checkpoint-bound queries clear an 8 GB heap too.
+      .config("spark.buffer.pageSize", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
