@@ -34,6 +34,33 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("count_leq equals the interpreted filter-lambda it replaced (incl. null elements, empty array)") {
+    // the qagg_rfm bucket-assignment contract (round-9 sf30 fix): the
+    // native expression must agree with size(filter(arr, b -> b <= v))
+    // value-for-value on every input the query can produce — including
+    // partially-null arrays (the SQL filter drops a null predicate) and
+    // the coalesce-to-empty fallback
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), 2.0),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), 0.5),   // below all
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0), 9.9),   // above all
+      (4L, Seq[java.lang.Double](2.0, 2.0, 2.0), 2.0),   // ties count each
+      (5L, Seq[java.lang.Double](), 1.0),                // empty -> 0
+      (6L, Seq[java.lang.Double](1.0, null, 3.0), 2.5),  // null element skipped
+      (7L, Seq[java.lang.Double](-1.5, 0.0), -1.5))
+      .toDF("id", "arr", "v")
+    val got = rows.select(col("id"),
+        graft.functions.ArraySearch.count_leq(col("arr"), col("v")).as("native"),
+        size(filter(col("arr"), b => b <= col("v"))).cast("bigint").as("lambda"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: native=${r.getLong(1)} lambda=${r.getLong(2)}")
+    }
+  }
+
   test("union additivity: count(a union b) == count(a) + count(b)") {
     samples(Gen.zip(smallLists, smallLists), 8).foreach { case (xs, ys) =>
       assert(intDf(xs).unionByName(intDf(ys)).count() == xs.size + ys.size)
