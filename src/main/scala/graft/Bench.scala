@@ -14,6 +14,41 @@ import org.apache.spark.sql.SparkSession
   * for local runs that shouldn't dirty the tree.
   */
 object Bench {
+
+  /** Queries whose `.count()` plan drops operators the real execution pays
+    * (Catalyst prunes joins/windows/generates that cannot change the row
+    * count — the qllm_semdedup artifact, PERF.md round 9c: 0.2 s benched
+    * vs full pair-enumeration cost in Verify). The suite keeps the
+    * `.count()` metric for cross-round continuity, and re-benches exactly
+    * this set through a MATERIALIZING noop sink (`format("noop")` — every
+    * row produced, nothing written) into the `materialized` map, so the
+    * honest number is in the same JSON. Membership is pinned by PlanSpec's
+    * static sweep ("count-prunable queries are exactly the pinned set"): a
+    * new query whose counted plan drops operators self-identifies there. */
+  val countPrunable: Set[String] = Set(
+    // every window query: a Window never changes cardinality, so count()
+    // elides the window compute itself — the whole family under-measured
+    "qwin_bollinger", "qwin_cusum", "qwin_dist", "qwin_drawdown", "qwin_ema",
+    "qwin_first_last", "qwin_gapfill", "qwin_gini", "qwin_hampel",
+    "qwin_lag_lead", "qwin_median", "qwin_ntile_dist", "qwin_ordergap",
+    "qwin_pareto", "qwin_range_frame", "qwin_rank", "qwin_rsi",
+    "qwin_running", "qwin_scd2", "qwin_slope", "qwin_smacross", "qwin_vwap",
+    // row-preserving joins / enrichments the count plan drops
+    "qjoin_left", "qjoin_right", "qjoin_range_binned", "qjoin_spatial_grid",
+    "qjoin_theta_range", "qstream_join", "qstream_late", "qstream_funnel",
+    // aggregate/analysis pipelines with prunable upstream ops
+    "qagg_abtest", "qagg_assoc", "qagg_distinct", "qagg_dqaudit",
+    "qagg_entropy", "qagg_fdaudit", "qagg_funnel", "qagg_hllmerge",
+    "qagg_incremental", "qagg_mad", "qagg_mom", "qagg_percentile",
+    "qagg_pivot", "qagg_rfm", "qagg_seasonality", "qagg_skew",
+    "qagg_wquantile", "qgraph_triangles",
+    // LLM-pipeline shapes (incl. the original qllm_semdedup artifact)
+    "qllm_bigram_lm", "qllm_bleu", "qllm_boilerplate", "qllm_decontam",
+    "qllm_dedup_e2e", "qllm_dsir", "qllm_dupfrac", "qllm_incr_dedup",
+    "qllm_lexdiv", "qllm_mix", "qllm_mix_temp", "qllm_novelty", "qllm_pack",
+    "qllm_repetition", "qllm_semdedup", "qllm_seqs_topn",
+    "qllm_source_profile", "qllm_surprisal", "qllm_vocab", "qllm_zipf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,6 +114,7 @@ object Bench {
     graft.etl.ExtractFixtures.supplierOrc(spark, sfDir)
     graft.etl.ExtractFixtures.documentsText(spark, sfDir)
     graft.etl.ExtractFixtures.copurchaseEdges(spark, sfDir)
+    graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfDir)
     graft.etl.ExtractFixtures.mediaBmp(spark, sfDir)
     graft.etl.ExtractFixtures.eventsDailyCsv(spark, sfDir)
     graft.etl.ExtractFixtures.eventsDailyJson(spark, sfDir)
@@ -107,19 +143,30 @@ object Bench {
     // a future suite-wide cache (or anything another thread pinned)
     // survives, and no localCheckpoint'd RDD a later query still holds is
     // ever made unrecomputable by the harness.
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Process-CPU seconds alongside wall (JMX): the graph family's sf10
+    // wall-clock isolates spread 68.8–108.3 s across round-9 sessions on
+    // UNCHANGED code (box-phase noise) — CPU seconds are immune to host
+    // contention stalls, so a real 30% regression is visible against the
+    // CPU number even when the wall band would hide it.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              consume: org.apache.spark.sql.DataFrame => Unit = _.count())
+        : (Double, Double) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { consume(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (osBean.getProcessCpuTime - c0) / 1e9
       spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
         if (!before.contains(rddId)) rdd.unpersist(blocking = false)
       }
-      dt
+      (dt, dc)
     }
     // Isolation pass (round-7 verdict item 3): suite-attributed times
     // absorb whatever warmup/box noise lands on a query's slot, so every
@@ -140,7 +187,7 @@ object Bench {
     val results = explicitIsolate match {
       case Some(_) => Seq.empty
       case None => SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timed(name, fn)
+        name -> timed(name, fn)._1
       }
     }
     // 12 auto-isolated entries (round-8 verdict item 5: wide enough that a
@@ -151,18 +198,52 @@ object Bench {
     // run recorded 0.03-s "isolated" entries for queries whose re-run died
     // with the SparkContext (each count() failed instantly), which would
     // diff as a 100× improvement against any prior round. Record an
-    // isolated time only when BOTH the warm and the measured run succeed,
+    // isolated time only when BOTH the warm and every measured run succeed
+    // (and skip the measured runs entirely when the warm already failed —
+    // a reproducibly failing query must not pay extra timed executions),
     // and stop isolating outright once the context is gone — every
     // subsequent entry would be the same instant failure.
-    val isolated = isolateKeys.sorted.flatMap { name =>
-      if (spark.sparkContext.isStopped) None
-      else {
-        val failedBefore = failed.size
-        timed(name, SparkEntry.queries(name)) // warm the exact subtree first
-        val dt = timed(name, SparkEntry.queries(name))
-        if (failed.size > failedBefore) None else Some(name -> dt)
+    //
+    // Explicit --isolate runs take BEST-OF-3 in one JVM (plus per-run wall
+    // and CPU detail in the file JSON): the graph family's single-run wall
+    // numbers carry a ±50% box-phase band that hid a would-be regression
+    // signal (round-9 verdict task 2); min-of-3 wall plus CPU seconds is
+    // the de-noised instrument. Auto-isolation after a full suite stays
+    // single-run — it is a breadth instrument, and tripling it would add
+    // minutes of suite cost at sf10.
+    val isolateRuns = if (explicitIsolate.isDefined) 3 else 1
+    val isolatedDetail: Seq[(String, Seq[(Double, Double)])] =
+      isolateKeys.sorted.flatMap { name =>
+        if (spark.sparkContext.isStopped) None
+        else {
+          val failedBefore = failed.size
+          timed(name, SparkEntry.queries(name)) // warm the exact subtree first
+          if (failed.size > failedBefore) None
+          else {
+            val runs = (1 to isolateRuns).map(_ => timed(name, SparkEntry.queries(name)))
+            if (failed.size > failedBefore) None else Some(name -> runs)
+          }
+        }
       }
-    }
+    val isolated = isolatedDetail.map { case (n, runs) => n -> runs.map(_._1).min }
+    // Materializing re-bench of the count-prunable set (countPrunable
+    // scaladoc): `.count()` lets Catalyst drop operators that can't change
+    // the row count, so these queries' suite slots under-measure. A noop
+    // sink forces every operator to produce every row without write cost;
+    // the `materialized` map is the honest number beside the continuity
+    // metric. Skipped in --isolate mode (that instrument times what it's
+    // told) and once the context is dead.
+    val materialized: Seq[(String, Double)] =
+      if (explicitIsolate.isDefined) Seq.empty
+      else Bench.countPrunable.toSeq.sorted.flatMap { name =>
+        if (spark.sparkContext.isStopped || !SparkEntry.queries.contains(name)) None
+        else {
+          val failedBefore = failed.size
+          val dt = timed(name, SparkEntry.queries(name),
+            _.write.mode("overwrite").format("noop").save())._1
+          if (failed.size > failedBefore) None else Some(name -> dt)
+        }
+      }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def toJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -174,8 +255,25 @@ object Bench {
     val errJson = s""","errors":${failed.distinct.size},"failed":${failed.distinct.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val isoJson = s""","isolated":${toJson(isolated)}"""
+    // per-run (wall, cpu) detail for explicit --isolate runs — the n=3
+    // min/median/cpu instrument the heavy-tail BASELINE entries cite
+    val detailJson =
+      if (!explicitIsolate.isDefined || isolatedDetail.isEmpty) ""
+      else s""","isolated_detail":${isolatedDetail.map { case (k, runs) =>
+        "\"" + k + "\":{\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
+          "],\"cpu\":[" + runs.map(r => r3(r._2)).mkString(",") + "]}"
+      }.mkString("{", ",", "}")}"""
+    // The FILE record carries the full 68-entry materialized map; the
+    // stdout line (driver-parsed from a 2000-char tail window — the
+    // round-1 overflow lesson) carries the total + the 8 slowest entries.
+    val matJson = if (materialized.isEmpty) "" else s""","materialized":${toJson(materialized)}"""
+    val matJsonStdout =
+      if (materialized.isEmpty) ""
+      else s""","n_materialized":${materialized.size},"materialized_total":${r3(
+          materialized.map(_._2).sum)},"materialized":${toJson(
+          materialized.sortBy(-_._2).take(8))}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)}$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)}$isoJson$detailJson$matJson,"sf":"$sfDir"}"""
     // target/ copy for local iteration; the repo-root copy is tracked so the
     // driver's round-end commit preserves all per-query times for the judge.
     // An --isolate run skips the suite (results is empty) and must NOT
@@ -191,7 +289,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)}$isoJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)}$isoJson$detailJson$matJsonStdout,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

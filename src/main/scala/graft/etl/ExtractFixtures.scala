@@ -276,6 +276,36 @@ object ExtractFixtures {
     * (table bytes / target file size) and both join sides MUST agree. */
   val Buckets = 8
 
+  /** Bucket count for the staged adjacency table — matched to the bench
+    * session's parallelism (local[32] / shuffle.partitions=32) so a
+    * bucketed scan feeds every core and lines up 1:1 with the rank-side
+    * hash partitioning in the PageRank iteration joins. A cluster sizes
+    * this to (edge bytes / target file size) like any bucketed fact. */
+  val AdjBuckets = 32
+
+  /** The DIRECTION-DOUBLED co-purchase adjacency staged as a sorted-
+    * bucketed parquet TABLE (bucketBy src), not an in-heap checkpoint —
+    * the layout [[graft.etl.ops.GraphOps]]'s header promises at 100 TB,
+    * now the actual plan shape. Round 9 held this 2×|E|-row frame as a
+    * MEMORY_AND_DISK_SER localCheckpoint; at sf30 the 540 M-row frame
+    * serializes to ~17 GB and cannot fit a 16 GB JVM (PERF.md round 9e —
+    * the suite's only scale failure). A disk-resident bucketed table has
+    * ZERO heap residency: each PageRank iteration re-reads a columnar
+    * two-long scan (cheap) whose bucket layout already matches the
+    * iteration join's src hash distribution, so the edge side needs no
+    * exchange and no sort. Derived from the staged canonical edges;
+    * write-once per (JVM, sfDir) like every fixture here. */
+  def copurchaseAdjacency(spark: SparkSession, sfDir: String): String = {
+    val edges = spark.read.schema("src BIGINT, dst BIGINT")
+      .parquet(copurchaseEdges(spark, sfDir))
+    val doubled = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    ensureBucketed(spark, sfDir, s"graft_adj_bkt_${pathTag(sfDir)}",
+      "copurchase_adj", doubled,
+      org.apache.spark.sql.types.StructType.fromDDL("src BIGINT, dst BIGINT"),
+      "src", AdjBuckets, Seq("src", "dst"))
+  }
+
   /** orders and lineitem written SORTED-BUCKETED by orderkey
     * (`bucketBy(8).sortBy` + `saveAsTable`) — the pre-shuffled layout a
     * 100 TB warehouse keeps its biggest fact tables in so that the
@@ -300,19 +330,21 @@ object ExtractFixtures {
   private def ensureBucketed(
       spark: SparkSession, sfDir: String, table: String, sub: String,
       df: org.apache.spark.sql.DataFrame, schema: org.apache.spark.sql.types.StructType,
-      key: String): String = synchronized {
+      key: String, buckets: Int = Buckets,
+      sortCols: Seq[String] = Nil): String = synchronized {
+    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
     if (!spark.catalog.tableExists(table)) {
       val dir = root(sfDir).resolve(sub)
       val marker = dir.resolve("_GRAFT_FIXTURE_OK")
       if (Files.exists(marker)) {
         spark.sql(
           s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS " +
-            s"LOCATION '${dir.toUri}'")
+            s"CLUSTERED BY ($key) SORTED BY (${sorted.mkString(", ")}) " +
+            s"INTO $buckets BUCKETS LOCATION '${dir.toUri}'")
       } else {
-        df.repartition(Buckets, col(key))
+        df.repartition(buckets, col(key))
           .write.mode("overwrite").format("parquet")
-          .bucketBy(Buckets, key).sortBy(key)
+          .bucketBy(buckets, key).sortBy(sorted.head, sorted.tail: _*)
           .option("path", dir.toString)
           .saveAsTable(table)
         Files.write(marker, Array.emptyByteArray)

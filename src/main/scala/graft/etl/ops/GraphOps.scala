@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.DoubleType
   *     (distinct + re-partitioned self-join + distinct) of the naive
   *     pair join — and nothing but keys ever crosses the wire.
   *   - Degree / PageRank iterate keyed shuffles of (node, long) pairs only;
-  *     at 100 TB the edge table would be bucketed by `src` so every
-  *     iteration reuses the layout and shuffles nothing but the rank column.
+  *     the direction-doubled adjacency IS a sorted-bucketed-by-`src` table
+  *     ([[graft.etl.ExtractFixtures.copurchaseAdjacency]]) so every
+  *     iteration reuses the layout and shuffles nothing but the rank column
+  *     — the same staging a 100 TB deployment would write.
   *   - Triangle counting runs on a declared subgraph (p_size < 10 — the
   *     filter pushes to the part scan) with the `a < b < c` orientation
   *     bounding wedge fanout by ORIENTED degree; the production-scale
@@ -168,36 +170,33 @@ object GraphOps {
     * total mass 10^12, per-node share and every contribution computed with
     * truncating integer division — identical on both engines, so the ranks
     * are bit-exact with no fp anywhere. Per iteration: one keyed join of
-    * the directed edge list to the rank table + one keyed aggregate — the
-    * two-shuffle loop body a bucketed layout would reduce to rank-only
-    * shuffles at 100 TB. Top-20 by (rank desc, node) via TakeOrdered. */
+    * the BUCKETED adjacency table to the rank table + one keyed aggregate
+    * — the edge side arrives hash-distributed and sorted from its bucket
+    * layout, so the only data moving per iteration are rank-scale rows.
+    * Top-20 by (rank desc, node) via TakeOrdered. */
   private val qgraphPagerank = QueryDef(
     "qgraph_pagerank",
     build = (spark, sfDir) => {
-      // Materialize the degree-annotated directed edge list ONCE: the three
-      // unrolled iterations each reference `dird` and `nodes`, and without a
-      // checkpoint every iteration's subtree re-derives the distinct +
-      // self-join edge pipeline (ReusedExchange only dedups identical
-      // exchanges within one stage graph, not the full scan+join chain).
-      // At 100 TB this is the canonical PageRank layout: stage the adjacency
-      // list bucketed by src once, then iterate rank-only shuffles over it.
-      // `deg` is checkpointed too — it doubles as the node list and appears
-      // in every iteration's dangling-mass left join.
-      val e = edges(spark, sfDir)
-      // the checkpoint is LOAD-BEARING at scale, not just a lineage cut:
-      // without it the three unrolled iterations fuse into stages whose
-      // concurrent sort/join buffers exhaust managed memory at sf10
-      // (UNABLE_TO_ACQUIRE_MEMORY in a clean 16 GB JVM — measured; the
-      // serialized checkpoint variant runs the same fixture in 82 s).
-      // A src-repartitioned+sorted checkpoint (to let iterations stream
-      // the edge side exchange-free) was tried and REJECTED on
-      // measurement: sf10 isolate unchanged (~90 s) and the extra
-      // sort+unroll pressure at checkpoint-creation time produced a
-      // transient failure — at this scale the per-iteration cost is the
-      // (dst, contribution) aggregate shuffle, not the edge-side join
-      // exchange, so pre-clustering buys nothing the loop can spend.
-      val dir = ckptEdges(
-        e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))))
+      // The adjacency is a STAGED SORTED-BUCKETED TABLE (bucketBy src —
+      // [[graft.etl.ExtractFixtures.copurchaseAdjacency]]), not an in-heap
+      // checkpoint: this is the canonical 100 TB PageRank layout the header
+      // promises — stage the direction-doubled adjacency once, then iterate
+      // rank-only shuffles over it. Each of the three unrolled iterations
+      // re-reads a two-long columnar scan whose bucket layout already
+      // matches the join's src hash distribution (no exchange, no sort on
+      // the edge side), and NOTHING edge-scale lives in the heap. The
+      // round-9 MEMORY_AND_DISK_SER localCheckpoint variant was measured
+      // and replaced: its 540 M-row frame serializes to ~17 GB at sf30 and
+      // cannot fit a 16 GB JVM (PERF.md round 9e — the suite's only scale
+      // failure), where the bucketed table runs the same fixture from disk.
+      // (A src-repartitioned+sorted CHECKPOINT was tried in round 9c and
+      // rejected — same heap residency, no win; the bucketed table is a
+      // different beast: zero heap blocks and a columnar scan path.)
+      val dir = spark.table(
+        graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfDir))
+      // deg is NODE-scale (it doubles as the node list and appears in every
+      // iteration's dangling-mass left join) — a localCheckpoint is right
+      // here; only the edge-scale frame moved to the staged table.
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val nRow = deg.agg(count(lit(1)).as("n"))
@@ -401,16 +400,14 @@ object GraphOps {
     * "related items" feature: for part pairs sharing ≥ 1 neighbor in the
     * p_size < 10 subgraph, J = |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|),
     * emitted for pairs with ≥ 3 common neighbors (noise floor), ordered
-    * by (common desc, pair). Pair generation is the oriented wedge join
-    * (both directed copies joined through the shared neighbor, a < b
-    * orientation halves the space); the count + two degree joins are all
-    * keyed; J is ONE IEEE division of exact integers. At 100 TB the
-    * wedge join is the bucketed-adjacency pattern; hub damping (cap or
-    * drop top-degree spines) bounds fanout exactly like the df-cap in
-    * the shingle inverted index. */
+    * by (common desc, pair). Pair generation is the TILED wedge join
+    * (the qllm_srp_lsh pattern — see below); the count + two degree
+    * joins are all keyed; J is ONE IEEE division of exact integers. */
   private val qgraphJaccard = QueryDef(
     "qgraph_jaccard",
     build = (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{IntegerType, LongType}
       val small = Tables.part(spark, sfDir)
         .filter(col("p_size") < 10)
         .select(col("p_partkey"))
@@ -421,9 +418,33 @@ object GraphOps {
       val d = ckptEdges(
         es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
       val deg = d.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      val common = d.select(col("dst").as("a"), col("src").as("n1"))
-        .join(d.select(col("src").as("n2"), col("dst").as("b")),
-          col("n1") === col("n2") && col("a") < col("b"))
+      // TILED wedge enumeration (the qllm_srp_lsh cluster-collapse fix
+      // applied to graph hubs): a plain self-join keyed on the shared
+      // neighbor puts a hub's ENTIRE C(deg, 2) pair enumeration in one
+      // task, and hub degree grows with scale even though MEAN degree is
+      // flat — measured 3.9× cost on 3× data sf10 → sf30, the one
+      // non-contract superlinear curve left after round 9. Each center's
+      // dst-ordered neighbor rows are cut into fixed `tile`-row tiles and
+      // the join key becomes (center, tile_a, tile_b): the WEDGE SET is
+      // byte-identical (ids are ordered within the center, so a < b
+      // implies tile_a <= tile_b, and each ordered tile pair is produced
+      // exactly once from each side), but the hub's quadratic work now
+      // lands in bounded ≤ tile² tasks that spread across the cluster.
+      // GraphSpec pins wedge-multiset equality against the naive join.
+      val tile = 1024L
+      val wIdx = Window.partitionBy(col("src")).orderBy(col("dst"))
+      val idx = d
+        .withColumn("__i", row_number().over(wIdx).cast(LongType) - 1L)
+        .withColumn("__tmax",
+          floor((count(lit(1)).over(Window.partitionBy(col("src"))) - 1L)
+            / lit(tile)).cast(IntegerType))
+        .withColumn("__t", floor(col("__i") / lit(tile)).cast(IntegerType))
+      val l = idx.select(col("src").as("n"), col("dst").as("a"),
+        col("__t").as("__p"), explode(sequence(col("__t"), col("__tmax"))).as("__q"))
+      val r = idx.select(col("src").as("n"), col("dst").as("b"),
+        explode(sequence(lit(0), col("__t"))).as("__p"), col("__t").as("__q"))
+      val common = l.join(r, Seq("n", "__p", "__q"))
+        .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n_common"))
         .filter(col("n_common") >= 3)

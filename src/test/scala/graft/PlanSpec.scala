@@ -413,6 +413,81 @@ class PlanSpec extends SparkFixture {
     assert(offenders.isEmpty, s"unexpected non-equi join plans:\n${offenders.mkString("\n")}")
   }
 
+  test("qgraph_jaccard: tiled wedge join — tile keys in the plan, output exact vs the naive self-join") {
+    // round 10 tiled the wedge enumeration (the qllm_srp_lsh pattern):
+    // hub degree grows with scale, and the naive join keyed on the shared
+    // neighbor alone put a hub's whole C(deg,2) enumeration in one task
+    // (3.9× cost on 3× data, sf10 → sf30). Two pins: the join must keep
+    // its (center, tile_a, tile_b) key, and the tiled output must equal
+    // the naive untiled recomputation row for row.
+    import org.apache.spark.sql.functions._
+    val p = plan("qgraph_jaccard")
+    assert(raw"(SortMergeJoin|ShuffledHashJoin) \[n#\d+L, __p#\d+, __q#\d+\]".r
+      .findFirstIn(p).isDefined,
+      s"the wedge join lost its tile keys:\n$p")
+    val got = Registry.byName("qgraph_jaccard").build(spark, sfTiny)
+      .collect().toSeq.map(_.toString)
+    // naive untiled recomputation of the same metric
+    val small = graft.etl.Tables.part(spark, sfTiny)
+      .filter(col("p_size") < 10).select(col("p_partkey"))
+    val es = spark.read.schema("src BIGINT, dst BIGINT")
+      .parquet(graft.etl.ExtractFixtures.copurchaseEdges(spark, sfTiny))
+      .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
+      .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
+      .select(col("src"), col("dst"))
+    val d = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = d.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val naive = d.select(col("dst").as("a"), col("src").as("n1"))
+      .join(d.select(col("src").as("n2"), col("dst").as("b")),
+        col("n1") === col("n2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 3)
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("n_common").desc, col("a"), col("b")).limit(100)
+      .collect().toSeq.map(_.toString)
+    assert(got == naive, "tiled wedge join diverged from the naive enumeration")
+  }
+
+  test("count-prunable queries are exactly the pinned set (materializing bench mode)") {
+    // Bench consumes via .count(), and Catalyst legitimately drops
+    // operators that cannot change the row count — for qllm_semdedup it
+    // pruned the whole pair-enumeration join, so the benched 0.2 s was an
+    // artifact (PERF.md round 9c). This sweep compares each query's
+    // optimized plan against its .count() plan (node classes that carry
+    // real distributed work: Join/Generate/Window/Aggregate/Expand —
+    // Sort is deliberately excluded: count() always elides a top-level
+    // orderBy, which is output-presentation cost, not the dropped-compute
+    // artifact this instrument exists for) and pins the affected set.
+    // Bench re-benches exactly Bench.countPrunable through a noop sink
+    // (the `materialized` map); a new count-prunable query fails HERE so
+    // its author adds it to the pinned set instead of shipping a silently
+    // under-measured bench slot.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, Join, LogicalPlan, Window => LWindow}
+    def heavy(p: LogicalPlan): Int = p.collect {
+      case n: Join => n
+      case n: Generate => n
+      case n: LWindow => n
+      case n: Aggregate => n
+      case n: Expand => n
+    }.size
+    val found = Registry.all.flatMap { q =>
+      val df = q.build(spark, sfTiny)
+      val fullOps = heavy(df.queryExecution.optimizedPlan)
+      // Dataset.count() executes groupBy().count() — one extra global
+      // Aggregate on top of the query's own plan when nothing is pruned
+      val countOps = heavy(df.groupBy().count().queryExecution.optimizedPlan)
+      if (countOps < fullOps + 1) Some(q.name) else None
+    }.toSet
+    assert(found == graft.Bench.countPrunable,
+      s"count-prunable sweep drifted from the pinned set.\n" +
+        s"  newly prunable: ${(found -- graft.Bench.countPrunable).toSeq.sorted.mkString(", ")}\n" +
+        s"  no longer prunable: ${(graft.Bench.countPrunable -- found).toSeq.sorted.mkString(", ")}")
+  }
+
   test("full inventory: every static plan stays under the 16-exchange budget") {
     // the qagg_mad lesson (33-exchange static plan from un-materialized
     // subtree duplication) as a suite-wide gate: a future edit that drops
@@ -465,26 +540,29 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("qgraph_pagerank: edge-scale checkpoint is serialized and spillable (the sf10 OOM pin)") {
-    // At sf10 the direction-doubled edge frame (180 M rows) under the
-    // DEFAULT deserialized localCheckpoint level unrolled ~8.6 GB of row
-    // objects across 32 tasks and heap-OOM-killed the whole SparkContext
-    // (PERF.md round 9b — reproduced twice). ckptEdges stages every
-    // edge-scale graph frame MEMORY_AND_DISK_SER instead; this pins the
-    // storage level so a refactor back to plain .localCheckpoint() cannot
-    // silently reintroduce the failure mode. The eager checkpoint
-    // materializes at build() time, so the new persistent RDDs are
-    // observable immediately; they are unpersisted afterwards to leave
-    // the shared session clean.
+  test("qgraph_pagerank: iterations scan the bucketed adjacency table, no edge-scale heap block") {
+    // Round 10 replaced the edge-scale MEMORY_AND_DISK_SER localCheckpoint
+    // (which serialized to ~17 GB at sf30 and could not fit a 16 GB JVM —
+    // PERF.md round 9e) with the staged sorted-bucketed adjacency TABLE
+    // (ExtractFixtures.copurchaseAdjacency). Two pins: (1) each of the
+    // three unrolled iterations reads the adjacency via a BUCKET-SELECTED
+    // scan, so the edge side of the iteration join keeps its staged hash
+    // layout; (2) the only persistent RDD the build creates is the
+    // NODE-scale deg checkpoint — an edge-scale heap block reappearing
+    // here is the sf30 failure mode coming back.
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Registry.byName("qgraph_pagerank").build(spark, sfTiny)
+    val qe = Registry.byName("qgraph_pagerank").build(spark, sfTiny).queryExecution
     val created = spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => before.contains(id) }
     try {
-      val levels = created.values.map(_.getStorageLevel).toSeq
-      assert(levels.nonEmpty, "pagerank's eager checkpoints did not materialize at build")
-      assert(levels.exists(l => l.useDisk && !l.deserialized),
-        s"no serialized spillable checkpoint among storage levels: ${levels.mkString(", ")}")
+      val p = qe.executedPlan.toString
+      val b = graft.etl.ExtractFixtures.AdjBuckets
+      assert(s"SelectedBucketsCount: $b out of $b".r.findAllIn(p).size >= 3,
+        s"expected >= 3 bucket-selected adjacency scans (one per iteration):\n$p")
+      assert(created.size <= 1,
+        s"pagerank build created ${created.size} persistent RDDs — only the " +
+          s"node-scale deg checkpoint is allowed (edge-scale heap blocks are " +
+          s"the sf30 OOM failure mode)")
     } finally created.values.foreach(_.unpersist(blocking = false))
   }
 
