@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.Bridge
@@ -30,15 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * dot) keep exact parity with the built-in tree. PropertySpec pins
   * bit-equality against the SQL shape on adversarial inputs.
   */
-case class NormalizeText(child: Expression) extends UnaryExpression {
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with Bridge.StringInputs {
 
+  // Bridge.StringInputs = ImplicitCastInputTypes(StringType): the SQL tree
+  // this expression replaced (`lower` + two `regexp_replace`) implicitly
+  // cast any argument to string, so a caller passing e.g. an int column
+  // must keep getting coerced output rather than a new analysis error.
   override def dataType: DataType = StringType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"normalize_text requires string, got ${other.catalogString}")
-  }
 
   override def nullSafeEval(input: Any): Any =
     NormalizeTextUtil.compute(input.asInstanceOf[UTF8String])

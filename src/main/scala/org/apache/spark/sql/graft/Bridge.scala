@@ -22,6 +22,18 @@ object Bridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** The analyzer's implicit-cast machinery keys on [[ImplicitCastInputTypes]],
+    * whose `inputTypes` signature names the `private[sql]` AbstractDataType —
+    * unusable from graft's own packages. This shim fixes every input to
+    * StringType from inside the sql package, so a string-typed native
+    * expression (e.g. NormalizeText) coerces non-string arguments exactly
+    * like the built-in string functions it replaced. */
+  trait StringInputs extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    self: Expression =>
+    override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+      Seq.fill(children.size)(org.apache.spark.sql.types.StringType)
+  }
+
   /** Rewrite `sub` so none of its attribute ids collide with `outer`'s —
     * the precondition for embedding `sub` as a subquery inside a plan that
     * may already contain the same source subtree (self-join shapes).
