@@ -433,9 +433,12 @@ class StreamingSpec extends SparkFixture {
       q2.processAllAvailable()
     }
     q2.stop()
-    // the partial write is already on disk (that's the premise)
-    assert(new java.io.File(outDir).listFiles().exists(_.getName.startsWith("batch_id=")),
-      "injected kill must land AFTER the sink write")
+    // the partial write is already on disk (that's the premise) — assert
+    // the KILLED batch's partition specifically (batch_id=1): batch_id=0
+    // from the first healthy batch would satisfy a bare prefix check
+    // without verifying the partial write actually landed
+    assert(new java.io.File(outDir, "batch_id=1").isDirectory,
+      "injected kill must land AFTER the sink write (batch_id=1 on disk)")
     val q3 = start() // same checkpoint: the uncommitted batch REPLAYS
     try q3.processAllAvailable() finally q3.stop()
     val got = sp.read.schema(batch1.toDF().schema)
