@@ -64,6 +64,15 @@ object Bench {
       // 16 GB (65 s faster than with default pages) and the graph
       // family's non-checkpoint-bound queries clear an 8 GB heap too.
       .config("spark.buffer.pageSize", "16m")
+      // Trust the staged bucketed tables' sortBy metadata (off by default
+      // since Spark 3.0; only honored when a bucket is exactly one file,
+      // which the fixture writer guarantees via repartition-on-the-bucket
+      // key). Without it every iteration join over the sorted-bucketed
+      // adjacency re-sorts 5.6 M rows per task — 32 concurrent ~250 MB
+      // sort pointer arrays heap-OOM'd the 16 GB JVM at sf10 (round 10);
+      // with it the edge side streams pre-sorted from disk, which is the
+      // entire point of the sorted-bucketed layout.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -208,6 +208,20 @@ object GraphOps {
       val nodes = deg.select(col("src").as("v")).crossJoin(broadcast(nRow))
       var pr = nodes.select(col("v"), expr("1000000000000 div n").as("pr"))
       for (_ <- 1 to 3) {
+        // Materialize the NODE-scale rank vector between iterations
+        // (serialized spillable, like every iteration-state checkpoint
+        // here — tens of MB even at sf30, never edge-scale). Without the
+        // cut, the bucket-aligned layout leaves NO exchange anywhere in
+        // the iteration body, so Catalyst fuses iteration i's final
+        // aggregate+sort, both node-side SMJs, iteration i+1's edge-scale
+        // SMJ and its partial aggregate into ONE codegen'd task pipeline
+        // — ~6 concurrent memory consumers × 32 tasks exhausted the
+        // 16 GB pool at sf10 (UNABLE_TO_ACQUIRE_MEMORY, measured round
+        // 10). The cut bounds each iteration to its own job: one edge
+        // SMJ + one aggregate in flight, rank-only state in memory —
+        // exactly the per-superstep materialization a cluster Pregel
+        // loop does.
+        pr = ckptEdges(pr)
         // per-node outgoing share (pr div deg) is resolved NODE-side — a
         // node-scale join of the rank table to deg — instead of carrying
         // deg on every edge row: the edge frame stays two longs wide and

@@ -547,9 +547,11 @@ class PlanSpec extends SparkFixture {
     // (ExtractFixtures.copurchaseAdjacency). Two pins: (1) each of the
     // three unrolled iterations reads the adjacency via a BUCKET-SELECTED
     // scan, so the edge side of the iteration join keeps its staged hash
-    // layout; (2) the only persistent RDD the build creates is the
-    // NODE-scale deg checkpoint — an edge-scale heap block reappearing
-    // here is the sf30 failure mode coming back.
+    // layout; (2) the build creates ONLY node-scale persistent RDDs — deg
+    // plus one rank vector per iteration boundary (the cut that stops the
+    // exchange-free iteration body from fusing into one pool-exhausting
+    // task pipeline; PERF.md round 10) — an edge-scale heap block
+    // reappearing here is the sf30 failure mode coming back.
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val qe = Registry.byName("qgraph_pagerank").build(spark, sfTiny).queryExecution
     val created = spark.sparkContext.getPersistentRDDs
@@ -557,12 +559,23 @@ class PlanSpec extends SparkFixture {
     try {
       val p = qe.executedPlan.toString
       val b = graft.etl.ExtractFixtures.AdjBuckets
-      assert(s"SelectedBucketsCount: $b out of $b".r.findAllIn(p).size >= 3,
-        s"expected >= 3 bucket-selected adjacency scans (one per iteration):\n$p")
-      assert(created.size <= 1,
+      // the final iteration's edge join is in the static plan; earlier
+      // iterations' bucketed scans ran eagerly at checkpoint time
+      assert(s"SelectedBucketsCount: $b out of $b".r.findAllIn(p).nonEmpty,
+        s"the iteration edge join lost its bucket-selected adjacency scan:\n$p")
+      assert(created.size <= 4,
         s"pagerank build created ${created.size} persistent RDDs — only the " +
-          s"node-scale deg checkpoint is allowed (edge-scale heap blocks are " +
-          s"the sf30 OOM failure mode)")
+          s"node-scale deg + per-iteration rank checkpoints are allowed " +
+          s"(an edge-scale heap block is the sf30 OOM failure mode)")
+      val rows = created.values.map(r => r.count()).toSeq
+      // mean degree ~115, so node-scale frames sit far below |E|; the
+      // direction-doubled adjacency (2|E|) failing this bound is the
+      // 17 GB-in-heap regression this test exists to catch
+      val halfEdges = spark.table(
+        graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfTiny)).count() / 2
+      assert(rows.forall(_ <= halfEdges),
+        s"a persistent RDD reaches edge scale (>$halfEdges rows): $rows " +
+          "— edge-scale state is back in the heap")
     } finally created.values.foreach(_.unpersist(blocking = false))
   }
 
