@@ -112,19 +112,44 @@ object WindowOps {
         "FROM orders ORDER BY o_custkey, o_orderkey"))
 
   /** Fractional RANGE frames need SQL text in Spark (the Scala
-    * Window.rangeBetween API is Long-only); the identical frame runs on
-    * both engines. Peers at equal `value` are frame-included, so counts
-    * are tie-stable (D9). */
+    * Window.rangeBetween API is Long-only); the frame SEMANTICS are
+    * identical on both engines. Peers at equal `value` are frame-included,
+    * so counts are tie-stable (D9). */
   private def rangeFrameSql(table: String): String =
     "SELECT event_id, event_type, value, " +
       "count(*) OVER (PARTITION BY event_type ORDER BY value " +
       "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range " +
       s"FROM $table ORDER BY event_id"
 
+  /** Deliberately NOT the raw-row window the oracle runs: Spark's sliding
+    * frame cannot retract, so every lower-bound advance rebuilds the
+    * aggregate from the whole frame — O(rows × frame) per partition, and
+    * with ~5 event types the partitions are 1/5 of ALL events. The sf30
+    * materializing bench caught one such task at 55+ CPU-minutes
+    * (6 M rows × ~1 M-row avg frame; invisible under `.count()`, which
+    * prunes the window — PERF.md round 10). Because `n_in_range` counts
+    * rows with value in [v−100, v], it is a pure function of
+    * (type, VALUE): run the IDENTICAL RANGE frame over the DISTINCT
+    * (type, value, cnt) frame with `sum(cnt)` — the value domain is
+    * bounded (a 0.01 grid, ≤ 56 k distinct per type at EVERY sf), so the
+    * window sorts metadata-scale partitions however large the corpus —
+    * then join back on (type, value) (the qwin_dist shape). Spark's own
+    * RANGE boundary arithmetic is unchanged (same window expression, same
+    * doubles), so results stay bit-identical to the oracle's raw-row
+    * window. */
   private val qwinRangeFrame = QueryDef(
     "qwin_range_frame",
-    build = (spark, sfDir) =>
-      spark.sql(rangeFrameSql(Tables.view(spark, sfDir, "events"))),
+    build = (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val vc = e.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+      val metrics = vc.selectExpr("event_type", "value",
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range")
+      e.join(broadcast(metrics), Seq("event_type", "value"))
+        .select(col("event_id"), col("event_type"), col("value"), col("n_in_range"))
+        .orderBy(col("event_id"))
+    },
     oracle = Some(rangeFrameSql("events")))
 
   /** percent_rank/cume_dist are integer-ratio doubles — bit-identical
