@@ -127,6 +127,11 @@ object Bench {
     graft.etl.ExtractFixtures.mediaBmp(spark, sfDir)
     graft.etl.ExtractFixtures.eventsDailyCsv(spark, sfDir)
     graft.etl.ExtractFixtures.eventsDailyJson(spark, sfDir)
+    // the COMPACT year-partitioned layout was the one staged fixture NOT
+    // in this list — on a fresh sfDir its one-time shuffle+write (orders
+    // repartitioned by year) landed in qscan_metadata's slot (18.3 s
+    // attributed vs 0.4 s isolated at sf30, round-10 verdict task 4)
+    graft.etl.ExtractFixtures.ordersByYearCompact(spark, sfDir)
     // the sorted-bucketed orders/lineitem layout is the largest staged
     // fixture — on a fresh sfDir its one-time write was being attributed
     // to qjoin_bucketed (measured 13.9 s at sf1, ~20× its steady-state)
@@ -221,15 +226,29 @@ object Bench {
     // single-run — it is a breadth instrument, and tripling it would add
     // minutes of suite cost at sf10.
     val isolateRuns = if (explicitIsolate.isDefined) 3 else 1
+    // Explicit --isolate of a COUNT-PRUNABLE query consumes through the
+    // noop sink, not count(): isolating e.g. qllm_semdedup with count()
+    // would time the pruned plan — exactly the under-measurement the
+    // `materialized` map exists to correct (round-10 verdict task 1 asks
+    // for clean isolate bands OF the materialized costs). Auto-isolation
+    // keeps count() so its cross-round continuity with prior `isolated`
+    // records holds; the JSON carries `isolate_consume` so a reader knows
+    // which instrument produced a number.
+    val isoConsume: String => (org.apache.spark.sql.DataFrame => Unit) = name =>
+      if (explicitIsolate.isDefined && countPrunable.contains(name))
+        (df => df.write.mode("overwrite").format("noop").save())
+      else (df => { df.count(); () })
     val isolatedDetail: Seq[(String, Seq[(Double, Double)])] =
       isolateKeys.sorted.flatMap { name =>
         if (spark.sparkContext.isStopped) None
         else {
           val failedBefore = failed.size
-          timed(name, SparkEntry.queries(name)) // warm the exact subtree first
+          // warm the exact subtree first
+          timed(name, SparkEntry.queries(name), isoConsume(name))
           if (failed.size > failedBefore) None
           else {
-            val runs = (1 to isolateRuns).map(_ => timed(name, SparkEntry.queries(name)))
+            val runs = (1 to isolateRuns)
+              .map(_ => timed(name, SparkEntry.queries(name), isoConsume(name)))
             if (failed.size > failedBefore) None else Some(name -> runs)
           }
         }
@@ -242,6 +261,12 @@ object Bench {
     // the `materialized` map is the honest number beside the continuity
     // metric. Skipped in --isolate mode (that instrument times what it's
     // told) and once the context is dead.
+    // A failure in this INSTRUMENT pass must not report the query itself
+    // as failed: its count()-consumed suite slot already succeeded, and
+    // the cross-round "errors":0 continuity signal must track query
+    // health, not noop-sink health — so materialize-pass failures move to
+    // their own list/JSON key instead of the shared `failed` set.
+    val materializeFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val materialized: Seq[(String, Double)] =
       if (explicitIsolate.isDefined) Seq.empty
       else Bench.countPrunable.toSeq.sorted.flatMap { name =>
@@ -250,7 +275,11 @@ object Bench {
           val failedBefore = failed.size
           val dt = timed(name, SparkEntry.queries(name),
             _.write.mode("overwrite").format("noop").save())._1
-          if (failed.size > failedBefore) None else Some(name -> dt)
+          if (failed.size > failedBefore) {
+            materializeFailed ++= failed.drop(failedBefore)
+            failed.remove(failedBefore, failed.size - failedBefore)
+            None
+          } else Some(name -> dt)
         }
       }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -263,7 +292,14 @@ object Bench {
     // read as one error, not two, or cross-round "errors":N diffs lie.
     val errJson = s""","errors":${failed.distinct.size},"failed":${failed.distinct.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val isoJson = s""","isolated":${toJson(isolated)}"""
+    val matFailJson =
+      if (materializeFailed.isEmpty) ""
+      else s""","materialize_failed":${materializeFailed.distinct.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // n=3 explicit isolates report min under `isolated` (biased low vs the
+    // single samples every pre-round-10 record holds) — annotate the
+    // sampling so cross-round isolate diffs know what they're comparing
+    val isoJson = s""","isolate_runs":$isolateRuns,"isolated":${toJson(isolated)}"""
     // per-run (wall, cpu) detail for explicit --isolate runs — the n=3
     // min/median/cpu instrument the heavy-tail BASELINE entries cite
     val detailJson =
@@ -276,13 +312,15 @@ object Bench {
     // stdout line (driver-parsed from a 2000-char tail window — the
     // round-1 overflow lesson) carries the total + the 8 slowest entries.
     val matJson = if (materialized.isEmpty) "" else s""","materialized":${toJson(materialized)}"""
+    // stdout names its truncated top-8 map DISTINCTLY from the file JSON's
+    // full `materialized` map — one key must never carry two shapes
     val matJsonStdout =
       if (materialized.isEmpty) ""
       else s""","n_materialized":${materialized.size},"materialized_total":${r3(
-          materialized.map(_._2).sum)},"materialized":${toJson(
+          materialized.map(_._2).sum)},"materialized_top8":${toJson(
           materialized.sortBy(-_._2).take(8))}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(results)}$isoJson$detailJson$matJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson,"queries":${toJson(results)}$isoJson$detailJson$matJson,"sf":"$sfDir"}"""
     // target/ copy for local iteration; the repo-root copy is tracked so the
     // driver's round-end commit preserves all per-query times for the judge.
     // An --isolate run skips the suite (results is empty) and must NOT
@@ -298,7 +336,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson,"queries":${toJson(slowest)}$isoJson$detailJson$matJsonStdout,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson,"queries":${toJson(slowest)}$isoJson$detailJson$matJsonStdout,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -505,6 +505,69 @@ object Graft {
       .filter(col("sim") >= threshold)
   }
 
+  /** Semantic-dedup DROP SET — one `vec_id` column holding every vector
+    * with ANY lower-id same-bucket neighbor of cosine ≥ `threshold` (the
+    * qllm_semdedup rule) — computed WITHOUT enumerating the full candidate
+    * pair set. The drop rule is EXISTENTIAL (one hit decides a vector), so
+    * a linear probe pass resolves most of the corpus before any quadratic
+    * work: phase 1 scores each vector only against its bucket's `probeCap`
+    * smallest ids (≤ probeCap cosines per vector — linear in n). That
+    * fully decides every pool member (a pool vector's lower-id bucket
+    * mates are all in the pool too), and on cluster-collapsed buckets —
+    * where SRP bucket mass tracks cluster mass, so near-everything is
+    * near the pool — it decides near-everyone else's `drop` as well.
+    * Phase 2 re-scans only the phase-1 SURVIVORS beyond the pool, against
+    * the bucket's remaining non-pool lower ids (every pool witness was
+    * already consulted), tiled like [[srpCandidates]] so even the
+    * worst case (a large bucket where nothing is similar) degrades to the
+    * bounded-task tiled quadratic, never to one straggler task. The
+    * returned set is EXACTLY `srpCandidates(threshold)`'s distinct
+    * `vec_b` — the phase split moves where a witness is found, never
+    * whether one exists (ApiSpec pins set equality). */
+  def srpDropSet(vectors: DataFrame, id: Column, vec: Column,
+      planes: DataFrame, threshold: Double,
+      probeCap: Int = 64, blockSize: Int = 1024): DataFrame = {
+    require(probeCap > 0, s"probeCap must be positive, got $probeCap")
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val v = vectors.select(id.as("vec_id"), vec.as("__v"))
+    val bk = srpBuckets(vectors, id, vec, planes)
+    val wIdx = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    // one bucket-ordered index frame feeds FOUR consumers (probe pool,
+    // phase-1 left side, phase-2 both sides): checkpoint it SERIALIZED so
+    // the corpus × planes bucketing subtree runs once, not four times,
+    // and the vectors unroll incrementally ([[serialized-checkpoint]]
+    // contract — the frame is n × (id, vec, bucket, idx), fact-scale)
+    val idx = v.join(bk, "vec_id")
+      .withColumn("__i", row_number().over(wIdx).cast(LongType) - 1L)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val pool = idx.filter(col("__i") < probeCap.toLong)
+      .select(col("bucket"), col("vec_id").as("__u"), col("__v").as("__vu"))
+    val phase1 = idx.join(pool, Seq("bucket"))
+      .filter(col("__u") < col("vec_id") &&
+        cosine_similarity(col("__vu"), col("__v")) >= threshold)
+      .select(col("vec_id")).distinct()
+    // phase 2: survivors past the pool vs non-pool lower ids, tiled on the
+    // candidate side's pool-relative index so each task holds ≤ blockSize
+    // candidates × the survivors fanning into that tile
+    val relTile =
+      floor((col("__i") - probeCap.toLong) / lit(blockSize.toLong)).cast(IntegerType)
+    val cand = idx.filter(col("__i") >= probeCap.toLong)
+      .select(col("bucket"), relTile.as("__t2"),
+        col("vec_id").as("__u"), col("__v").as("__vu"))
+    val phase2 = idx.filter(col("__i") >= probeCap.toLong)
+      .join(phase1, Seq("vec_id"), "left_anti")
+      .select(col("bucket"), col("vec_id"), col("__v"),
+        explode(sequence(lit(0), relTile)).as("__t2"))
+      .join(cand, Seq("bucket", "__t2"))
+      .filter(col("__u") < col("vec_id") &&
+        cosine_similarity(col("__vu"), col("__v")) >= threshold)
+      .select(col("vec_id")).distinct()
+    // disjoint by construction (phase 2 anti-joins phase 1), so no
+    // distinct over the union
+    phase1.unionAll(phase2)
+  }
+
   /** Hard-negative mining for contrastive training data: for every anchor
     * vector, the `k` most cosine-similar vectors carrying a DIFFERENT
     * label, searched within the anchor's SRP bucket only — the bucketed

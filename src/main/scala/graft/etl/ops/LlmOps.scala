@@ -1751,8 +1751,18 @@ object LlmOps {
     * vs qllm_srp_lsh (emits the candidate PAIRS) and qllm_dedup_e2e
     * (text-shingle clusters): this is the embedding-space keeper DECISION,
     * the step between "pairs found" and "rows dropped" for semantic
-    * rather than lexical duplicates. Scale: candidates are per-bucket;
-    * the drop set joins back on the fixed-width vec_id key. */
+    * rather than lexical duplicates.
+    *
+    * Scale: unlike srp_lsh — whose declared OUTPUT is the quadratic pair
+    * set — this query's output is a per-vector verdict, so it must not
+    * pay pair enumeration: the drop set comes from
+    * [[graft.api.Graft.srpDropSet]]'s exact two-phase prune (a linear
+    * probe against each bucket's 64 smallest ids decides most vectors —
+    * the drop rule is existential — and only survivors re-scan their
+    * bucket's remaining lower ids, tiled). Same drop set by construction;
+    * the round-10 full-pair path measured 337.9 s materialized at sf30
+    * (8.6× on 3× data) before this rewrite. The drop set then joins back
+    * on the fixed-width vec_id key. */
   private val qllmSemdedup = QueryDef(
     "qllm_semdedup",
     build = (spark, sfDir) => {
@@ -1763,8 +1773,7 @@ object LlmOps {
       val planes = e.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
         .select(col("vec_id").cast(IntegerType).as("pid"), col("embedding").as("p_emb"))
       val dropped = graft.api.Graft
-        .srpCandidates(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
-        .select(col("vec_b").as("vec_id")).distinct()
+        .srpDropSet(e, col("vec_id"), col("embedding"), planes, threshold = 0.3)
         .withColumn("__drop", lit(1))
       e.select(col("vec_id"), col("label"))
         .join(dropped, Seq("vec_id"), "left")
@@ -1883,10 +1892,16 @@ object LlmOps {
   /** Zipf-law fit over the corpus vocabulary — the log-log OLS of
     * frequency against rank, the corpus-health diagnostic (natural text
     * slopes ≈ −1; template/boilerplate corpora flatten or step). Term
-    * frequencies and ranks are EXACT (keyed count + a rank window over
-    * the vocabulary-sized frame with the term itself as tiebreak — the
-    * frame is vocabulary-bounded, not corpus-bounded, so the window is
-    * metadata-scale); ln(rank)/ln(freq) are rounded to six decimals and
+    * frequencies are EXACT (keyed count), and the frequency rank is the
+    * EXACT global rank by (freq desc, term asc) via
+    * [[graft.api.Graft.globalRanksSampled]] — the same scale-safe rank
+    * `qllm_vocab` runs on the same frame — NOT an unpartitioned
+    * `row_number` window: a Heaps-law vocabulary at corpus scale (10⁸⁺
+    * terms, hapax-heavy) would funnel through ONE partition's sort, and
+    * frequency is exactly the zipf-skewed column where sampled-quantile
+    * boundaries are needed for bucket balance (boundaries affect only
+    * balance, never a rank, so the output is bit-identical to the
+    * window form). ln(rank)/ln(freq) are rounded to six decimals and
     * carried as exact DECIMAL(18,6) (the qagg_entropy pattern —
     * order-independent sums, rounding ties impossible off transcendental
     * operands), products at the (19,6)×(18,6) → DECIMAL(38,12)
@@ -1895,7 +1910,8 @@ object LlmOps {
     * closer).
     *
     * Scale: term counting is the canonical map-side-combined explode;
-    * everything after runs on |vocab| rows. */
+    * everything after runs on |vocab| rows, and no operator ever holds
+    * the vocabulary on one partition. */
   private val qllmZipf = QueryDef(
     "qllm_zipf",
     build = (spark, sfDir) => {
@@ -1903,8 +1919,10 @@ object LlmOps {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      val ranked = freq.withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast(LongType))
+      val ranked = graft.api.Graft
+        .globalRanksSampled(freq, -col("freq"), Seq(col("w")),
+          buckets = 32, sampleOneIn = 8)
+        .withColumn("rank", col("__rank"))
       val lx = round(log(col("rank").cast(DoubleType)), 6).cast(DecimalType(18, 6))
       val ly = round(log(col("freq").cast(DoubleType)), 6).cast(DecimalType(18, 6))
       val t = ranked.select(

@@ -146,7 +146,17 @@ object WindowOps {
       val metrics = vc.selectExpr("event_type", "value",
         "sum(cnt) OVER (PARTITION BY event_type ORDER BY value " +
           "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range")
-      e.join(broadcast(metrics), Seq("event_type", "value"))
+      // NULL-SAFE join-back: `value` is declared nullable, and groupBy
+      // groups nulls into one census row whose window frame is exactly its
+      // null peer group (both engines: a null ORDER BY value's RANGE frame
+      // is its peers) — so the rewrite stays exact for null rows too, but
+      // only if the join-back doesn't drop them (null-unsafe `=` would).
+      // The fixture never emits null values; this keeps the rewrite's
+      // exactness a property of the operator, not of the data.
+      val m = metrics.select(col("event_type").as("__mt"), col("value").as("__mv"),
+        col("n_in_range"))
+      e.join(broadcast(m),
+          col("event_type") <=> col("__mt") && col("value") <=> col("__mv"))
         .select(col("event_id"), col("event_type"), col("value"), col("n_in_range"))
         .orderBy(col("event_id"))
     },

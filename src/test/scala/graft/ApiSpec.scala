@@ -124,6 +124,49 @@ class ApiSpec extends SparkFixture {
     assert(oneTile.size == 23 * 22 / 2 + 3, s"expected full pair set, got ${oneTile.size}")
   }
 
+  test("srpDropSet: two-phase prune equals the full pair enumeration's drop set") {
+    val sp = spark
+    import sp.implicits._
+    // (a) hand-built bucket where the deciding witness is NOT in the probe
+    // pool: ids 0,1 (the pool at probeCap=2) point along +x; ids 2,3 point
+    // along +y (same bucket — the plane is (1,0) and all x > 0), so id 3's
+    // only ≥0.95 witness is the NON-pool id 2 — a drop only phase 2 can
+    // find. id 4 drops in phase 1 (vs id 0), id 2 survives both phases.
+    val vectors = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f)),  // vs 0: cos ≈ 0.9988 → phase-1 drop
+      (2L, Array(0.05f, 1.0f)),  // vs pool ≈ 0.05 → kept
+      (3L, Array(0.06f, 1.0f)),  // vs 2: cos ≈ 0.99995 → PHASE-2 drop
+      (4L, Array(0.9f, 0.1f)))   // vs 0: cos ≈ 0.9939 → phase-1 drop
+      .toDF("vec_id", "embedding")
+    val planes = Seq((0, Array(1.0f, 0.0f))).toDF("pid", "p_emb")
+    val drops = Graft.srpDropSet(vectors, col("vec_id"), col("embedding"),
+        planes, threshold = 0.95, probeCap = 2, blockSize = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(1L, 3L, 4L), s"got $drops")
+
+    // (b) on the real fixture with the qllm_semdedup plane construction:
+    // the drop set must equal srpCandidates' distinct vec_b EXACTLY, both
+    // at a tiny probeCap/blockSize (phase 2 forced, multi-tile) and at
+    // the production defaults — the phase split moves where a witness is
+    // found, never whether one exists.
+    val emb = graft.etl.Tables.embeddings(spark, sfTiny)
+    val pc = emb.agg(greatest(lit(5L),
+      ceil(log2(count(lit(1)).cast("double") / lit(8.0)))).as("pc"))
+    val fixPlanes = emb.crossJoin(broadcast(pc)).filter(col("vec_id") < col("pc"))
+      .select(col("vec_id").cast("int").as("pid"), col("embedding").as("p_emb"))
+    val want = Graft.srpCandidates(emb, col("vec_id"), col("embedding"),
+        fixPlanes, threshold = 0.3)
+      .select(col("vec_b")).distinct().collect().map(_.getLong(0)).toSet
+    Seq((2, 3), (64, 1024)).foreach { case (cap, bs) =>
+      val got = Graft.srpDropSet(emb, col("vec_id"), col("embedding"),
+          fixPlanes, threshold = 0.3, probeCap = cap, blockSize = bs)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"probeCap=$cap blockSize=$bs: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("textQuality computes exact counts and average word length") {
     val sp = spark
     import sp.implicits._

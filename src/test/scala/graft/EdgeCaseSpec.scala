@@ -927,6 +927,46 @@ class EdgeCaseSpec extends SparkFixture {
       assert((m + 5) % 12 / 3 + 1 == fq, s"month $m should be fiscal Q$fq")
   }
 
+  test("range-frame census rewrite matches the raw-row RANGE window, nulls included") {
+    // qwin_range_frame's scale shape: the RANGE metric is a pure function
+    // of (partition, sort key), so it runs over the distinct-value census
+    // and joins back. Two exactness hazards this pins on a frame the
+    // fixtures can't produce: (1) rows with NULL `value` must SURVIVE the
+    // join-back (null-safe `<=>` — ADVICE r10: a null-unsafe join silently
+    // dropped them) and (2) their n_in_range must equal the raw window's
+    // null-peer-group count on both paths.
+    val sch = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "a", 10.0), Row(2L, "a", 50.0), Row(3L, "a", 120.0),
+      Row(4L, "a", null), Row(5L, "a", null), Row(6L, "a", 10.0),
+      Row(7L, "b", 5.0), Row(8L, "b", null), Row(9L, "b", 300.0))
+    val e = df(rows, sch)
+    e.createOrReplaceTempView("rf_nulls")
+    val raw = spark.sql(
+      "SELECT event_id, event_type, value, count(*) OVER (" +
+        "PARTITION BY event_type ORDER BY value " +
+        "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range " +
+        "FROM rf_nulls").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3))).toSet
+    val vc = e.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val metrics = vc.selectExpr("event_type", "value",
+      "sum(cnt) OVER (PARTITION BY event_type ORDER BY value " +
+        "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range")
+    val m = metrics.select(col("event_type").as("__mt"), col("value").as("__mv"),
+      col("n_in_range"))
+    val census = e.join(broadcast(m),
+        col("event_type") <=> col("__mt") && col("value") <=> col("__mv"))
+      .select(col("event_id"), col("value"), col("n_in_range")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2))).toSet
+    assert(census.size == rows.size, s"join-back dropped rows: ${census.size}")
+    assert(census == raw, s"census=${census.toSeq.sortBy(_._1)}\nraw=${raw.toSeq.sortBy(_._1)}")
+  }
+
   test("zipf: slope is negative with a sane fit over the exact vocabulary") {
     val r = graft.etl.Registry.byName("qllm_zipf").build(spark, sfTiny).collect()(0)
     val vocab = spark.read.parquet(s"$sfTiny/documents.parquet")

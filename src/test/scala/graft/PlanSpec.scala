@@ -401,7 +401,10 @@ class PlanSpec extends SparkFixture {
       "qagg_cramersv", "qagg_churn",
       // round 9: srp_topk carries the same ≤planes-row broadcast
       // hyperplane frame as srp_lsh/hardneg
-      "qllm_srp_topk")
+      "qllm_srp_topk",
+      // round 11: zipf ranks via globalRanksSampled — its ≤buckets-row
+      // broadcast boundary array is the same 1-row-class frame as vocab's
+      "qllm_zipf")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -577,6 +580,58 @@ class PlanSpec extends SparkFixture {
         s"a persistent RDD reaches edge scale (>$halfEdges rows): $rows " +
           "— edge-scale state is back in the heap")
     } finally created.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("staged adjacency scan declares its bucket sort order (legacy-conf contract)") {
+    // SURVEY §4 design contract: qgraph_pagerank's zero-sort edge stream
+    // DEPENDS on `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    // (set in all five session builders) PLUS the exactly-one-file-per-
+    // bucket invariant the fixture writer guarantees. The fallback — a
+    // per-task re-sort of the edge side every iteration — is a measured
+    // 16 GB OOM at sf10 (PERF.md round 10). If a future Spark major drops
+    // the legacy conf or stops honoring bucket sort metadata, the scan's
+    // outputOrdering goes empty and this pin fails LOUDLY instead of the
+    // suite silently re-sorting itself to death at scale.
+    // A bare `spark.table(tbl)` won't do: DisableUnnecessaryBucketedScan
+    // reverts an uninteresting read to a plain file scan (measured — the
+    // bare scan's outputOrdering is empty). The pin runs the PAGERANK
+    // SHAPE: a sort-merge join on src against a shuffled node-scale side,
+    // where the bucket layout is load-bearing — and asserts the edge
+    // side's scan declares its sort so the join plans WITHOUT a Sort over
+    // the scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec}
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val tbl = graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfTiny)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val adj = spark.table(tbl)
+      // node-scale side from range() so the only file-scan leaf in the
+      // plan is the edge side — a Sort over a scan is then unambiguous
+      val ranks = spark.range(0, 1000)
+        .select(col("id").as("src"), lit(1.0).as("r"))
+      val plan = adj.join(ranks, "src").groupBy(col("dst"))
+        .agg(sum(col("r"))).queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"no file scan under:\n$plan")
+      assert(scans.exists(s => s.outputOrdering.nonEmpty &&
+          s.outputOrdering.head.children.exists(_.toString.contains("src"))),
+        "bucketed adjacency scan lost its src sort metadata — the legacy " +
+          "bucketedTableScan.outputOrdering contract is broken (every " +
+          s"pagerank iteration would re-sort the edge side per task):\n$plan")
+      // ...and the planner actually USES it: no Sort sits over the scan
+      val sortsOverScan = plan.collect {
+        case srt: SortExec
+          if srt.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec]) => srt
+      }
+      assert(sortsOverScan.isEmpty,
+        s"the edge side re-sorts despite the bucket sort metadata:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("qagg_mad: checkpointed histograms keep the static plan under 10 exchanges") {
