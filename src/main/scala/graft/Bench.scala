@@ -36,12 +36,18 @@ object Bench {
     // row-preserving joins / enrichments the count plan drops
     "qjoin_left", "qjoin_right", "qjoin_range_binned", "qjoin_spatial_grid",
     "qjoin_theta_range", "qstream_join", "qstream_late", "qstream_funnel",
-    // aggregate/analysis pipelines with prunable upstream ops
+    // aggregate/analysis pipelines with prunable upstream ops (dqaudit:
+    // column pruning strips its countDistinct functions under count(),
+    // leaving metadata-count scans — 0.33 s counted vs full-scan noop)
     "qagg_abtest", "qagg_assoc", "qagg_distinct", "qagg_dqaudit",
     "qagg_entropy", "qagg_fdaudit", "qagg_funnel", "qagg_hllmerge",
     "qagg_incremental", "qagg_mad", "qagg_mom", "qagg_percentile",
     "qagg_pivot", "qagg_rfm", "qagg_seasonality", "qagg_skew",
     "qagg_wquantile", "qgraph_triangles",
+    // round 11: the sweep's distinct-function census (not just node
+    // classes) caught five more whose countDistinct stage count() prunes
+    "qagg_freqpairs", "qagg_rolling_dau", "qgraph_kcore",
+    "qllm_textstats", "qscan_metadata",
     // LLM-pipeline shapes (incl. the original qllm_semdedup artifact)
     "qllm_bigram_lm", "qllm_bleu", "qllm_boilerplate", "qllm_decontam",
     "qllm_dedup_e2e", "qllm_dsir", "qllm_dupfrac", "qllm_incr_dedup",
@@ -308,7 +314,8 @@ object Bench {
         "\"" + k + "\":{\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
           "],\"cpu\":[" + runs.map(r => r3(r._2)).mkString(",") + "]}"
       }.mkString("{", ",", "}")}"""
-    // The FILE record carries the full 68-entry materialized map; the
+    // The FILE record carries the full materialized map (73 keys as of
+    // round 11 — countPrunable is the source of truth); the
     // stdout line (driver-parsed from a 2000-char tail window — the
     // round-1 overflow lesson) carries the total + the 8 slowest entries.
     val matJson = if (materialized.isEmpty) "" else s""","materialized":${toJson(materialized)}"""

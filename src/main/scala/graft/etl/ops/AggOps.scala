@@ -277,25 +277,33 @@ object AggOps {
     oracle = None)
 
   /** Data-quality audit — the validation pass an ETL pipeline runs before
-    * promoting a load: one scan producing per-rule violation counts
-    * (nulls, domain bounds, referential sanity) as a single wide row.
-    * Conditional counts fold into ONE partial aggregate, so the audit
-    * costs a single pass over the table at any scale; adding a rule adds
-    * a column, not a scan. */
+    * promoting a load: per-rule violation counts (nulls, domain bounds,
+    * referential sanity) as a single wide row. The conditional counts
+    * fold into ONE partial aggregate over one scan. The two DISTINCT
+    * counts run as their own single-column aggregates cross-joined back
+    * (1-row frames): two distincts in one Aggregate make Catalyst Expand
+    * the scan ×3 — every fact row tripled, all audit columns carried,
+    * measured 4.5× on 3× data sf10 → sf30 — while a lone distinct plans
+    * as the ordinary two-stage partial groupBy on a one-column scan
+    * (parquet reads just that column), and the flag domain collapses
+    * map-side to ≤|domain| rows. Same exact counts, three narrow scans
+    * instead of one tripled wide one. */
   private val qaggDqaudit = QueryDef(
     "qagg_dqaudit",
-    build = (spark, sfDir) =>
-      Tables.lineitem(spark, sfDir)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(when(col("l_quantity").isNull, 1)).as("null_qty"),
-          count(when(col("l_quantity") <= 0, 1)).as("nonpos_qty"),
-          count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
-          count(when(col("l_extendedprice") <= 0, 1)).as("nonpos_price"),
-          count(when(col("l_shipdate") < lit("1990-01-01").cast(TimestampType), 1))
-            .as("early_shipdate"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_returnflag")).as("n_flags")),
+    build = (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      val base = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+        count(when(col("l_quantity") <= 0, 1)).as("nonpos_qty"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+        count(when(col("l_extendedprice") <= 0, 1)).as("nonpos_price"),
+        count(when(col("l_shipdate") < lit("1990-01-01").cast(TimestampType), 1))
+          .as("early_shipdate"))
+      val orders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val flags = li.agg(countDistinct(col("l_returnflag")).as("n_flags"))
+      base.crossJoin(broadcast(orders)).crossJoin(broadcast(flags))
+    },
     oracle = Some(
       "SELECT count(*) AS n_rows, " +
         "count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty, " +

@@ -78,16 +78,24 @@ object GraphOps {
       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM lp a " +
       "JOIN lp b ON a.ok = b.ok AND a.pk < b.pk)"
 
-  /** Degree distribution: per-node degree bucketed by 10. Degrees come from
-    * exploding each undirected edge to both endpoints (edges are distinct,
-    * so no double count); the histogram is metadata-scale output however
-    * large the graph. */
+  /** Degree distribution: per-node degree bucketed by 10. Degree comes
+    * straight off the STAGED direction-doubled adjacency table (each
+    * undirected edge appears once per endpoint as that endpoint's `src`
+    * row, and edges are distinct — so count-per-src IS the degree,
+    * identical to exploding both endpoints of the edge list): the table
+    * is bucketed by src, so the groupBy runs with ZERO exchange and each
+    * task's aggregate state is one bucket's nodes, not the whole node
+    * set — the explode-over-edges form paid a 540 M-row partial
+    * aggregate whose per-task hash held every node (per-edge CPU grew
+    * 1.38× from sf10 to sf30 on exactly 3.0× edges, measured round 11).
+    * The histogram is metadata-scale output however large the graph. */
   private val qgraphDegree = QueryDef(
     "qgraph_degree",
     build = (spark, sfDir) => {
-      val e = edges(spark, sfDir)
-      val deg = e.select(explode(array(col("src"), col("dst"))).as("v"))
-        .groupBy(col("v"))
+      val adj = spark.table(graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfDir))
+      // group on the raw bucket column (an alias in the grouping key can
+      // hide the bucketed distribution from the exchange planner)
+      val deg = adj.groupBy(col("src"))
         .agg(count(lit(1)).as("degree"))
       deg.groupBy(expr("degree div 10").as("bucket"))
         .agg(

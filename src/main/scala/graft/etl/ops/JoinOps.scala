@@ -332,46 +332,103 @@ object JoinOps {
         "GROUP BY r_name, order_year ORDER BY r_name, order_year"))
 
   /** Band join via BINNING — the scale path for [[qjoinThetaRange]]-style
-    * numeric range predicates. A plain `|c - s| <= 100` condition gives
-    * Catalyst no equi-key beyond the nation, so every nation degenerates
-    * to a per-nation nested loop (quadratic on a hot nation at 100 TB).
-    * Binning restores an equi-join: each row maps to a $100-wide integer
-    * bin in exact cents, the smaller side is replicated to its 3 adjacent
-    * bins (a band of width w spans ≤ 2 bins of width ≥ w — proven for
-    * truncating division, which both engines share), and the band check
-    * survives only as a residual filter on bin-matched candidates. Work
-    * drops from O(|nation|²) to O(matches + 3·|supplier|), and the join
-    * shuffles on (nation, bin) — an orderly equi-key. Adjacent bins emit
-    * DISTINCT bin ids, so no candidate pair appears twice and no dedup
-    * pass is needed. The oracle states the SAME semantics as the naive
-    * range join (exact DECIMAL bounds — double arithmetic at the band
-    * boundary could flip a comparison), so the gate proves binned ≡ naive. */
+    * numeric range predicates WHEN THE CONSUMER WANTS A PER-ROW AGGREGATE
+    * over the band, as here (per-supplier count + balance sum of in-band
+    * customers). Rounds 5–10 ran this as the binned equi-join (bin =
+    * $100-wide cents window, probe side replicated to 3 adjacent bins,
+    * band check residual — that surface lives on in [[qjoinBandAuto]],
+    * where an optimizer rule injects it into naive SQL): correct, but it
+    * ENUMERATES every (supplier, in-band customer) match, and the match
+    * count is quadratic in scale (band density × both sides grow with
+    * the corpus — measured 5.7 → 42.1 s materialized sf10 → sf30, 7.4×
+    * on 3× data). A band AGGREGATE never needs the matches: count/sum
+    * over [lo, hi] is a difference of two PREFIX sums, F(hi) − F(lo−1).
+    * So: per-(nation, cents) census with exact decimal mass; per-(nation,
+    * bin) totals rolled into bin OFFSETS by a triangular join over the
+    * ≤ value-domain/band ≈ 2 200 bins per nation (metadata scale — the
+    * rankByBucket pattern); each supplier emits TWO probe rows (lo−1,
+    * hi); probes and census rows union into ONE cumulative window
+    * partitioned by (nation, bin) — census sorts before probes at equal
+    * cents so the bound stays inclusive — and each probe reads
+    * offset + within-bin prefix. Work is O(n log n) with (nation, bin)
+    * keyed shuffles; no operator ever sees a match pair. Counts are
+    * longs and masses exact DECIMAL(38,4) prefix sums, so the
+    * F(hi) − F(lo−1) differences equal the oracle's per-supplier
+    * aggregates bit-for-bit (decimal addition is exact, so prefix
+    * differences ARE subset sums); an empty band yields NULL sum_bal
+    * exactly like the oracle's sum over no rows. */
   private val qjoinRangeBinned = QueryDef(
     "qjoin_range_binned",
     build = (spark, sfDir) => {
       val band = 10000L // $100.00 in cents
       val cCents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
       val sCents = (col("s_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
-      val c = Tables.customer(spark, sfDir)
-        .select(col("c_custkey"), col("c_nationkey"),
-          cCents.as("c_cents"), d124(col("c_acctbal")).as("c_bal"))
-        .withColumn("c_bin", expr(s"c_cents div $band"))
-      val s = Tables.supplier(spark, sfDir)
-        .select(col("s_suppkey"), col("s_nationkey"), sCents.as("s_cents"))
-        .withColumn("s_bin",
-          explode(array(expr(s"s_cents div $band - 1"),
-            expr(s"s_cents div $band"), expr(s"s_cents div $band + 1"))))
-      val agg = s.join(c,
-          col("c_nationkey") === col("s_nationkey") && col("c_bin") === col("s_bin")
-            && col("c_cents") >= col("s_cents") - band
-            && col("c_cents") <= col("s_cents") + band)
-        .groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("n_near"),
-          sum(col("c_bal")).cast(DecimalType(38, 4)).as("sum_bal"))
-      Tables.supplier(spark, sfDir).select(col("s_suppkey"))
-        .join(agg, Seq("s_suppkey"), "left")
-        .select(col("s_suppkey"), coalesce(col("n_near"), lit(0L)).as("n_near"),
-          decStr(col("sum_bal")).as("sum_bal"))
+      val census = Tables.customer(spark, sfDir)
+        .select(col("c_nationkey").as("nk"), cCents.as("cents"),
+          d124(col("c_acctbal")).as("bal"))
+        .groupBy(col("nk"), col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("bal")).cast(DecimalType(38, 4)).as("mass"))
+        .withColumn("bin", expr(s"cents div $band"))
+      // two probes per supplier: the inclusive band is [s−band, s+band] in
+      // integer cents, so F(hi = s+band) − F(lo = s−band−1)
+      val probes = Tables.supplier(spark, sfDir)
+        .select(col("s_nationkey").as("nk"), col("s_suppkey"), sCents.as("s_cents"))
+        .select(col("nk"), col("s_suppkey"), explode(array(
+          struct((col("s_cents") - band - 1L).as("cents"), lit("lo").as("side")),
+          struct((col("s_cents") + band).as("cents"), lit("hi").as("side")))).as("p"))
+        .select(col("nk"), col("p.cents").as("cents"),
+          expr(s"p.cents div $band").as("bin"), col("s_suppkey"), col("p.side").as("side"))
+      // cumulative offsets per (nation, bin): everything in EARLIER census
+      // bins. The universe must cover PROBE bins too — a probe landing in
+      // a bin no census value occupies still owes the earlier-bin mass
+      // (measured: census-only offsets overcounted n_near 54 vs 2 at
+      // sf0.01 — F(lo) silently lost its offset and the difference grew).
+      val binTot = census.groupBy(col("nk"), col("bin"))
+        .agg(sum(col("cnt")).as("bcnt"), sum(col("mass")).cast(DecimalType(38, 4)).as("bmass"))
+      val offsets = census.select(col("nk"), col("bin"))
+        .unionByName(probes.select(col("nk"), col("bin"))).distinct()
+        .join(broadcast(binTot.select(col("nk").as("__n2"), col("bin").as("__b2"),
+            col("bcnt").as("__c2"), col("bmass").as("__m2"))),
+          col("__n2") === col("nk") && col("__b2") < col("bin"), "left")
+        .groupBy(col("nk"), col("bin"))
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("cnt_off"),
+          sum(col("__m2")).cast(DecimalType(38, 4)).as("mass_off"))
+      // union census + probes in one per-(nation, bin) cumulative window;
+      // __k orders census (0) before probes (1) at equal cents, keeping
+      // the probe bound inclusive. A probe whose bin holds no census value
+      // ≤ it reads exactly its bin offset — the earlier-bin mass.
+      val cen = census.select(col("nk"), col("bin"), col("cents"), lit(0).as("__k"),
+        col("cnt"), col("mass"),
+        lit(null).cast(LongType).as("s_suppkey"), lit(null).cast(StringType).as("side"))
+      val prb = probes.select(col("nk"), col("bin"), col("cents"), lit(1).as("__k"),
+        lit(0L).as("cnt"), lit(null).cast(DecimalType(38, 4)).as("mass"),
+        col("s_suppkey"), col("side"))
+      val w = Window.partitionBy(col("nk"), col("bin"))
+        .orderBy(col("cents"), col("__k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val reads = cen.unionByName(prb)
+        .withColumn("__f", sum(col("cnt")).over(w))
+        .withColumn("__s", sum(col("mass")).over(w).cast(DecimalType(38, 4)))
+        .filter(col("__k") === 1)
+        // offsets is |nations|×|bins| — metadata at any corpus scale, but
+        // derived through aggregates Catalyst can't size: broadcast it
+        // explicitly or the join-back plans as a full SMJ shuffle
+        .join(broadcast(offsets), Seq("nk", "bin"), "left")
+        .select(col("s_suppkey"), col("side"),
+          (col("__f") + coalesce(col("cnt_off"), lit(0L))).as("f"),
+          (coalesce(col("__s"), lit(0).cast(DecimalType(38, 4))) +
+            coalesce(col("mass_off"), lit(0).cast(DecimalType(38, 4))))
+            .cast(DecimalType(38, 4)).as("s"))
+      reads.groupBy(col("s_suppkey"))
+        .agg(
+          (max(when(col("side") === "hi", col("f"))) -
+            max(when(col("side") === "lo", col("f")))).as("n_near"),
+          (max(when(col("side") === "hi", col("s"))) -
+            max(when(col("side") === "lo", col("s"))))
+            .cast(DecimalType(38, 4)).as("__sum"))
+        .select(col("s_suppkey"), col("n_near"),
+          decStr(when(col("n_near") === 0L, lit(null).cast(DecimalType(38, 4)))
+            .otherwise(col("__sum"))).as("sum_bal"))
         .orderBy(col("s_suppkey"))
     },
     oracle = Some(

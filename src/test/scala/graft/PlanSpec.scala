@@ -270,17 +270,26 @@ class PlanSpec extends SparkFixture {
       s"expected the shuffle join the bloom exists for:\n$p")
   }
 
-  test("qjoin_range_binned: the band join plans as an EQUI-join on the bin") {
-    // the whole point of binning: a bare |c - s| <= band condition leaves
-    // Catalyst only the nation as equi-key (per-nation nested loop at
-    // scale); the bin must survive into the join keys and no nested-loop /
-    // cartesian node may appear anywhere
+  test("qjoin_range_binned: prefix-sum form — no match enumeration, binned window") {
+    // round 11 replaced the binned match-enumerating equi-join (match
+    // count is quadratic in scale: 5.7 → 42.1 s materialized sf10 → sf30)
+    // with the band-aggregate prefix-sum form. The pins: no nested-loop /
+    // cartesian anywhere, NO join between the customer and supplier sides
+    // at all (the only joins are the metadata-scale bin-offset triangular
+    // join and the offsets join-back — both broadcast), and the cumulative
+    // window runs PARTITIONED by (nation, bin), never per nation alone
+    // (a per-nation window caps parallelism at |nations| at any scale).
+    // The binned match-join surface itself stays pinned via
+    // qjoin_band_auto's rewrite-fired test below.
     val p = plan("qjoin_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join fell back to a nested loop — binning was optimized away:\n$p")
-    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*_bin".r
-      .findFirstIn(p).isDefined,
-      s"bin column not in the equi-join keys:\n$p")
+      s"range aggregate fell back to a nested loop:\n$p")
+    assert(raw"SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p).isEmpty,
+      s"a shuffle join appeared — the customer×supplier match join is back:\n$p")
+    assert(raw"Window \[.*windowspecdefinition\(nk.*bin".r.findFirstIn(p).isDefined
+        || raw"Window \[.*partitionspec.*\[nk".r.findFirstIn(p).isDefined
+        || raw"Window .*\[nk[#\d]*L?, bin".r.findFirstIn(p).isDefined,
+      s"cumulative window not partitioned by (nation, bin):\n$p")
   }
 
   test("qjoin_theta_range: aggregated rank form — no pairwise residual, bounded window") {
@@ -403,8 +412,10 @@ class PlanSpec extends SparkFixture {
       // hyperplane frame as srp_lsh/hardneg
       "qllm_srp_topk",
       // round 11: zipf ranks via globalRanksSampled — its ≤buckets-row
-      // broadcast boundary array is the same 1-row-class frame as vocab's
-      "qllm_zipf")
+      // broadcast boundary array is the same 1-row-class frame as vocab's;
+      // dqaudit cross-joins its two 1-row distinct-count frames back into
+      // the 1-row conditional-count frame (the Expand-×3 fix)
+      "qllm_zipf", "qagg_dqaudit")
     val offenders = Registry.all.flatMap { q =>
       val p = q.build(spark, sfTiny).queryExecution.executedPlan.toString
       val cart = p.contains("CartesianProduct")
@@ -470,13 +481,23 @@ class PlanSpec extends SparkFixture {
     // its author adds it to the pinned set instead of shipping a silently
     // under-measured bench slot.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, Join, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    // An Aggregate counts 1 + its DISTINCT aggregate functions: column
+    // pruning under count() can strip a countDistinct wholesale — dropping
+    // the distinct's entire extra aggregation stage (and its shuffle)
+    // while the Aggregate NODE survives, so a node-class census alone
+    // misses it (found round 11: qagg_dqaudit's counted plan kept all
+    // three 1-row Aggregates yet ran 0.33 s where the noop sink pays the
+    // full scans — the distinct functions had been pruned to nothing).
+    // Non-distinct functions are deliberately not counted: count() strips
+    // those too, but they are per-row arithmetic on an already-paid
+    // scan/shuffle, not a dropped operator.
     def heavy(p: LogicalPlan): Int = p.collect {
-      case n: Join => n
-      case n: Generate => n
-      case n: LWindow => n
-      case n: Aggregate => n
-      case n: Expand => n
-    }.size
+      case n: Aggregate => 1 + n.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression if ae.isDistinct => ae
+      }).size
+      case _: Join | _: Generate | _: LWindow | _: Expand => 1
+    }.sum
     val found = Registry.all.flatMap { q =>
       val df = q.build(spark, sfTiny)
       val fullOps = heavy(df.queryExecution.optimizedPlan)
