@@ -568,6 +568,45 @@ object Graft {
     phase1.unionAll(phase2)
   }
 
+  /** Per distinct (partition, value): the row count of the SQL RANGE frame
+    * `RANGE BETWEEN <preceding> PRECEDING AND CURRENT ROW` over the raw
+    * rows — WITHOUT Spark's sliding-frame evaluation, which cannot
+    * retract and therefore rebuilds the aggregate from the whole frame on
+    * every lower-bound advance: O(rows × frame) per partition, a CONSTANT
+    * ~65 s once the fixture's value grid saturates (round 11; the round-10
+    * census rewrite moved the cost off raw rows but kept the sliding
+    * frame). Algebra instead: over the distinct-value census,
+    * count[v−p, v] = F(v) − F(<v−p), both read from ONE running
+    * (retraction-free) cumulative sum — each census value contributes a
+    * census row (cnt, sorts AFTER probes at equal value, so F(v) includes
+    * its own peers — RANGE's CURRENT ROW peer rule) and a probe row at
+    * value − preceding (cnt 0, sorts BEFORE census at equal value, so it
+    * reads count STRICTLY BELOW the bound = the frame's exclusive
+    * remainder). The probe bound is the IDENTICAL IEEE double subtraction
+    * Spark's RangeFrame (and any engine's) computes for the frame edge,
+    * and ordering compares the same doubles, so inclusion decisions match
+    * the real window BIT-EXACTLY — EdgeCaseSpec pins equality against the
+    * raw-row window, null peers included (a null value's frame is its
+    * null peer group: its probe is null, sorts first, reads 0). One
+    * window + one metadata aggregate, both on census-scale rows. */
+  def rangeCountPreceding(rows: DataFrame, part: Column, order: Column,
+      preceding: Double): DataFrame = {
+    val vc = rows.groupBy(part.as("__p"), order.as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cen = vc.select(col("__p"), col("__v"), lit(1).as("__k"),
+      col("__cnt"), col("__v").as("__orig"))
+    val prb = vc.select(col("__p"), (col("__v") - lit(preceding)).as("__v"),
+      lit(0).as("__k"), lit(0L).as("__cnt"), col("__v").as("__orig"))
+    val w = Window.partitionBy(col("__p")).orderBy(col("__v"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cen.unionAll(prb)
+      .withColumn("__f", sum(col("__cnt")).over(w))
+      .groupBy(col("__p"), col("__orig"))
+      .agg((max(when(col("__k") === 1, col("__f"))) -
+        max(when(col("__k") === 0, col("__f")))).as("n_in_range"))
+      .select(col("__p"), col("__orig").as("__v"), col("n_in_range"))
+  }
+
   /** Hard-negative mining for contrastive training data: for every anchor
     * vector, the `k` most cosine-similar vectors carrying a DIFFERENT
     * label, searched within the anchor's SRP bucket only — the bucketed

@@ -127,34 +127,30 @@ object WindowOps {
     * with ~5 event types the partitions are 1/5 of ALL events. The sf30
     * materializing bench caught one such task at 55+ CPU-minutes
     * (6 M rows × ~1 M-row avg frame; invisible under `.count()`, which
-    * prunes the window — PERF.md round 10). Because `n_in_range` counts
-    * rows with value in [v−100, v], it is a pure function of
-    * (type, VALUE): run the IDENTICAL RANGE frame over the DISTINCT
-    * (type, value, cnt) frame with `sum(cnt)` — the value domain is
-    * bounded (a 0.01 grid, ≤ 56 k distinct per type at EVERY sf), so the
-    * window sorts metadata-scale partitions however large the corpus —
-    * then join back on (type, value) (the qwin_dist shape). Spark's own
-    * RANGE boundary arithmetic is unchanged (same window expression, same
-    * doubles), so results stay bit-identical to the oracle's raw-row
-    * window. */
+    * prunes the window — PERF.md round 10). `n_in_range` is a pure
+    * function of (type, VALUE), so it comes from
+    * [[graft.api.Graft.rangeCountPreceding]]'s census algebra —
+    * F(v) − F(<v−100) off ONE retraction-free running sum (round 11: the
+    * round-10 census rewrite still ran Spark's sliding RANGE frame over
+    * the census, an O(census × frame) CONSTANT ~65 s once the 0.01 value
+    * grid saturates at sf ≥ 1; the running-sum form is census-linear).
+    * Boundary arithmetic and ordering are the identical IEEE doubles the
+    * raw-row window compares, so results stay bit-identical to the
+    * oracle (EdgeCaseSpec pins equality, null peers included). */
   private val qwinRangeFrame = QueryDef(
     "qwin_range_frame",
     build = (spark, sfDir) => {
       val e = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"))
-      val vc = e.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
-      val metrics = vc.selectExpr("event_type", "value",
-        "sum(cnt) OVER (PARTITION BY event_type ORDER BY value " +
-          "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range")
-      // NULL-SAFE join-back: `value` is declared nullable, and groupBy
-      // groups nulls into one census row whose window frame is exactly its
-      // null peer group (both engines: a null ORDER BY value's RANGE frame
-      // is its peers) — so the rewrite stays exact for null rows too, but
-      // only if the join-back doesn't drop them (null-unsafe `=` would).
-      // The fixture never emits null values; this keeps the rewrite's
-      // exactness a property of the operator, not of the data.
-      val m = metrics.select(col("event_type").as("__mt"), col("value").as("__mv"),
-        col("n_in_range"))
+      // NULL-SAFE join-back: `value` is declared nullable, and the census
+      // carries a null row whose frame is exactly its null peer group —
+      // the rewrite stays exact for null rows too, but only if the
+      // join-back doesn't drop them (null-unsafe `=` would). The fixture
+      // never emits null values; this keeps the rewrite's exactness a
+      // property of the operator, not of the data.
+      val m = graft.api.Graft
+        .rangeCountPreceding(e, col("event_type"), col("value"), 100.0)
+        .select(col("__p").as("__mt"), col("__v").as("__mv"), col("n_in_range"))
       e.join(broadcast(m),
           col("event_type") <=> col("__mt") && col("value") <=> col("__mv"))
         .select(col("event_id"), col("event_type"), col("value"), col("n_in_range"))

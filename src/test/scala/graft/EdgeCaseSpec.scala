@@ -952,12 +952,8 @@ class EdgeCaseSpec extends SparkFixture {
         "FROM rf_nulls").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         r.getLong(3))).toSet
-    val vc = e.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
-    val metrics = vc.selectExpr("event_type", "value",
-      "sum(cnt) OVER (PARTITION BY event_type ORDER BY value " +
-        "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_in_range")
-    val m = metrics.select(col("event_type").as("__mt"), col("value").as("__mv"),
-      col("n_in_range"))
+    val m = Graft.rangeCountPreceding(e, col("event_type"), col("value"), 100.0)
+      .select(col("__p").as("__mt"), col("__v").as("__mv"), col("n_in_range"))
     val census = e.join(broadcast(m),
         col("event_type") <=> col("__mt") && col("value") <=> col("__mv"))
       .select(col("event_id"), col("value"), col("n_in_range")).collect()
