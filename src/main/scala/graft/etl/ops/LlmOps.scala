@@ -1473,8 +1473,14 @@ object LlmOps {
       val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
       val lp = round(log((col("c12") + 1).cast(DoubleType) /
         (col("c1") + col("v")).cast(DoubleType)), 6).cast(DecimalType(18, 6))
-      bg.join(bc, "b")
-        .join(broadcast(u), col("w1") === col("term"))
+      // broadcast the unigram lookup BEFORE the bigram-count shuffle join:
+      // the vocab join is map-side either way, but done first the shuffle
+      // rows carry (doc_id, c1, b) — three fixed-width longs — instead of
+      // hauling every w1 STRING through the token-scale exchange (round
+      // 11: the join reorder is pure shuffle-byte savings, same rows)
+      bg.join(broadcast(u), col("w1") === col("term"))
+        .select(col("doc_id"), col("c1"), col("b"))
+        .join(bc, "b")
         .crossJoin(broadcast(vv))
         .select(col("doc_id"), lp.as("lp"))
         .groupBy(col("doc_id"))
