@@ -447,7 +447,15 @@ object JoinOps {
     * rule's scope), so the oracle differs from the binned query's
     * left-join: suppliers with no in-band customer are absent. PlanSpec
     * asserts the rewrite actually fired (bin in the join keys, no nested
-    * loop). */
+    * loop).
+    *
+    * Scale contract: this query ENUMERATES band matches BY DESIGN — its
+    * declared surface is the optimizer rule rescuing naive band SQL into
+    * the binned equi-join, so the match set (quadratic in scale: band
+    * density × both sides grow with sf; 16.0 s best-of-3 at sf30) is the
+    * work being demonstrated. A consumer who only wants the per-row band
+    * AGGREGATE takes qjoin_range_binned's prefix-sum form instead
+    * (4.5 s at sf30, no match enumeration). */
   private val qjoinBandAuto = QueryDef(
     "qjoin_band_auto",
     build = (spark, sfDir) => {
