@@ -319,12 +319,30 @@ object GraphOps {
       // deserialize on top of what the parquet reader does cheaper.
       // Only the PEELED frames (new lineage per round, read by the next
       // round) need the serialized checkpoint.
+      //
+      // The ROUND-1 full-frame passes ride the bucketed adjacency (the
+      // qgraph_degree shape, round 11): the table is direction-doubled,
+      // so count-per-src IS the degree and distinct-src IS the node set,
+      // and bucketing by src makes both aggregates bucket-local — the
+      // explode-over-edges form paid a 540 M-row hash aggregate whose
+      // per-task state held every node (per-edge cost 1.32× from sf10 to
+      // sf30 on 3.0× edges). Peeled frames (rounds 2–3) keep the explode:
+      // they are no longer bucketed and shrink fast at k = 100.
+      val adj = spark.table(
+        graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfDir))
       var ecur = edges(spark, sfDir)
-      var out = Seq(summary(ecur, 0))
+      var out = Seq(adj
+        .agg(count_distinct(col("src")).as("n_nodes"),
+          (count(lit(1)) / 2).cast("bigint").as("n_edges"))
+        .select(lit(0).as("round"), col("n_nodes"), col("n_edges")))
       for (r <- 1 to 3) {
-        val keep = ecur.select(explode(array(col("src"), col("dst"))).as("v"))
-          .groupBy(col("v"))
-          .agg(count(lit(1)).as("deg"))
+        val keep = (if (r == 1)
+          adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .select(col("src").as("v"), col("deg"))
+        else
+          ecur.select(explode(array(col("src"), col("dst"))).as("v"))
+            .groupBy(col("v"))
+            .agg(count(lit(1)).as("deg")))
           .filter(col("deg") >= k)
           .select(col("v"))
         // the surviving-node set shrinks every peel and at k = 100 is a
