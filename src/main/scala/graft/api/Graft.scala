@@ -518,12 +518,23 @@ object Graft {
     * near the pool — it decides near-everyone else's `drop` as well.
     * Phase 2 re-scans only the phase-1 SURVIVORS beyond the pool, against
     * the bucket's remaining non-pool lower ids (every pool witness was
-    * already consulted), tiled like [[srpCandidates]] so even the
-    * worst case (a large bucket where nothing is similar) degrades to the
-    * bounded-task tiled quadratic, never to one straggler task. The
-    * returned set is EXACTLY `srpCandidates(threshold)`'s distinct
-    * `vec_b` — the phase split moves where a witness is found, never
-    * whether one exists (ApiSpec pins set equality). */
+    * already consulted), tiled on the CANDIDATE side only: each task
+    * holds one ≤ `blockSize` candidate tile × every survivor fanning
+    * into it, so the per-task bound is blockSize × bucket-survivors —
+    * NOT [[srpCandidates]]' symmetric blockSize² (that shape would fan
+    * the candidate side ×(tiles) too, multiplying the candidate shuffle
+    * by the tile count even in the common case where phase 1 has already
+    * decided nearly everyone and survivors are few; one-sided tiling
+    * keeps candidates at ONE shuffled copy each). The deliberate trade:
+    * on cluster-collapsed buckets phase 1's pool witnesses bound the
+    * survivor count, and in the true worst case — a large bucket where
+    * nothing is similar, so every non-pool member survives — the task
+    * bound degrades to blockSize × that bucket's survivors, a bounded
+    * set of wide-but-equal tasks rather than one straggler holding the
+    * whole m² enumeration. The returned set is EXACTLY
+    * `srpCandidates(threshold)`'s distinct `vec_b` — the phase split
+    * moves where a witness is found, never whether one exists (ApiSpec
+    * pins set equality). */
   def srpDropSet(vectors: DataFrame, id: Column, vec: Column,
       planes: DataFrame, threshold: Double,
       probeCap: Int = 64, blockSize: Int = 1024): DataFrame = {

@@ -1050,25 +1050,50 @@ object AggOps {
     * window" problem: a naive per-day window over raw events re-counts
     * every user 7×, and a RANGE-frame `count_distinct` window doesn't
     * exist in either engine. The scalable decomposition: dedup to
-    * (day, user) once, EXPLODE each active-day into the 7 trailing
-    * report days it contributes to (map-side ×7 on fixed-width pairs),
-    * then one distinct-count per report day. Shuffles carry (day, user)
-    * keys only; no per-day giant window, no 7-way self-join. Report days
-    * are restricted to days that actually occur (inner join to the day
-    * list — also drops the phantom tail past max day). All integer. */
+    * (day, user) once, POSEXPLODE each active-day into the 7 trailing
+    * report days it contributes to (map-side ×7 on fixed-width triples),
+    * then ONE pair-keyed aggregate serves both metrics: per (rday, user)
+    * keep min(offset) — 0 iff the user was active ON rday — so per rday
+    * wau = count of pairs and dau = count of min-offset-0 pairs. The
+    * round-11 form computed dau and wau as two separate count_distinct
+    * branches: Catalyst's distinct decomposition was already
+    * pair-partitioned (no per-day set ever sat in one task), but the du
+    * subtree ran TWICE (two events scans, two (day,user) dedup
+    * exchanges) and the branches met in a join — measured 4.1× on
+    * 3× data sf10→sf30.
+    *
+    * The key move is the `repartition(user_id)` between the dedup and
+    * the explode: HashPartitioning(user) satisfies the clustering of
+    * BOTH downstream aggregates' keys that matter — (user, rday) groups
+    * are user-local — so the ×7 exploded stream never leaves its task:
+    * posexplode → pair-keyed min → rday-keyed partial counts is one
+    * fused codegen pipeline whose only exchange output is ~calendar-days
+    * partial rows per task. Without it the exploded pairs themselves
+    * shuffle (7× the dedup volume; measured 6× CPU on 3× data sf10→sf30
+    * from the 70 M-row exchange + two pair-scale aggregation maps). Every
+    * aggregation state is a fixed-width long; the per-task (user, rday)
+    * map is bounded by the task's pair share × 7. `dau > 0` keeps
+    * exactly the report days that occur in the data (each occurring day
+    * has ≥ 1 offset-0 user; phantom tail days past max(day) and absent
+    * middle days have none), reproducing the old inner join to the day
+    * list. user_id is non-null by construction (GenData h(26, nUsers)),
+    * so count(pairs) matches count(DISTINCT user_id) exactly. */
   private val qaggRollingDau = QueryDef(
     "qagg_rolling_dau",
     build = (spark, sfDir) => {
       val du = Tables.events(spark, sfDir)
         .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
         .distinct()
-      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-      val wau = du
-        .select(explode(expr("sequence(day, day + 6)")).as("rday"), col("user_id"))
+      du.repartition(col("user_id"))
+        .selectExpr("user_id", "posexplode(sequence(day, day + 6)) AS (o, rday)")
+        .groupBy(col("user_id"), col("rday"))
+        .agg(min(col("o")).as("mino"))
         .groupBy(col("rday"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-      dau.join(wau, col("day") === col("rday"))
-        .select(col("day"), col("dau"), col("wau"))
+        .agg(
+          sum(when(col("mino") === 0, 1L)).as("dau"),
+          count(lit(1)).as("wau"))
+        .filter(col("dau") > 0)
+        .select(col("rday").as("day"), col("dau"), col("wau"))
         .orderBy(col("day"))
     },
     oracle = Some(
