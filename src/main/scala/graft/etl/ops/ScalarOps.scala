@@ -318,7 +318,17 @@ object ScalarOps {
     * per-day explode, no UDF: pure integer div/mod that pushes into the
     * scan projection on both engines. Rolled up per return flag (count,
     * total, mean as ONE IEEE division of exact integers). The join is
-    * the keyed fact⋈dim on orderkey; everything else is map-side. */
+    * the keyed fact⋈dim on orderkey; everything else is map-side.
+    *
+    * Round 12 measured and REJECTED an eager-aggregation variant
+    * (pre-aggregate Σ g(ship) and line counts per (orderkey, flag),
+    * join order dates after): at ~4 lines/order the pre-aggregate
+    * reduces the fact side barely 2× while paying a fact-scale hash
+    * aggregate the flat join never pays — sf10 isolate 3.1 → 10.7 s,
+    * CPU 78 → 192 s. The row-level join's 3.7×-CPU-on-3×-data band
+    * sf10→sf30 (292 s CPU ≈ 9 s across 32 threads) is one-JVM SMJ
+    * sort-spill pressure at the fixed 32 partitions, not a plan defect
+    * — on a cluster the partition count scales with the input. */
   private val qdateBusday = QueryDef(
     "qdate_busday",
     build = (spark, sfDir) => {
