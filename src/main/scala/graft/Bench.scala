@@ -336,10 +336,15 @@ object Bench {
     // "/root/testdata/sf0.1" and "/tmp/graft_sf0.1" are the same scale
     def sfToken(dir: String): String =
       """sf([0-9.]+)/?$""".r.findFirstMatchIn(dir).map(_.group(1)).getOrElse("")
+    // bench_full_latest.json is clobbered by EVERY full run regardless of
+    // sf, so mid-ladder it holds the previous rung, not an sf0.1 record —
+    // the round-12 closing sf0.1 run found no same-sf reference and emitted
+    // no phase_factor at all. The tracked BENCH_sf0.1.json row (committed,
+    // never written by Bench itself) is the stable sf0.1 reference.
     val phaseRef: Option[Map[String, Double]] =
       if (results.isEmpty || sfToken(sfDir).isEmpty) None
-      else Seq("bench_full_latest.json", "BENCH_sf1.json", "BENCH_sf3.json",
-        "BENCH_sf10.json", "BENCH_sf30.json")
+      else Seq("bench_full_latest.json", "BENCH_sf0.1.json", "BENCH_sf1.json",
+        "BENCH_sf3.json", "BENCH_sf10.json", "BENCH_sf30.json")
         .iterator.flatMap(parseRecord(_))
         .find { case (sf, qs) => qs.nonEmpty && sfToken(sf) == sfToken(sfDir) }
         .map(_._2)
