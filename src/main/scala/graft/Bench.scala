@@ -63,7 +63,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores, not a fixed small number: a hand-run
+    // `--isolate` without the env read 428.9 s for pagerank at local[4]
+    // vs 99.1 s at local[32] (round 12) — a 4.3× phantom regression from
+    // the instrument, not the plan. Explicit env still wins (the driver
+    // and the ladder scripts set it).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -276,12 +276,36 @@ object ExtractFixtures {
     * (table bytes / target file size) and both join sides MUST agree. */
   val Buckets = 8
 
-  /** Bucket count for the staged adjacency table — matched to the bench
-    * session's parallelism (local[32] / shuffle.partitions=32) so a
+  /** FLOOR bucket count for the staged adjacency table — matched to the
+    * bench session's parallelism (local[32] / shuffle.partitions=32) so a
     * bucketed scan feeds every core and lines up 1:1 with the rank-side
     * hash partitioning in the PageRank iteration joins. A cluster sizes
-    * this to (edge bytes / target file size) like any bucketed fact. */
+    * this to (edge bytes / target file size) like any bucketed fact —
+    * and so does this repo, via [[adjBucketsFor]]: the count GROWS with
+    * the staged edge volume rather than staying pinned at 32. */
   val AdjBuckets = 32
+
+  /** Size the adjacency bucket count from the direction-doubled row count
+    * at staging time (the jaccard round-12 lesson applied to the staged
+    * layout itself: a fixed 32 buckets means per-TASK state grows linearly
+    * with scale). The binding constraint is not scan parallelism but the
+    * per-iteration PageRank `groupBy(dst)` PARTIAL aggregate, which runs
+    * inside the bucket-scan tasks: at sf30's 540 M rows / 32 buckets each
+    * task's hash-agg map holds ~4.6 M of the graph's 4.7 M dst keys over
+    * ~17 M rows — 32 such maps exhaust the memory pool concurrently and
+    * fall back to per-task sorts (sf10→sf30 isolate curve 4.2× on 3×
+    * data, vs ~2.5× at every smaller rung). ~6 M rows per bucket keeps
+    * each task at the per-task volume sf10 (the last linear rung) is
+    * measured to handle; rounding to a multiple of AdjBuckets keeps whole
+    * scheduling waves on the 32-thread session. Capped at 256 (the
+    * one-file-per-bucket contract — SURVEY §4 — makes each bucket one
+    * write task; 256 files of ≥ 20 MB at the scales that reach the cap). */
+  def adjBucketsFor(doubledRows: Long): Int = {
+    val targetRowsPerBucket = 6L * 1000 * 1000
+    val needed = ((doubledRows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+    if (needed <= AdjBuckets) AdjBuckets
+    else math.min(256, ((needed + AdjBuckets - 1) / AdjBuckets) * AdjBuckets)
+  }
 
   /** The DIRECTION-DOUBLED co-purchase adjacency staged as a sorted-
     * bucketed parquet TABLE (bucketBy src), not an in-heap checkpoint —
@@ -300,10 +324,13 @@ object ExtractFixtures {
       .parquet(copurchaseEdges(spark, sfDir))
     val doubled = edges.unionAll(
       edges.select(col("dst").as("src"), col("src").as("dst")))
+    // the row count only runs when the fixture is actually (re)written —
+    // a parquet metadata count on the staged edges, doubled
     ensureBucketed(spark, sfDir, s"graft_adj_bkt_${pathTag(sfDir)}",
       "copurchase_adj", doubled,
       org.apache.spark.sql.types.StructType.fromDDL("src BIGINT, dst BIGINT"),
-      "src", AdjBuckets, Seq("src", "dst"))
+      "src", AdjBuckets, Seq("src", "dst"),
+      dynamicBuckets = Some(() => adjBucketsFor(2L * edges.count())))
   }
 
   /** orders and lineitem written SORTED-BUCKETED by orderkey
@@ -331,23 +358,32 @@ object ExtractFixtures {
       spark: SparkSession, sfDir: String, table: String, sub: String,
       df: org.apache.spark.sql.DataFrame, schema: org.apache.spark.sql.types.StructType,
       key: String, buckets: Int = Buckets,
-      sortCols: Seq[String] = Nil): String = synchronized {
+      sortCols: Seq[String] = Nil,
+      dynamicBuckets: Option[() => Int] = None): String = synchronized {
     val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
     if (!spark.catalog.tableExists(table)) {
       val dir = root(sfDir).resolve(sub)
       val marker = dir.resolve("_GRAFT_FIXTURE_OK")
       if (Files.exists(marker)) {
+        // re-attach with the count the FILES were written with: a
+        // dynamically-sized table persists its choice in the marker
+        // (a wrong count here silently mis-buckets every downstream
+        // join); empty markers predate dynamic sizing and were all
+        // written at the static default
+        val persisted = new String(Files.readAllBytes(marker), "UTF-8").trim
+        val n = if (persisted.nonEmpty) persisted.toInt else buckets
         spark.sql(
           s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY (${sorted.mkString(", ")}) " +
-            s"INTO $buckets BUCKETS LOCATION '${dir.toUri}'")
+            s"INTO $n BUCKETS LOCATION '${dir.toUri}'")
       } else {
-        df.repartition(buckets, col(key))
+        val n = dynamicBuckets.map(_()).getOrElse(buckets)
+        df.repartition(n, col(key))
           .write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, key).sortBy(sorted.head, sorted.tail: _*)
+          .bucketBy(n, key).sortBy(sorted.head, sorted.tail: _*)
           .option("path", dir.toString)
           .saveAsTable(table)
-        Files.write(marker, Array.emptyByteArray)
+        Files.write(marker, n.toString.getBytes("UTF-8"))
       }
     }
     table

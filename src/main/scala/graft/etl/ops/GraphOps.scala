@@ -239,9 +239,26 @@ object GraphOps {
           .join(deg.select(col("src").as("__dv"), col("deg")),
             col("v") === col("__dv"))
           .select(col("v").as("__sv"), expr("pr div deg").as("__share"))
+        // The contribution aggregate shuffles RAW (dst, share) pairs —
+        // the explicit repartition(dst) puts both the partial and final
+        // HashAggregate on dst-partitioned data, where the per-task key
+        // count is nodes/shuffle.partitions (~147 k at sf30: a ~7 MB
+        // map) regardless of scale. Without it the partial aggregate
+        // runs inside the bucket-scan tasks, whose per-task key
+        // universe is nearly ALL nodes (~3-4 M at sf30, random dst):
+        // the map outgrows its 1/32nd pool share, falls back to
+        // sort-based aggregation, and every iteration paid 39 GB of
+        // memory-spill + 4.8 GB of disk-spill for a 2.8× row reduction
+        // (StageProbe round 12: 720 s executorRun per iteration in that
+        // one stage; A/B-confirmed NOT fixable by bucket count — 96
+        // buckets left it unchanged). Raw pairs cost ~2.8× the shuffle
+        // bytes (two longs, lz4) and zero spill — the 100 TB trade too,
+        // since sort-fallback per map task is exactly what kills a
+        // fixed-partition PageRank at cluster scale.
         val contrib = dir
           .join(share, dir("src") === share("__sv"))
           .select(col("dst"), col("__share").as("c"))
+          .repartition(col("dst"))
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("cv"), col("s"))

@@ -564,6 +564,25 @@ class PlanSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("adjBucketsFor: adjacency buckets grow with staged volume, floor 32, cap 256") {
+    import graft.etl.ExtractFixtures.{adjBucketsFor, AdjBuckets}
+    // test-scale graphs and everything through sf10 (~180 M doubled rows
+    // at 6 M rows/bucket = 30 needed) stay at the 32-bucket floor — all
+    // pre-round-12 fixture layouts and plan pins are unchanged there
+    assert(adjBucketsFor(0) == AdjBuckets)
+    assert(adjBucketsFor(1000) == AdjBuckets)
+    assert(adjBucketsFor(180L * 1000 * 1000) == AdjBuckets)
+    // sf30 (~540 M doubled rows → 90 needed) rounds up to whole 32-wide
+    // scheduling waves: 96 buckets, ~5.6 M rows per task — the per-task
+    // volume of the last measured-linear rung
+    assert(adjBucketsFor(540L * 1000 * 1000) == 96)
+    // the cap: one file per bucket keeps the write fan-out bounded
+    assert(adjBucketsFor(100L * 1000 * 1000 * 1000) == 256)
+    // multiples of the floor only — partial scheduling waves never appear
+    assert((32L to 2000L).map(m => adjBucketsFor(m * 1000 * 1000))
+      .forall(b => b % AdjBuckets == 0))
+  }
+
   test("qgraph_pagerank: iterations scan the bucketed adjacency table, no edge-scale heap block") {
     // Round 10 replaced the edge-scale MEMORY_AND_DISK_SER localCheckpoint
     // (which serialized to ~17 GB at sf30 and could not fit a 16 GB JVM —
