@@ -25,6 +25,21 @@ object Bench {
     * honest number is in the same JSON. Membership is pinned by PlanSpec's
     * static sweep ("count-prunable queries are exactly the pinned set"): a
     * new query whose counted plan drops operators self-identifies there. */
+  /** Queries whose count() plan prunes an expensive PROJECTION rather
+    * than a heavy operator — invisible to PlanSpec's node-class sweep
+    * (it censuses Join/Generate/Window/Aggregate/Expand and distinct
+    * aggregate functions; a Project carrying per-row native compute has
+    * none of those), but just as under-measured by a count() consumer.
+    * qllm_repetition's round-12 rewrite is the type specimen: its whole
+    * cost is the gram_run_stats projection in one narrow scan, and
+    * count() strips the projected columns down to the size(w) filter.
+    * Members are consumed through the noop sink like the swept set;
+    * PlanSpec pins that this set stays DISJOINT from the sweep (a member
+    * the sweep starts seeing again belongs in the main list). Declared
+    * BEFORE countPrunable — object vals initialize in declaration order,
+    * and countPrunable concatenates this set. */
+  val projectionPrunable: Set[String] = Set("qllm_repetition")
+
   val countPrunable: Set[String] = Set(
     // every window query: a Window never changes cardinality, so count()
     // elides the window compute itself — the whole family under-measured
@@ -58,8 +73,9 @@ object Bench {
     "qllm_bigram_lm", "qllm_bleu", "qllm_boilerplate", "qllm_decontam",
     "qllm_dedup_e2e", "qllm_dsir", "qllm_dupfrac", "qllm_incr_dedup",
     "qllm_lexdiv", "qllm_mix", "qllm_mix_temp", "qllm_novelty", "qllm_pack",
-    "qllm_repetition", "qllm_semdedup", "qllm_seqs_topn",
-    "qllm_source_profile", "qllm_surprisal", "qllm_vocab", "qllm_zipf")
+    "qllm_semdedup", "qllm_seqs_topn",
+    "qllm_source_profile", "qllm_surprisal", "qllm_vocab", "qllm_zipf") ++
+    projectionPrunable
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1070,28 +1070,38 @@ object LlmOps {
   private val qllmRepetition = QueryDef(
     "qllm_repetition",
     build = (spark, sfDir) => {
-      val ws = Tables.documents(spark, sfDir)
+      // Every statistic here is ROW-LOCAL — multiplicities of a doc's own
+      // grams never cross document boundaries — so the per-doc counts
+      // come from ONE native pass over the sorted gram-hash arrays
+      // ([[graft.functions.GramRunStats]]), not from corpus-scale
+      // (doc, gram) aggregates. The round-11 form grouped by
+      // (doc_id, term-STRING) and (doc_id, bigram-STRING): near-unique
+      // keys, so the partial aggregates' per-task maps held ~their whole
+      // input and fell back to sort-based aggregation — 8 + 8.6 GB of
+      // memory-spill at sf30 (StageProbe round 12) to count runs a
+      // row-local sort computes in-place. Plan is now one narrow scan +
+      // the output sort; gram-hash equivalence is the repo's standard
+      // 64-bit idiom (string-side oracle agrees modulo 2⁻⁶⁴ collisions).
+      // The size(w) >= 2 filter reproduces the old inner d⋈bd join,
+      // which dropped docs with no bigram.
+      import graft.functions.{GramRunStatsUtil, NgramFunctions}
+      Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      val wc = ws.select(col("doc_id"), explode(col("w")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      val d = wc.groupBy(col("doc_id")).agg(
-        sum(col("c")).cast(LongType).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_c"))
-      val bd = ws
-        .select(col("doc_id"), explode(zip_with(
-          expr("slice(w, 1, size(w) - 1)"),
-          expr("slice(w, 2, size(w) - 1)"),
-          (a, b) => concat(a, lit(" "), b))).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(
-          sum(col("c")).cast(LongType).as("n_bg"),
-          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast(LongType).as("dup_bg"))
-      d.join(bd, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          (col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("distinct_ratio"),
-          (col("top_c").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("top_word_frac"),
-          (col("dup_bg").cast(DoubleType) / col("n_bg").cast(DoubleType)).as("dup_bigram_frac"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          GramRunStatsUtil.gram_run_stats(
+            NgramFunctions.ngram_hashes(col("w"), 1)).as("s1"),
+          GramRunStatsUtil.gram_run_stats(
+            NgramFunctions.ngram_hashes(col("w"), 2)).as("s2"))
+        .select(col("doc_id"),
+          col("s1.n_grams").as("n_tokens"),
+          col("s1.n_distinct").as("n_distinct"),
+          (col("s1.n_distinct").cast(DoubleType) /
+            col("s1.n_grams").cast(DoubleType)).as("distinct_ratio"),
+          (col("s1.top_c").cast(DoubleType) /
+            col("s1.n_grams").cast(DoubleType)).as("top_word_frac"),
+          (col("s2.dup_c").cast(DoubleType) /
+            col("s2.n_grams").cast(DoubleType)).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     },
     oracle = Some(
@@ -2212,8 +2222,32 @@ object LlmOps {
   private val qllmBleu = QueryDef(
     "qllm_bleu",
     build = (spark, sfDir) => {
+      val sh = graft.api.Graft
+        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("h64").as("sh"))
+      // Pair-scale, consumed FOUR times below (the assembly spine, both
+      // clipped arms, and the doc restriction) — checkpoint once,
+      // serialized (the [[serialized-checkpoints]] storage rule).
+      val pairs = graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // The multiset gram counts are needed ONLY for documents that
+      // appear in a candidate pair. The round-11 form counted grams for
+      // the WHOLE corpus and then left-joined pairs: at sf30 that was
+      // two corpus-scale (doc, gram) aggregates over ~near-unique keys —
+      // 20 GB of partial-agg sort-fallback spill (StageProbe round 12)
+      // — while the GenData fixtures' candidate set is EMPTY (0 pairs at
+      // sf10/sf30: random docs don't pass Jaccard ≥ 1/4), so 100 % of
+      // that work produced nothing. Gram cost now scales with PAIR
+      // density (the quantity the output is quadratic in — the honest
+      // driver), not corpus size: pair-member docs only.
+      val pairDocs = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .join(pairDocs, Seq("doc_id"))
       // MULTISET gram counts — no array_distinct, each occurrence counts.
       def gramCounts(n: Int): DataFrame = {
         // ngram_hashes(w, 1) == transform(w, xxhash64) value-for-value
@@ -2225,11 +2259,6 @@ object LlmOps {
           .groupBy(col("doc_id"), col("g"))
           .agg(count(lit(1)).as("c"))
       }
-      val sh = graft.api.Graft
-        .shingleHashes(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
-        .select(col("doc_id"), col("h64").as("sh"))
-      val pairs = graft.api.Graft.jaccardCandidates(sh, dfCap = 20, minNum = 1, minDen = 4)
-        .select(col("doc_a"), col("doc_b"))
       // Σ min(count_a, count_b) over shared gram types, keyed on (doc, gram).
       def clipped(gc: DataFrame, out: String): DataFrame =
         pairs

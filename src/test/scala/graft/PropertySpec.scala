@@ -497,6 +497,45 @@ class PropertySpec extends SparkFixture {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"edge-case divergence: $r")
   }
 
+  test("gram_run_stats matches the explode+groupBy multiset statistics") {
+    // the native row-local pass replaces qllm_repetition's corpus-scale
+    // (doc, gram) aggregates — its four counters must equal the
+    // (value, count)-table summaries exactly for EVERY array
+    val g = graft.etl.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        graft.functions.NgramFunctions.ngram_hashes(
+          split(lower(col("text")), "\\s+"), 2).as("gs"))
+    val fast = g.select(col("doc_id"),
+      graft.functions.GramRunStatsUtil.gram_run_stats(col("gs")).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.n_distinct"),
+        col("s.top_c"), col("s.dup_c"))
+    val ref = g.select(col("doc_id"), explode(col("gs")).as("v"))
+      .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+      "native run stats diverge from the aggregate shape")
+    // degenerate inputs: empty, singleton, all-equal, all-distinct
+    val sp = spark
+    import sp.implicits._
+    val edge = Seq(
+      (Seq.empty[Long], (0L, 0L, 0L, 0L)),
+      (Seq(7L), (1L, 1L, 1L, 0L)),
+      (Seq(7L, 7L, 7L), (3L, 1L, 3L, 3L)),
+      (Seq(3L, 1L, 2L), (3L, 3L, 1L, 0L)),
+      (Seq(5L, 1L, 5L, 2L, 1L, 5L), (6L, 3L, 3L, 5L)))
+    for ((in, want) <- edge) {
+      val r = Seq(in).toDF("gs")
+        .select(graft.functions.GramRunStatsUtil.gram_run_stats(col("gs")).as("s"))
+        .select(col("s.n_grams"), col("s.n_distinct"), col("s.top_c"), col("s.dup_c"))
+        .head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == want,
+        s"gram_run_stats($in) = $r, want $want")
+    }
+  }
+
   test("normalize_text is bit-identical to the lower+regex+trim shape") {
     // the native one-pass normalizer replaces the dedup-key
     // canonicalization tree — byte-identical output or fingerprints from
