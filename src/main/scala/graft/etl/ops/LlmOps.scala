@@ -2085,6 +2085,52 @@ object LlmOps {
         "WHERE n_common * 4 >= ca.n_sh + cb.n_sh - n_common " +
         "ORDER BY doc_a, doc_b"))
 
+  /** Shared shape of qllm_novelty / qllm_dupfrac: the doc-scale
+    * (doc_id, n_grams) frame plus the exploded (doc_id, g) gram stream,
+    * with the stream repartitioned on the gram key before its
+    * corpus-wide aggregate when — and only when — the key universe
+    * outgrows the session default. Gram-hash keys are nearly UNIQUE
+    * (that most content is NOT shared is the point of both metrics), so
+    * map-side partial aggregation reduces ~nothing while each scan
+    * task's hash map wants ~its whole input as state — measured at sf30
+    * as 7.1 + 6.8 GB of sort-fallback spill inside qllm_dupfrac's
+    * frequency aggregate (StageProbe, PERF.md round 12 part 5). An
+    * explicit repartition on `g` moves BOTH aggregate modes past the
+    * exchange, where per-task keys = keys/partitions (the pagerank
+    * rule: map-side combine is only free when keys repeat WITHIN a
+    * task). The partition count is sized from the EXACT gram total —
+    * Σ per-doc distinct counts, read off the checkpointed perDoc frame
+    * both callers join against anyway, so sizing costs one doc-scale
+    * sum — targeting ~1.5 M keys/task (the jaccard-measured target:
+    * smaller per-task maps beat fewer tasks). The repartition is
+    * SKIPPED when the sized count does not beat the session default by
+    * ≥ 25%: a barely-bigger exchange is pure overhead at small scale,
+    * and the aggregate then keeps its own (partial-agg) exchange. */
+  private def gramStream(spark: SparkSession, sfDir: String, n: Int)
+      : (DataFrame, DataFrame) = {
+    val gsets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.NgramFunctions.ngram_hashes(col("w"), n))
+          .as("gs"))
+    // doc-scale (id, count) frame: checkpointed SERIALIZED so the sizing
+    // sum and the final join read it without re-running the tokenize+hash
+    // scan ([[serialized-checkpoint]] contract; n_docs × 16 B)
+    val perDoc = gsets
+      .select(col("doc_id"), size(col("gs")).cast(LongType).as("n_grams"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val totalGrams = Option(perDoc.agg(sum(col("n_grams"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val grams = gsets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val defParts = spark.sessionState.conf.numShufflePartitions
+    val nparts = math.min(4096, (totalGrams / 1500000L).toInt + 1)
+    val keyed = if (nparts * 4 > defParts * 5)
+      grams.repartition(nparts, col("g")) else grams
+    (perDoc, keyed)
+  }
+
   /** Per-document n-gram NOVELTY — what fraction of a doc's content is
     * first seen in IT rather than any earlier document (doc_id order =
     * ingestion order): the marginal-contribution score a curation pipeline
@@ -2096,18 +2142,16 @@ object LlmOps {
     * qllm_decontam trick — the string-side oracle agrees modulo 2⁻⁶⁴
     * collisions); per-doc distinct runs map-side via array_distinct.
     * The corpus-wide gram table shuffles exactly ONCE (the min-owner
-    * aggregate): ownership counts come from re-grouping that aggregate's
+    * aggregate, key-repartitioned and sized via [[gramStream]]):
+    * ownership counts come from re-grouping that aggregate's
     * 1-row-per-gram output by owner — NOT from joining the gram table
     * back against it (the earlier shape; its sort-merge join was the
-    * whole cost at sf1) — and per-doc gram totals ride a map-side
-    * partial-aggregated max over the doc-constant array size. Novelty =
-    * one IEEE division of exact integer counts. */
+    * whole cost at sf1) — and per-doc gram totals come off the
+    * pre-explode array size (doc-scale, no token-scale aggregate).
+    * Novelty = one IEEE division of exact integer counts. */
   private val qllmNovelty = QueryDef(
     "qllm_novelty",
     build = (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 5)
       // gram hashing rides the native one-pass expression
       // ([[graft.functions.NgramHashes]] — values bit-identical to the
       // xxhash64(array_join(slice)) shape it replaces). Measured dead
@@ -2116,14 +2160,7 @@ object LlmOps {
       // 50.6 s vs 10.0 s at sf1 — higher-order lambdas evaluate
       // interpreted and five boxed GetArrayItem calls per gram dwarf
       // the join+hash intrinsic pair.
-      val grams = docs.select(col("doc_id"),
-        array_distinct(graft.functions.NgramFunctions.ngram_hashes(col("w"), 5))
-          .as("gs"))
-        .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
-          explode(col("gs")).as("g"))
-      // ng is constant per doc, so max() partial-aggregates to one row
-      // per (partition, doc) before the exchange — no wide shuffle here.
-      val perDoc = grams.groupBy(col("doc_id")).agg(max(col("ng")).as("n_grams"))
+      val (perDoc, grams) = gramStream(spark, sfDir, 5)
       val novel = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
         .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
       perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
@@ -2156,25 +2193,19 @@ object LlmOps {
     * Scale: grams are hashed to longs before any shuffle (the decontam
     * trick; the string-side oracle agrees modulo 2⁻⁶⁴ collisions) and
     * per-doc distinct runs map-side via array_distinct. The corpus-wide
-    * gram table shuffles exactly ONCE (the per-gram doc-count aggregate);
-    * a SINGLETON gram (n_docs = 1) belongs wholly to its one doc, so
-    * n_shared = n_grams − n_unique falls out of re-grouping that
-    * aggregate's singleton rows by owning doc — no join of the gram
+    * gram table shuffles exactly ONCE (the per-gram doc-count aggregate,
+    * key-repartitioned and sized via [[gramStream]] — its map-side
+    * partial agg over near-unique keys was 7.1 + 6.8 GB of sort-fallback
+    * spill at sf30); a SINGLETON gram (n_docs = 1) belongs wholly to its
+    * one doc, so n_shared = n_grams − n_unique falls out of re-grouping
+    * that aggregate's singleton rows by owning doc — no join of the gram
     * table back against its own aggregate (the earlier shape; its
-    * sort-merge join dominated the sf1 cost). n_grams rides a map-side
-    * partial-aggregated max over the doc-constant array size. */
+    * sort-merge join dominated the sf1 cost). n_grams comes off the
+    * pre-explode array size (doc-scale, no token-scale aggregate). */
   private val qllmDupfrac = QueryDef(
     "qllm_dupfrac",
     build = (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 8)
-      val grams = docs.select(col("doc_id"),
-        array_distinct(graft.functions.NgramFunctions.ngram_hashes(col("w"), 8))
-          .as("gs"))
-        .select(col("doc_id"), size(col("gs")).cast(LongType).as("ng"),
-          explode(col("gs")).as("g"))
-      val perDoc = grams.groupBy(col("doc_id")).agg(max(col("ng")).as("n_grams"))
+      val (perDoc, grams) = gramStream(spark, sfDir, 8)
       // min(doc_id) is THE doc for a singleton gram; shared grams never
       // survive the n_docs = 1 filter, so the re-group is exact.
       val uniq = grams.groupBy(col("g"))
