@@ -56,6 +56,12 @@ object StageProbe {
           f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e9}%7.3fG " +
           f"spillM=${m.memoryBytesSpilled / 1e9}%7.3fG " +
           f"spillD=${m.diskBytesSpilled / 1e9}%7.3fG  ${i.name.take(80)}%s")
+        // optional stage-identification detail: the operator scopes of the
+        // stage's RDDs — the name line (a CompletableFuture lambda under
+        // AQE) does not say WHICH plan fragment a stage executes
+        if (sys.env.contains("SPARK_GRAFT_PROBE_DETAILS"))
+          println("    | " + i.rddInfos.sortBy(_.id)
+            .flatMap(r => r.scope.map(_.name)).distinct.mkString(" <- "))
       }
     })
 

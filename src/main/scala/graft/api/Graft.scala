@@ -1226,20 +1226,46 @@ object Graft {
     * C4-style chrome/license detector): grams occurring in ≥ `minDf`
     * distinct documents are boilerplate; returns (id, n_grams, n_boiler).
     * Grams travel as xxhash64 longs — every shuffle carries fixed-width
-    * keys, never text. */
+    * keys, never text.
+    *
+    * The df count needs DISTINCT (doc, gram) pairs — which come for free
+    * from a row-local `array_distinct` BEFORE the explode, not from a
+    * corpus-scale distinct aggregate (the earlier shape: 75 M near-unique
+    * pair keys through a HashAggregate — 6.4 GB of sort-fallback spill at
+    * sf30, pure overhead for a set the per-row dedup already yields).
+    * Likewise n_grams is the pre-explode array size, not a token-scale
+    * count. What remains wide: the gram df-count (map-side combine is
+    * real here — a boilerplate gram repeats by definition) and the
+    * per-doc boiler-occurrence count (doc ids are contiguous within scan
+    * tasks, so partial counts collapse to ~one row per doc).
+    *
+    * The boiler set joins BROADCAST, explicitly (the qllm_tfidf df-table
+    * lesson): Catalyst's static estimate for filter-over-aggregate is
+    * fact-scale, so without the hint the sf30 plan shuffled the whole
+    * occurrence stream by gram (0.9 GB write + 6.3 GB sort spill) AND
+    * left the per-doc count running over gram-partitioned input where
+    * every task held every doc id — AQE cannot undo the shuffle write it
+    * has already materialized. The set is the df heavy-hitter tail —
+    * ≤ occurrences/minDf by pigeonhole, in practice the small set of
+    * repeated chrome/license grams a C4-style pass exists to find — the
+    * same boundedness contract as tfidf's vocab table. */
   def boilerplateTag(df: DataFrame, id: Column, text: Column,
       n: Int = 3, minDf: Int = 5): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val grams = df.select(id.as("__id"), split(lower(text), " ").as("__w"))
+    val docs = df.select(id.as("__id"), split(lower(text), " ").as("__w"))
       .filter(size(col("__w")) >= n)
-      .select(col("__id"), explode(
-        graft.functions.NgramFunctions.ngram_hashes(col("__w"), n)).as("__g"))
-    val boiler = grams.select(col("__id"), col("__g")).distinct()
+      .select(col("__id"),
+        graft.functions.NgramFunctions.ngram_hashes(col("__w"), n).as("__gs"))
+    val boiler = docs
+      .select(explode(array_distinct(col("__gs"))).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select(col("__g"))
-    val perDoc = grams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
-    val nb = grams.join(boiler, "__g").groupBy(col("__id")).agg(count(lit(1)).as("n_boiler"))
+    val perDoc = docs
+      .select(col("__id"), size(col("__gs")).cast(LongType).as("n_grams"))
+    val nb = docs.select(col("__id"), explode(col("__gs")).as("__g"))
+      .join(broadcast(boiler), "__g")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_boiler"))
     perDoc.join(nb, Seq("__id"), "left")
       .select(col("__id").as("id"), col("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
