@@ -341,7 +341,14 @@ object ScalarOps {
           (datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType)) + 3)
             .as("mo"))
       def g(m: String): Column = lit(5) * expr(s"$m div 7") + least(col(m) % 7, lit(5))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // SHUFFLE_HASH on the orders side: the only consumer of the join is
+      // a 3-group aggregate, so the SMJ default paid a full sort of the
+      // lineitem side (180 M rows at sf30 — 5.9 GB of spill, StageProbe
+      // round 12 part 8) for an ordering nothing downstream uses. The
+      // hash build holds orders/partitions keys per task (~1.4 M × 16 B
+      // at sf30's 32 partitions — bounded by partition count at any
+      // scale, and AQE still splits skewed partitions under SHJ).
+      li.join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_returnflag"), (g("ms") - g("mo")).as("busdays"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"),

@@ -42,6 +42,20 @@ object WindowOps {
           (col("cum") - col("cnt") + 1).cast(IntegerType).as("rnk"), col("drnk"))
       val tw = Window.partitionBy(col("o_orderpriority"), col("o_totalprice"))
         .orderBy(asc("o_orderkey"))
+      // Three measured rejections at sf30 (round 12), do not retry:
+      // (1) SHUFFLE_HASH on the census side removed the SMJ's fact-side
+      // sort and its 3.4 GB spill but cost MORE CPU overall (262 → 350 s
+      // in the doubled stage) — the tie window's own sort had been
+      // riding the SMJ's sorted runs, and over hash-shuffled input it
+      // pays full price; (2) a serialized localCheckpoint before the
+      // global sort (to stop the range exchange's boundary-sampling pass
+      // re-running the join + window subtree, which StageProbe shows as
+      // two byte-identical stages) cost more than the re-execution it
+      // saved (probe 16.5 → 24.5 s — 45 M-row serialization isn't free);
+      // (3) repartitioning the census aggregate on its key (the pagerank
+      // rule) removed a 4.6 GB map-side spill but the raw-row exchange
+      // cost as much as the spill had (probe 18.7 → 20.6 s on adjacent
+      // runs). The SMJ shape below is the measured optimum.
       o.join(ranks, Seq("o_orderpriority", "o_totalprice"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           (col("rnk") + row_number().over(tw) - 1).as("rn"),
