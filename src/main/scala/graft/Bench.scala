@@ -33,18 +33,26 @@ object Bench {
     * qllm_repetition's round-12 rewrite is the type specimen: its whole
     * cost is the gram_run_stats projection in one narrow scan, and
     * count() strips the projected columns down to the size(w) filter.
+    * qwin_gapfill joined the set with its round-12 segment rewrite: the
+    * lead-window and sequence-explode DRIVE cardinality so the node
+    * census sees them under count(), but the dominant costs — the
+    * closing grid-scale local sort and the decStr rendering — are
+    * exactly what count() elides.
     * Members are consumed through the noop sink like the swept set;
     * PlanSpec pins that this set stays DISJOINT from the sweep (a member
     * the sweep starts seeing again belongs in the main list). Declared
     * BEFORE countPrunable — object vals initialize in declaration order,
     * and countPrunable concatenates this set. */
-  val projectionPrunable: Set[String] = Set("qllm_repetition")
+  val projectionPrunable: Set[String] = Set("qllm_repetition", "qwin_gapfill")
 
   val countPrunable: Set[String] = Set(
     // every window query: a Window never changes cardinality, so count()
     // elides the window compute itself — the whole family under-measured
+    // (qwin_gapfill moved to projectionPrunable in round 12: its segment
+    // rewrite's window/explode drive cardinality, so the node census sees
+    // them — the pruned cost is the closing sort + rendering projection)
     "qwin_bollinger", "qwin_cusum", "qwin_dist", "qwin_drawdown", "qwin_ema",
-    "qwin_first_last", "qwin_gapfill", "qwin_gini", "qwin_hampel",
+    "qwin_first_last", "qwin_gini", "qwin_hampel",
     "qwin_lag_lead", "qwin_median", "qwin_ntile_dist", "qwin_ordergap",
     "qwin_pareto", "qwin_range_frame", "qwin_rank", "qwin_rsi",
     "qwin_running", "qwin_scd2", "qwin_slope", "qwin_smacross", "qwin_vwap",
