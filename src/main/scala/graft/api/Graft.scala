@@ -1415,10 +1415,13 @@ object Graft {
     df.select(id.as("id"), key.as("key"), ts.as("ts"),
         (value.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType).as("vi"))
       .withColumn("__fr", collect_list(col("vi")).over(w))
+      // native one-pass frame median (graft.functions.FrameMedians) —
+      // replaces the boxed per-row sort_array pick, bit-equal by
+      // construction (same ⌈n/2⌉-th-smallest rule; PropertySpec pins it)
       .select(col("id"), col("key"), col("ts"), col("vi"),
         size(col("__fr")).cast(LongType).as("n_frame"),
-        element_at(sort_array(col("__fr")),
-          ((size(col("__fr")) + 1) / 2).cast(IntegerType)).as("med_i"))
+        graft.functions.FrameMediansUtil.frame_medians(col("__fr"), withMad = false)
+          .getField("med_i").as("med_i"))
   }
 
   /** Hampel outlier filter on top of [[rollingMedian]]'s frame shape:
@@ -1436,12 +1439,15 @@ object Graft {
     df.select(id.as("id"), key.as("key"), ts.as("ts"),
         (value.cast(DecimalType(12, 4)) * lit(10000)).cast(LongType).as("vi"))
       .withColumn("__fr", collect_list(col("vi")).over(w))
-      .withColumn("med_i",
-        element_at(sort_array(col("__fr")),
-          ((size(col("__fr")) + 1) / 2).cast(IntegerType)))
-      .withColumn("mad_i", element_at(
-        sort_array(expr("transform(__fr, x -> abs(x - med_i))")),
-        ((size(col("__fr")) + 1) / 2).cast(IntegerType)))
+      // both medians in ONE native pass (graft.functions.FrameMedians):
+      // the old shape paid a boxed sort_array for the median plus an
+      // INTERPRETED transform lambda + second boxed sort for the MAD,
+      // per row — the interpreted-lambda cost class the qllm_novelty
+      // scaladoc rejects. Bit-equal (same ⌈n/2⌉ rule on both picks).
+      .withColumn("__mm",
+        graft.functions.FrameMediansUtil.frame_medians(col("__fr"), withMad = true))
+      .withColumn("med_i", col("__mm").getField("med_i"))
+      .withColumn("mad_i", col("__mm").getField("mad_i"))
       .select(col("id"), col("key"), col("ts"), col("vi"), col("med_i"), col("mad_i"),
         (abs(col("vi") - col("med_i")) * 2 > col("mad_i") * (2 * k)).as("outlier"))
   }

@@ -536,6 +536,62 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("frame_medians matches the sort_array picks it replaces") {
+    // the native one-pass pair replaces qwin_median/qwin_hampel's boxed
+    // sort_array median plus interpreted transform-lambda MAD — both
+    // picks are the 1-based ceil(n/2)-th smallest and must be bit-equal
+    // on EVERY frame the sliding collect_list window produces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+    val f = graft.etl.Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 4)) * lit(10000))
+          .cast(org.apache.spark.sql.types.LongType).as("vi"))
+      .withColumn("fr", collect_list(col("vi")).over(w))
+    val fast = f.select(col("event_id"),
+      graft.functions.FrameMediansUtil.frame_medians(col("fr"), withMad = true).as("m"))
+      .select(col("event_id"), col("m.med_i"), col("m.mad_i"))
+    val ref = f
+      .withColumn("med_i", element_at(sort_array(col("fr")),
+        ((size(col("fr")) + 1) / 2).cast(org.apache.spark.sql.types.IntegerType)))
+      .withColumn("mad_i", element_at(
+        sort_array(expr("transform(fr, x -> abs(x - med_i))")),
+        ((size(col("fr")) + 1) / 2).cast(org.apache.spark.sql.types.IntegerType)))
+      .select(col("event_id"), col("med_i"), col("mad_i"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+      "native frame medians diverge from the sort_array shape")
+    // degenerate frames: singleton, even/odd lengths, ties, negatives;
+    // withMad=false must skip the deviation pass (mad_i = 0), and the
+    // empty frame is a loud upstream-bug error, not a value
+    val sp = spark
+    import sp.implicits._
+    val edge = Seq(
+      (Seq(7L), (7L, 0L)),
+      (Seq(2L, 1L), (1L, 0L)),
+      (Seq(3L, 1L, 2L), (2L, 1L)),
+      (Seq(5L, 5L, 5L, 5L), (5L, 0L)),
+      (Seq(-4L, 0L, 6L, -10L), (-4L, 4L)))
+    for ((in, want) <- edge) {
+      val r = Seq(in).toDF("fr")
+        .select(graft.functions.FrameMediansUtil.frame_medians(col("fr"), withMad = true).as("m"))
+        .select(col("m.med_i"), col("m.mad_i")).head()
+      assert((r.getLong(0), r.getLong(1)) == want,
+        s"frame_medians($in) = $r, want $want")
+      val noMad = Seq(in).toDF("fr")
+        .select(graft.functions.FrameMediansUtil.frame_medians(col("fr"), withMad = false).as("m"))
+        .select(col("m.med_i"), col("m.mad_i")).head()
+      assert((noMad.getLong(0), noMad.getLong(1)) == (want._1, 0L),
+        s"frame_medians($in, withMad=false) = $noMad, want (${want._1}, 0)")
+    }
+    val boom = intercept[Exception] {
+      Seq(Seq.empty[Long]).toDF("fr")
+        .select(graft.functions.FrameMediansUtil.frame_medians(col("fr"), withMad = false))
+        .collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("normalize_text is bit-identical to the lower+regex+trim shape") {
     // the native one-pass normalizer replaces the dedup-key
     // canonicalization tree — byte-identical output or fingerprints from
