@@ -521,6 +521,51 @@ class PlanSpec extends SparkFixture {
       "projectionPrunable must be inside countPrunable and invisible to the sweep")
   }
 
+  test("qwin_gapfill: segment form — one exchange, no join, local final sort") {
+    // round 12 replaced the grid-explode + left-join + fill-window shape
+    // (66 GB of sf30 spill; the window subtree ran twice under the range
+    // sampler) with per-observation segments over ONE sized
+    // repartitionByRange(user). The pins: no join of any kind (the dense
+    // grid must never exist as a join input), exactly one shuffle
+    // exchange (the range repartition — the closing orderBy must plan as
+    // a LOCAL sort riding the range partitioning's ordering prefix), and
+    // the lead window still partitioned (never global).
+    val p = plan("qwin_gapfill")
+    assert(raw"Join|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"a join reappeared — the dense grid is a join input again:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (range repartition), got $exchanges:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the one exchange is not the range repartition:\n$p")
+  }
+
+  test("qllm_boilerplate: pre-explode pair distinct and a broadcast df tail") {
+    // round 12: the df count must read distinct (doc, gram) pairs off a
+    // row-local array_distinct (no corpus-scale pair-distinct aggregate),
+    // and the boiler set must join BROADCAST — Catalyst's fact-scale
+    // static estimate for filter-over-aggregate otherwise plans a
+    // sort-merge join that shuffles the whole occurrence stream by gram
+    // (0.9 GB write + 6.3 GB sort spill at sf30) and strands the per-doc
+    // count on gram-partitioned input.
+    val p = plan("qllm_boilerplate")
+    assert(raw"SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p).isEmpty,
+      s"the boiler join fell back to a shuffle join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast boiler + outer joins:\n$p")
+  }
+
+  test("qdate_busday: the fact join is shuffled-hash, not sort-merge") {
+    // round 12: the join's only consumer is a 3-group aggregate, so an
+    // SMJ's fact-side sort is pure spill (5.9 GB at sf30). The hint must
+    // keep planning a ShuffledHashJoin.
+    val p = plan("qdate_busday")
+    assert(p.contains("ShuffledHashJoin"),
+      s"busday join is not shuffled-hash:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact-side sort is back:\n$p")
+  }
+
   test("full inventory: every static plan stays under the 16-exchange budget") {
     // the qagg_mad lesson (33-exchange static plan from un-materialized
     // subtree duplication) as a suite-wide gate: a future edit that drops
