@@ -77,8 +77,12 @@ object Bench {
     // pruned pre-round-11 count() slots
     "qagg_freqpairs", "qgraph_kcore",
     "qllm_textstats", "qscan_metadata",
-    // LLM-pipeline shapes (incl. the original qllm_semdedup artifact)
-    "qllm_bigram_lm", "qllm_bleu", "qllm_boilerplate", "qllm_decontam",
+    // LLM-pipeline shapes (incl. the original qllm_semdedup artifact).
+    // qllm_bigram_lm LEFT this set in round 12: with both model joins
+    // broadcast (inner, cardinality-bearing) its count() plan keeps
+    // every operator, so its suite slots are directly comparable to
+    // noop bands from here on (the qagg_rolling_dau precedent).
+    "qllm_bleu", "qllm_boilerplate", "qllm_decontam",
     "qllm_dedup_e2e", "qllm_dsir", "qllm_dupfrac", "qllm_incr_dedup",
     "qllm_lexdiv", "qllm_mix", "qllm_mix_temp", "qllm_novelty", "qllm_pack",
     "qllm_semdedup", "qllm_seqs_topn",

@@ -1465,20 +1465,29 @@ object LlmOps {
     build = (spark, sfDir) => {
       val ws = Tables.documents(spark, sfDir)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      // the vocab-bounded unigram table is CHECKPOINTED (it is consumed
+      // twice — the broadcast model join and the vocab-size scalar —
+      // and un-checkpointed each consumer re-ran the full corpus
+      // tokenize scan behind it; the frame is |vocab| rows)
       val u = ws.select(explode(col("w")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
       val vv = u.agg(count(lit(1)).as("v"))
       // the bigram travels as its chain HASH (native one-pass
       // [[graft.functions.NgramHashChain]]) — the count groupBy and the
       // count join shuffle fixed-width longs, never bigram strings; w1
       // stays only for the BROADCAST unigram join. Same 2⁻⁶⁴ collision
       // caveat as every hashed-gram shuffle; the oracle still counts
-      // literal string bigrams.
+      // literal string bigrams. The (w1, hash) pairs ride codegen'd
+      // arrays_zip — the earlier zip_with((a, h) => struct(…)) shape
+      // dispatched an INTERPRETED lambda per token (higher-order
+      // functions are CodegenFallback; the qllm_novelty measured-dead-
+      // end class) in the query's hottest stage.
       val bg = ws.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          graft.functions.NgramFunctions.ngram_hash_chain(col("w"), 2),
-          (a, h) => struct(a.as("w1"), h.as("bh")))).as("s"))
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          graft.functions.NgramFunctions.ngram_hash_chain(col("w"), 2).as("bh")))
+          .as("s"))
         .select(col("doc_id"), col("s.w1").as("w1"), col("s.bh").as("b"))
       val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
       val lp = round(log((col("c12") + 1).cast(DoubleType) /
@@ -1488,9 +1497,24 @@ object LlmOps {
       // rows carry (doc_id, c1, b) — three fixed-width longs — instead of
       // hauling every w1 STRING through the token-scale exchange (round
       // 11: the join reorder is pure shuffle-byte savings, same rows)
+      // the bigram-count table joins BROADCAST too (round 12): bc IS the
+      // language model — vocab²-bounded, the same model-fits-one-node
+      // contract the broadcast unigram table above already rides — but
+      // Catalyst's static estimate for an aggregate over the token
+      // explode is fact-scale, so un-hinted the plan shuffled the WHOLE
+      // token-scale (doc, c1, b) stream by bigram hash for a join
+      // against the model, and stranded the per-doc aggregate on
+      // bigram-partitioned input where every task held every doc id
+      // (the boilerplate df-tail lesson). With both model joins
+      // broadcast the pipeline has ZERO token-scale exchanges: the
+      // per-doc aggregate collapses map-side on the scan-contiguous
+      // stream. Clean isolate sf30 15.7 → 12.4 s with the arrays_zip
+      // and unigram-checkpoint fixes above; the remaining cost is the
+      // honest single token-scale scan+explode+join pass (StageProbe:
+      // 9.3 s of the 12.4, zero spill, 42 MB worst shuffle).
       bg.join(broadcast(u), col("w1") === col("term"))
         .select(col("doc_id"), col("c1"), col("b"))
-        .join(bc, "b")
+        .join(broadcast(bc), "b")
         .crossJoin(broadcast(vv))
         .select(col("doc_id"), lp.as("lp"))
         .groupBy(col("doc_id"))
