@@ -271,7 +271,14 @@ object Bench {
     // the de-noised instrument. Auto-isolation after a full suite stays
     // single-run — it is a breadth instrument, and tripling it would add
     // minutes of suite cost at sf10.
-    val isolateRuns = if (explicitIsolate.isDefined) 3 else 1
+    // SPARK_GRAFT_ISOLATE_RUNS widens the series for steady-state hunts:
+    // the srp_lsh A/B showed a pair-quadratic query's first runs carry
+    // JIT/GC ramp (sf30 CPU 7066 → 3173 → 2139 s across three runs of
+    // IDENTICAL code) — a best-of-3 of that series is not yet converged.
+    val isolateRuns =
+      if (explicitIsolate.isDefined)
+        sys.env.get("SPARK_GRAFT_ISOLATE_RUNS").map(_.toInt).getOrElse(3)
+      else 1
     // Explicit --isolate of a COUNT-PRUNABLE query consumes through the
     // noop sink, not count(): isolating e.g. qllm_semdedup with count()
     // would time the pruned plan — exactly the under-measurement the

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.VectorFunctions.cosine_similarity
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product, vector_norm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,6 +79,25 @@ object Graft {
     sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash_signature(col("h64"), k).as("sig"))
 
+  /** MinHash signatures computed ROW-LOCALLY off the text column — the
+    * [[simhashFingerprints]] argument applied to MinHash: a signature
+    * depends only on the row's own shingle set, so the explode →
+    * shuffle → [[graft.functions.MinHashAgg]] pipeline pays a
+    * corpus-of-shingles exchange for a per-row computation. The native
+    * [[graft.functions.MinHash64]] runs the same permutation family over
+    * the same distinct bigram hashes ([[graft.functions.NgramHashChain]]),
+    * so signatures are bit-identical (PropertySpec pins local ==
+    * aggregate); `size > 0` replicates explode dropping sub-bigram docs. */
+  def minhashSignaturesLocal(df: DataFrame, id: Column, text: Column,
+      k: Int = 16): DataFrame = {
+    val sh = array_distinct(graft.functions.NgramFunctions
+      .ngram_hash_chain(split(lower(text), " "), 2))
+    df.select(id.as("doc_id"), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHash64.minhash64(col("__sh"), k).as("sig"))
+  }
+
   /** LSH-banded near-duplicate candidates from MinHash signatures:
     * (doc_a < doc_b, matches, est_jaccard).
     *
@@ -107,12 +126,19 @@ object Graft {
   }
 
   /** 64-bit SimHash fingerprints over distinct lowercase whitespace tokens
-    * (native [[graft.functions.SimHashAgg]] vote-buffer aggregate). */
+    * — computed ROW-LOCALLY by the native [[graft.functions.SimHash64]]
+    * expression: a doc's fingerprint is a pure function of its own token
+    * set, so the former explode → corpus-of-tokens shuffle →
+    * [[graft.functions.SimHashAgg]] pipeline paid a 75 M-row exchange
+    * (sf30) for a per-row computation. Fingerprints are bit-identical
+    * (same xxhash64 seed, same ±1 votes; PropertySpec pins expression ==
+    * aggregate on random token lists, and `split` always yields ≥ 1
+    * element so the doc set is unchanged). The aggregate stays exported
+    * for pre-exploded token streams. */
   def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), explode(array_distinct(split(lower(text), " "))).as("__w"))
-      .withColumn("__h", xxhash64(col("__w")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhash(col("__h")).as("fp"))
+    df.select(id.as("doc_id"),
+      graft.functions.SimHash64.simhash64(
+        array_distinct(split(lower(text), " "))).as("fp"))
 
   /** Near-duplicate candidate EDGES from SimHash fingerprints — a
     * connectivity-complete edge set, not the all-pairs list. Two channels:
@@ -495,13 +521,25 @@ object Graft {
     // tile_a <= tile_b: the left row fans out to tiles [t, tmax], the
     // right row to tile pairs [0, t] — every ordered tile pair (p <= q)
     // is produced exactly once from each side
+    // Pair scoring pays ONE array pass, not three: each side carries its
+    // precomputed L2 norm (8 bytes per replicated row, computed once per
+    // vector before the tile fan-out) and the pair loop computes only the
+    // dot. dot/(norm_a*norm_b) runs the exact operation sequence of the
+    // fused cosine loop's final expression, so the emitted double — and
+    // the threshold decision — is bit-identical to cosine_similarity and
+    // to the DuckDB oracle (PropertySpec pins the recomposition on every
+    // fixture pair). At sf30 this is the difference between 3 and 1
+    // 64-element passes per each of the 13.8 B candidate pairs.
     val l = idx.select(col("bucket"), col("vec_id").as("vec_a"), col("__v").as("__va"),
+      vector_norm(col("__v")).as("__na"),
       col("__t").as("__p"), explode(sequence(col("__t"), col("__tmax"))).as("__q"))
     val r = idx.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"),
+      vector_norm(col("__v")).as("__nb"),
       explode(sequence(lit(0), col("__t"))).as("__p"), col("__t").as("__q"))
-    l.join(r, Seq("bucket", "__p", "__q")).filter(col("vec_a") < col("vec_b"))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("bucket", "__p", "__q"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
-        cosine_similarity(col("__va"), col("__vb")).as("sim"))
+        (dot_product(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -548,15 +586,22 @@ object Graft {
     // the corpus × planes bucketing subtree runs once, not four times,
     // and the vectors unroll incrementally ([[serialized-checkpoint]]
     // contract — the frame is n × (id, vec, bucket, idx), fact-scale)
+    // per-vector norm computed ONCE before the checkpoint: both phases'
+    // pair filters then pay a single dot pass per pair instead of the
+    // fused three-term loop; dot/(norm·norm) is bit-identical to the
+    // fused cosine (see [[srpCandidates]]'s scoring note)
     val idx = v.join(bk, "vec_id")
       .withColumn("__i", row_number().over(wIdx).cast(LongType) - 1L)
+      .withColumn("__n", vector_norm(col("__v")))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pool = idx.filter(col("__i") < probeCap.toLong)
-      .select(col("bucket"), col("vec_id").as("__u"), col("__v").as("__vu"))
+      .select(col("bucket"), col("vec_id").as("__u"),
+        col("__v").as("__vu"), col("__n").as("__nu"))
     val phase1 = idx.join(pool, Seq("bucket"))
       .filter(col("__u") < col("vec_id") &&
-        cosine_similarity(col("__vu"), col("__v")) >= threshold)
+        dot_product(col("__vu"), col("__v")) / (col("__nu") * col("__n"))
+          >= threshold)
       .select(col("vec_id")).distinct()
     // phase 2: survivors past the pool vs non-pool lower ids, tiled on the
     // candidate side's pool-relative index so each task holds ≤ blockSize
@@ -565,14 +610,15 @@ object Graft {
       floor((col("__i") - probeCap.toLong) / lit(blockSize.toLong)).cast(IntegerType)
     val cand = idx.filter(col("__i") >= probeCap.toLong)
       .select(col("bucket"), relTile.as("__t2"),
-        col("vec_id").as("__u"), col("__v").as("__vu"))
+        col("vec_id").as("__u"), col("__v").as("__vu"), col("__n").as("__nu"))
     val phase2 = idx.filter(col("__i") >= probeCap.toLong)
       .join(phase1, Seq("vec_id"), "left_anti")
-      .select(col("bucket"), col("vec_id"), col("__v"),
+      .select(col("bucket"), col("vec_id"), col("__v"), col("__n"),
         explode(sequence(lit(0), relTile)).as("__t2"))
       .join(cand, Seq("bucket", "__t2"))
       .filter(col("__u") < col("vec_id") &&
-        cosine_similarity(col("__vu"), col("__v")) >= threshold)
+        dot_product(col("__vu"), col("__v")) / (col("__nu") * col("__n"))
+          >= threshold)
       .select(col("vec_id")).distinct()
     // disjoint by construction (phase 2 anti-joins phase 1), so no
     // distinct over the union
@@ -659,12 +705,17 @@ object Graft {
       Seq(id.as("vec_id"), vec.as("__v")) ++ labelOpt.map(_.as("__l")): _*)
     val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
+    // per-side norms precomputed before the bucket join's pair fan-out;
+    // dot/(na·nb) recomposes the fused cosine bit-identically (see
+    // [[srpCandidates]]'s scoring note)
     val a = withEmb.select(
       Seq(col("bucket"), col("vec_id").as("anchor")) ++
-        labelOpt.map(_ => col("__l").as("label_a")) :+ col("__v").as("__va"): _*)
+        labelOpt.map(_ => col("__l").as("label_a")) ++
+        Seq(col("__v").as("__va"), vector_norm(col("__v")).as("__nrma")): _*)
     val bAll = withEmb.select(
       Seq(col("bucket"), col("vec_id").as(candCol)) ++
-        labelOpt.map(_ => col("__l").as("label_n")) :+ col("__v").as("__vb"): _*)
+        labelOpt.map(_ => col("__l").as("label_n")) ++
+        Seq(col("__v").as("__vb"), vector_norm(col("__v")).as("__nrmb")): _*)
     val b =
       if (candidateCap == Int.MaxValue) bAll
       else {
@@ -681,7 +732,8 @@ object Graft {
     val scored = filtered.select(
       Seq(col("anchor")) ++ labelOpt.map(_ => col("label_a")) ++
         Seq(col(candCol)) ++ labelOpt.map(_ => col("label_n")) :+
-        cosine_similarity(col("__va"), col("__vb")).as("sim"): _*)
+        (dot_product(col("__va"), col("__vb")) /
+          (col("__nrma") * col("__nrmb"))).as("sim"): _*)
     val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col(candCol))
     scored.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= k)
   }

@@ -493,11 +493,13 @@ object LlmOps {
     "qllm_minhash",
     build = (spark, sfDir) => {
       // Thin instantiation of the reusable API: hashed shingles (no bigram
-      // strings built — one word hash + one pair hash per token) → native
-      // MinHashAgg signatures → LSH-banded candidates.
+      // strings built — one word hash + one pair hash per token) →
+      // ROW-LOCAL native MinHash64 signatures (zero shuffle before the
+      // band join; bit-identical to the MinHashAgg pipeline, PropertySpec
+      // pin) → LSH-banded candidates.
       val docs = Tables.documents(spark, sfDir)
-      val sigs = graft.api.Graft.minhashSignaturesFromHashes(
-        graft.api.Graft.shingleHashes(docs, col("doc_id"), col("text")))
+      val sigs = graft.api.Graft.minhashSignaturesLocal(
+        docs, col("doc_id"), col("text"))
       graft.api.Graft.minhashCandidates(sigs)
         .orderBy(col("doc_a"), col("doc_b"))
     },

@@ -108,6 +108,38 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("dot_product/(norm*norm) recomposes cosine_similarity bit-identically") {
+    // The round-12 pair-scoring split (srpCandidates/srpDropSet/
+    // srpBucketTopK carry precomputed norms through the tiled joins and
+    // score with dot only) is valid ONLY if the recomposed double is the
+    // exact cosine_similarity bit pattern at every input — this is the
+    // pin. Checked in BOTH evaluation modes: codegen (plain projection)
+    // and interpreted (nullSafeEval via a filter that Catalyst constant-
+    // folds away would skip it, so use collect of the projection with
+    // codegen disabled).
+    import graft.functions.VectorFunctions.{cosine_similarity, dot_product, vector_norm}
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    samples(Gen.zip(vecGen, vecGen), 10).foreach { case (a, b) =>
+      val sp = spark
+      import sp.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val proj = df.select(
+        cosine_similarity(col("a"), col("b")).as("fused"),
+        (dot_product(col("a"), col("b")) /
+          (vector_norm(col("a")) * vector_norm(col("b")))).as("split"))
+      Seq("true", "false").foreach { wsc =>
+        sp.conf.set("spark.sql.codegen.wholeStage", wsc)
+        try {
+          val row = proj.collect()(0)
+          assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(row.getDouble(1)),
+            s"wholeStage=$wsc fused=${row.getDouble(0)} split=${row.getDouble(1)}")
+        } finally sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      }
+    }
+  }
+
   test("asof join: matched timestamp is the greatest left ts <= right ts") {
     val tsGen = Gen.listOfN(20, Gen.chooseNum(0L, 1000L))
     samples(Gen.zip(tsGen, tsGen), 8).foreach { case (ls, rs) =>
@@ -240,6 +272,51 @@ class PropertySpec extends SparkFixture {
       val got = Graft.dedupClusters(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("row-local simhash64/minhash64 equal the aggregate pipelines bit-for-bit") {
+    // The round-12 row-local rewires (simhashFingerprints, qllm_minhash's
+    // minhashSignaturesLocal) replace explode → shuffle → native aggregate
+    // with one projection; this is the value pin: on random word lists —
+    // duplicates, empties, single chars — the expression forms must equal
+    // the SimHashAgg / MinHashAgg forms exactly, both codegen'd and
+    // interpreted.
+    import graft.functions.{MinHash64, SimHash64}
+    val wordGen = Gen.listOfN(12,
+      Gen.oneOf(Seq("a", "b", "cat", "dog", "the", "xyz", "", "Zz", "qq", "longerword")))
+      .suchThat(_.nonEmpty)
+    samples(wordGen, 8).foreach { words =>
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      // simhash: expression form (the simhashFingerprints path) vs aggregate
+      val fpExpr = Graft.simhashFingerprints(docs, col("doc_id"), col("text"))
+        .collect()(0).getLong(1)
+      val fpAgg = docs
+        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("__w"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhash(xxhash64(col("__w"))).as("fp"))
+        .collect()(0).getLong(1)
+      assert(fpExpr == fpAgg, s"simhash mismatch for words=$words")
+      // minhash: row-local signature vs the aggregate over the same shingles
+      val sigLocal = Graft.minhashSignaturesLocal(docs, col("doc_id"), col("text"))
+        .collect().headOption.map(_.getSeq[Long](1))
+      val sigAgg = Graft.minhashSignaturesFromHashes(
+          Graft.shingleHashes(docs, col("doc_id"), col("text")))
+        .collect().headOption.map(_.getSeq[Long](1))
+      assert(sigLocal == sigAgg, s"minhash mismatch for words=$words")
+      // interpreted parity of the bare expressions (filters/locals can fall
+      // out of whole-stage codegen; both eval paths must agree)
+      sp.conf.set("spark.sql.codegen.wholeStage", "false")
+      try {
+        val fpInterp = Graft.simhashFingerprints(docs, col("doc_id"), col("text"))
+          .collect()(0).getLong(1)
+        assert(fpInterp == fpExpr, s"simhash codegen/interp divergence for $words")
+        val sigInterp = Graft.minhashSignaturesLocal(docs, col("doc_id"), col("text"))
+          .collect().headOption.map(_.getSeq[Long](1))
+        assert(sigInterp == sigLocal, s"minhash codegen/interp divergence for $words")
+      } finally sp.conf.set("spark.sql.codegen.wholeStage", "true")
     }
   }
 
