@@ -54,7 +54,11 @@ object Bench {
     "qwin_bollinger", "qwin_cusum", "qwin_dist", "qwin_drawdown", "qwin_ema",
     "qwin_first_last", "qwin_gini", "qwin_hampel",
     "qwin_lag_lead", "qwin_median", "qwin_ntile_dist", "qwin_ordergap",
-    "qwin_pareto", "qwin_range_frame", "qwin_rank", "qwin_rsi",
+    // (qwin_pareto LEFT this set in round 12: its per-customer revenue
+    // frame is now eagerly checkpointed — materialized whatever the sink —
+    // so count() no longer prunes the aggregate; suite slots from here on
+    // pay the honest pipeline, the rolling_dau precedent)
+    "qwin_range_frame", "qwin_rank", "qwin_rsi",
     "qwin_running", "qwin_scd2", "qwin_slope", "qwin_smacross", "qwin_vwap",
     // row-preserving joins / enrichments the count plan drops
     "qjoin_left", "qjoin_right", "qjoin_range_binned", "qjoin_spatial_grid",

@@ -581,11 +581,25 @@ object LlmOps {
     "qllm_tfidf",
     build = (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val words = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("word"))
-      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("dfw"))
+      // document frequency from a row-local distinct pass (count of docs
+      // containing the word == count of per-doc-distinct occurrences):
+      // map-side combine collapses to the vocab before any exchange, so
+      // the old plan's second (doc_id, word) aggregate — which re-ran the
+      // tokenize — is gone
+      val dfw = docs
+        .select(explode(array_distinct(split(lower(col("text")), " "))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("dfw"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // the qwin_gapfill prefix shape: ONE range exchange of the raw doc
+      // rows (each doc lives in one task), after which the (doc_id, word)
+      // tf aggregate is exchange-free (partitioning ⊆ group keys), the
+      // per-doc top-3 window sorts locally, and the closing
+      // (doc_id, rn) sort is local (doc_id is an ordering prefix) —
+      // the old plan shuffled the 46 M-row tf frame twice more (window +
+      // output sort; probed sf30: 136 s CPU in the window stage alone)
+      val words = docs.repartitionByRange(col("doc_id"))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val scored = tf.join(broadcast(dfw), "word").crossJoin(broadcast(n))
         .withColumn("score", round(col("tf").cast(DoubleType) *
           log(col("n_docs").cast(DoubleType) / col("dfw").cast(DoubleType)), 6))
@@ -1022,10 +1036,12 @@ object LlmOps {
         .select(col("doc_id"), col("source"),
           explode(split(lower(col("text")), "\\s+")).as("term"))
       val tgtSet = Seq("src0", "src1", "src2", "src3")
-      val cr = w.groupBy(col("term")).agg(count(lit(1)).as("cr"))
-      val ct = w.filter(col("source").isin(tgtSet: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("ct"))
-      val v = cr.join(ct, Seq("term"), "left").na.fill(0L, Seq("ct"))
+      // raw and target term counts in ONE vocab aggregate (the old
+      // cr ⟕ ct join re-tokenized the corpus a second time for the
+      // target side; a conditional count over the same stream is the
+      // identical pair of integers)
+      val v = w.groupBy(col("term")).agg(count(lit(1)).as("cr"),
+        count(when(col("source").isin(tgtSet: _*), 1)).as("ct"))
       val tots = v.agg(sum(col("cr")).cast(LongType).as("nr"),
         sum(col("ct")).cast(LongType).as("nt"), count(lit(1)).as("nv"))
       val lw = v.crossJoin(broadcast(tots)).select(col("term"),

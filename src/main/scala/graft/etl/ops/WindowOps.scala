@@ -108,10 +108,19 @@ object WindowOps {
   private val qwinRunning = QueryDef(
     "qwin_running",
     build = (spark, sfDir) => {
+      // The qwin_gapfill prefix shape (round 12): ONE exchange total.
+      // RangePartitioning(o_custkey) clusters the window (so its
+      // (custkey, date, orderkey) sort is local) and is an ordering
+      // PREFIX of the closing (custkey, orderkey) sort, which therefore
+      // also plans LOCAL — the old plan paid a second fact-scale range
+      // exchange for the output sort whose boundary sampler re-ran the
+      // whole scan+window subtree (probed sf30: the orderBy stage alone
+      // was 182 s CPU + 1.08 GB shuffle of the 45 M output rows).
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(spark, sfDir)
+        .repartitionByRange(col("o_custkey"))
         .select(
           col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_date"),
@@ -715,9 +724,17 @@ object WindowOps {
   private val qwinPareto = QueryDef(
     "qwin_pareto",
     build = (spark, sfDir) => {
+      // the per-customer frame is consumed FOUR times (globalRanks'
+      // bounds pass + its rank pass + the grand total + the decile join
+      // input), and each consumption re-ran the 45 M-row aggregate
+      // (probed sf30: three ~50 s-CPU final-agg stages off one shuffle);
+      // it is 10× smaller than its input, so a serialized checkpoint is
+      // the cheap side of the round-12 checkpoint rule
       val rev = Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey"))
         .agg(sum(d124(col("o_totalprice"))).cast(DecimalType(38, 4)).as("rev"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val ranked = graft.api.Graft.globalRanks(
         rev, col("rev") * lit(-1), Seq(col("o_custkey")))
       val tot = rev.agg(sum(col("rev")).cast(DecimalType(38, 4)).as("tot"))
