@@ -858,12 +858,19 @@ object AggOps {
   private val qaggWquantile = QueryDef(
     "qagg_wquantile",
     build = (spark, sfDir) => {
+      // group on the scale-4 integer (exact bijection with the
+      // DECIMAL(12,4) price), reconstruct the decimal at census scale:
+      // the fact-scale aggregate hashes/compares plain longs
       val vw = Tables.lineitem(spark, sfDir)
         .select(col("l_returnflag").as("flag"),
-          d124(col("l_extendedprice")).as("price"),
+          (d124(col("l_extendedprice")) * lit(10000)).cast(LongType).as("pi"),
           d124(col("l_quantity")).cast(LongType).as("w"))
-        .groupBy(col("flag"), col("price"))
+        .groupBy(col("flag"), col("pi"))
         .agg(sum(col("w")).as("cw"))
+        .select(col("flag"),
+          (col("pi").cast(DecimalType(38, 4)) / lit(10000))
+            .cast(DecimalType(12, 4)).as("price"),
+          col("cw"))
       val cum = Window.partitionBy(col("flag")).orderBy(col("price"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy(col("flag"))
