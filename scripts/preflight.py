@@ -14,6 +14,45 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Gate-sensitivity lint (round-12 verdict task 2): a declared query whose
+# output is EMPTY at the gate sf passes the oracle compare vacuously
+# (0 = 0, hash of empty = hash of empty) — qllm_dedup_norm did exactly
+# that for eleven rounds before round 13 planted twins into its corpus.
+# Every declared query must emit >= 1 row at the GATE sf (the driver's
+# correctness scale, sf0.01), or be listed here with a reason. At other
+# scales a 0-row output is a warning only: cardinality is data-dependent
+# (qjoin_band_auto is legitimately empty at sf0.001 — 10 suppliers, no
+# in-nation ±$100 band pair — and non-empty from sf0.01 up). Covers ALL
+# Verify outputs, including the no-oracle keys.
+EMPTY_BY_DESIGN = {
+    # (none — every declared key currently emits >= 1 row at sf0.01)
+}
+
+GATE_SF = "sf0.01"
+
+
+def lint_nonempty(outdir, sfdir, only):
+    """Fail any 0-row query output at the gate sf unless EMPTY_BY_DESIGN."""
+    gate = sfdir.rstrip("/").endswith(GATE_SF)
+    fails = []
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        if not files:
+            continue  # "no spark output" is reported by the oracle loop
+        nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if nrows == 0 and name not in EMPTY_BY_DESIGN:
+            if gate:
+                fails.append(f"{name}: 0 rows at gate sf (vacuous oracle pass) "
+                             "— fix the query or tag EMPTY_BY_DESIGN with a reason")
+                print(f"FAIL {name}: 0 rows at gate sf (vacuous oracle pass)")
+            else:
+                print(f"warn {name}: 0 rows at {os.path.basename(sfdir.rstrip('/'))} "
+                      "(gate lint applies at sf0.01)")
+    return fails
+
 
 def cells(table):
     """pyarrow Table -> list of row tuples with columns sorted by name."""
@@ -48,7 +87,7 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    fails, passed = [], 0
+    fails, passed = lint_nonempty(outdir, sfdir, only), 0
     for name in sorted(oracle):
         if only and name not in only:
             continue

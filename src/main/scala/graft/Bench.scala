@@ -279,9 +279,16 @@ object Bench {
     // the srp_lsh A/B showed a pair-quadratic query's first runs carry
     // JIT/GC ramp (sf30 CPU 7066 → 3173 → 2139 s across three runs of
     // IDENTICAL code) — a best-of-3 of that series is not yet converged.
+    // Parsed defensively (round-12 advice): a malformed value must fail
+    // loudly before any timed work, and a <= 0 value must not silently
+    // produce an empty timing series.
     val isolateRuns =
       if (explicitIsolate.isDefined)
-        sys.env.get("SPARK_GRAFT_ISOLATE_RUNS").map(_.toInt).getOrElse(3)
+        sys.env.get("SPARK_GRAFT_ISOLATE_RUNS").map { s =>
+          val n = s.trim.toIntOption.getOrElse(
+            sys.error(s"SPARK_GRAFT_ISOLATE_RUNS must be an integer, got '$s'"))
+          math.max(1, n)
+        }.getOrElse(3)
       else 1
     // Explicit --isolate of a COUNT-PRUNABLE query consumes through the
     // noop sink, not count(): isolating e.g. qllm_semdedup with count()
@@ -437,11 +444,17 @@ object Bench {
     val isoJsonStdout =
       if (explicitIsolate.isDefined) isoJson else isoJsonWith("\"count\"")
     // per-run (wall, cpu) detail for explicit --isolate runs — the n=3
-    // min/median/cpu instrument the heavy-tail BASELINE entries cite
+    // min/median/cpu instrument the heavy-tail BASELINE entries cite.
+    // `series_index` makes each sample's position in ONE JVM's run series
+    // explicit (round-12 verdict task 5: same-code sf30 CPU ramped
+    // 7066 → 3173 → 2139 across one JVM's three runs — JIT/GC warmup, not
+    // a regression; cross-round isolate diffs must compare like positions).
+    // Index 0 is the unrecorded warm run, so recorded samples start at 1.
     val detailJson =
       if (!explicitIsolate.isDefined || isolatedDetail.isEmpty) ""
       else s""","isolated_detail":${isolatedDetail.map { case (k, runs) =>
-        "\"" + k + "\":{\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
+        "\"" + k + "\":{\"series_index\":[" + runs.indices.map(_ + 1).mkString(",") +
+          "],\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
           "],\"cpu\":[" + runs.map(r => r3(r._2)).mkString(",") + "]}"
       }.mkString("{", ",", "}")}"""
     // The FILE record carries the full materialized map (73 keys as of

@@ -133,12 +133,16 @@ object Graft {
     * (sf30) for a per-row computation. Fingerprints are bit-identical
     * (same xxhash64 seed, same ±1 votes; PropertySpec pins expression ==
     * aggregate on random token lists, and `split` always yields ≥ 1
-    * element so the doc set is unchanged). The aggregate stays exported
-    * for pre-exploded token streams. */
+    * element so the doc set is unchanged). NULL-text docs are dropped —
+    * the behavior the old explode pipeline had (explode of a null array
+    * emits no rows); without the explicit filter the row-local form would
+    * instead surface them with a null fingerprint (round-12 advice). The
+    * aggregate stays exported for pre-exploded token streams. */
   def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"),
-      graft.functions.SimHash64.simhash64(
-        array_distinct(split(lower(text), " "))).as("fp"))
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        graft.functions.SimHash64.simhash64(
+          array_distinct(split(lower(text), " "))).as("fp"))
 
   /** Near-duplicate candidate EDGES from SimHash fingerprints — a
     * connectivity-complete edge set, not the all-pairs list. Two channels:

@@ -55,19 +55,44 @@ object LlmOps {
   // (word-bigram shingles as strings live in graft.api.Graft.shingles;
   // every declared query now uses the hashed variant, shingleHashes)
 
+  /** Normalized-text dedup over a PLANTED twin corpus (round-13 verdict
+    * task 1): the fixture has zero normalized full-text dups below sf0.1,
+    * so the original documents-only form passed its oracle gate on an
+    * EMPTY frame (0 = 0 — a broken `>1` filter or groupBy key would have
+    * passed too). The declared corpus is now documents ⊎ perturbed copies
+    * of the three lowest doc_ids (leading/trailing whitespace + stripped
+    * punctuation — perturbations the normalizer must erase; plain-ASCII
+    * spaces/`!`/`?` only, so Spark's and DuckDB's string semantics cannot
+    * diverge), with one doc planted TWICE so a 3-copy group exercises the
+    * count. The gate row is ≥ 3 groups at every sf, and min/max doc_id pin
+    * which side of the union won. Scale: the plant is O(1) rows; the
+    * groupBy still carries (md5-sized norm key, id) only. */
   private val qllmDedupNorm = QueryDef(
     "qllm_dedup_norm",
-    build = (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
+    build = (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val plantA = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" !!")).as("text"))
+      val plantB = docs.filter(col("doc_id") < 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("?? "), col("text")).as("text"))
+      docs.unionAll(plantA).unionAll(plantB)
         .groupBy(snorm(col("text")).as("norm"))
         .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
           count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
         .select(col("min_doc"), col("max_doc"), col("n_copies"), md5(col("norm")).as("norm_md5"))
-        .orderBy(col("min_doc")),
+        .orderBy(col("min_doc"))
+    },
     oracle = Some(
-      s"SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc, count(*) AS n_copies, " +
-        s"md5($dnormSql) AS norm_md5 FROM documents GROUP BY $dnormSql " +
+      "WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, '  ' || text || ' !!' AS text " +
+        "FROM documents WHERE doc_id < 3 " +
+        "UNION ALL SELECT doc_id + 2000000 AS doc_id, '?? ' || text AS text " +
+        "FROM documents WHERE doc_id < 1) " +
+        s"SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc, count(*) AS n_copies, " +
+        s"md5($dnormSql) AS norm_md5 FROM corpus GROUP BY $dnormSql " +
         "HAVING count(*) > 1 ORDER BY min_doc"))
 
   private val qllmSimsearch = QueryDef(
@@ -1656,9 +1681,10 @@ object LlmOps {
     * incoming doc gets a disposition: `dup_corpus` (fingerprint already
     * indexed), `dup_batch` (an earlier doc in the same batch owns it),
     * or `new`. The fingerprint is the shared normalization's 40-char
-    * prefix (the fixture corpus has no full-text dups — qllm_dedup_norm
-    * is empty by design — but prefix collisions exist at every SF, so
-    * all three dispositions are exercised). Scale: the corpus side
+    * prefix (the fixture corpus has no full-text dups below sf0.1 —
+    * qllm_dedup_norm plants its own twins for that reason — but prefix
+    * collisions exist at every SF, so all three dispositions are
+    * exercised). Scale: the corpus side
     * reduces to DISTINCT 16-byte md5 keys before any join (the
     * "fingerprint index" a real pipeline persists — text is scanned
     * once, never shuffled); the batch joins that index and its own

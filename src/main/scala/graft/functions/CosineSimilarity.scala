@@ -103,6 +103,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `dot_product(a,b) / (vector_norm(a) * vector_norm(b))` is
   * bit-identical to `cosine_similarity(a,b)` and to the DuckDB oracle's
   * unrolled sum (PropertySpec pins this on every fixture pair).
+  *
+  * PRECONDITION (round-12 advice): the recomposition identity holds for
+  * EQUAL-dimension vectors only. On mismatched lengths the fused loop
+  * truncates all three terms (dot, na, nb) to min(len(a), len(b)), while
+  * this dot truncates but [[VectorNorm]] sums its FULL array — so the
+  * recomposed value differs. All srp/pq call sites feed one embedding
+  * table whose vectors share a single dimension; PropertySpec pins both
+  * the equal-length identity and the documented mismatched-length
+  * semantics (truncated dot, full norm).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -166,7 +175,9 @@ case class DotProduct(left: Expression, right: Expression)
   * [[CosineSimilarity]], computed once per row at corpus scale instead
   * of once per candidate pair at pair scale. The accumulation order and
   * the final `sqrt` match the fused loop's `na`/`nb` terms exactly, so
-  * the recomposed cosine is bit-identical (see [[DotProduct]]).
+  * the recomposed cosine is bit-identical (see [[DotProduct]] — equal
+  * dimensions required: this norm always sums its FULL array, whereas
+  * the fused loop truncates to the shorter operand).
   */
 case class VectorNorm(child: Expression) extends UnaryExpression {
 

@@ -140,6 +140,39 @@ class PropertySpec extends SparkFixture {
     }
   }
 
+  test("mismatched-length vectors: fused truncates all terms, norm is full-array") {
+    // Round-12 advice: the recompose identity above is EQUAL-dimension
+    // only. Pin the documented mismatched-length semantics so neither
+    // side can drift silently: cosine_similarity/dot_product truncate to
+    // min(len), vector_norm sums its FULL array — so the recomposed
+    // value intentionally differs from the fused one when lengths differ.
+    import graft.functions.VectorFunctions.{cosine_similarity, dot_product, vector_norm}
+    val longGen = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    val shortGen = Gen.listOfN(5, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    samples(Gen.zip(longGen, shortGen), 10).foreach { case (a, b) =>
+      val sp = spark
+      import sp.implicits._
+      val df = Seq((a.toArray, b.toArray, a.take(5).toArray)).toDF("a", "b", "a5")
+      val row = df.select(
+        cosine_similarity(col("a"), col("b")).as("fused_ab"),
+        cosine_similarity(col("a5"), col("b")).as("fused_trunc"),
+        dot_product(col("a"), col("b")).as("dot_ab"),
+        vector_norm(col("a")).as("norm_a")).collect()(0)
+      def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      // fused(a, b) == fused(a truncated to len(b), b) — bit-identical
+      assert(bits(row.getDouble(0)) == bits(row.getDouble(1)),
+        s"fused should truncate: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+      // dot truncates to min(len): same ascending-order Scala sum
+      val expDot = (0 until 5).foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      assert(bits(row.getDouble(2)) == bits(expDot))
+      // norm is over the FULL 8 elements, not the truncated 5
+      val expNorm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      assert(bits(row.getDouble(3)) == bits(expNorm))
+    }
+  }
+
   test("asof join: matched timestamp is the greatest left ts <= right ts") {
     val tsGen = Gen.listOfN(20, Gen.chooseNum(0L, 1000L))
     samples(Gen.zip(tsGen, tsGen), 8).foreach { case (ls, rs) =>
