@@ -540,7 +540,30 @@ object Graft {
     val r = idx.select(col("bucket"), col("vec_id").as("vec_b"), col("__v").as("__vb"),
       vector_norm(col("__v")).as("__nb"),
       explode(sequence(lit(0), col("__t"))).as("__p"), col("__t").as("__q"))
-    l.join(r.hint("SHUFFLE_HASH"), Seq("bucket", "__p", "__q"))
+    // Round 13 (the sf60 probe's find): the SHUFFLE_HASH build side holds
+    // r's REPLICATED vector rows per partition, and r's row count grows
+    // quadratically with cluster mass (each row fans out to its __t + 1
+    // tile pairs) while the session partition count stays fixed — at sf60
+    // (1.2 M vectors, cluster buckets ~100+ tiles deep) the per-task
+    // UnsafeHashedRelation died with NOT_ENOUGH_MEMORY at 32 partitions.
+    // Size the pair join's partition count from the EXACT build row count
+    // (Σ (__t + 1), one vector-scale aggregate — the gramStream sizing
+    // discipline), targeting ~400 k replicated rows (~100-150 MB of
+    // 64-float vectors) per build; skip the explicit repartition when the
+    // session default already gives that density, keeping the ≤ sf30
+    // proven plans byte-identical. Both sides repartition on the full
+    // join key with the same count, so no further exchange is inserted
+    // and the hint still builds on r.
+    val defParts = idx.sparkSession.sessionState.conf.numShufflePartitions
+    val rRows = Option(idx.agg(sum(col("__t").cast(LongType) + 1L)).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nparts = math.min(4096, (rRows / 400000L).toInt + 1)
+    val (lK, rK) =
+      if (nparts * 4 > defParts * 5)
+        (l.repartition(nparts, col("bucket"), col("__p"), col("__q")),
+          r.repartition(nparts, col("bucket"), col("__p"), col("__q")))
+      else (l, r)
+    lK.join(rK.hint("SHUFFLE_HASH"), Seq("bucket", "__p", "__q"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("bucket"), col("vec_a"), col("vec_b"),
         (dot_product(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))

@@ -344,11 +344,29 @@ object ScalarOps {
       // SHUFFLE_HASH on the orders side: the only consumer of the join is
       // a 3-group aggregate, so the SMJ default paid a full sort of the
       // lineitem side (180 M rows at sf30 — 5.9 GB of spill, StageProbe
-      // round 12 part 8) for an ordering nothing downstream uses. The
-      // hash build holds orders/partitions keys per task (~1.4 M × 16 B
-      // at sf30's 32 partitions — bounded by partition count at any
-      // scale, and AQE still splits skewed partitions under SHJ).
-      li.join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+      // round 12 part 8) for an ordering nothing downstream uses.
+      // Round 13: the hash build is bounded by keys/PARTITION, and the
+      // round-12 form pinned partitions at the session's 32 — so the
+      // per-task build GREW with data until sf60's 90 M orders (2.8 M
+      // keys/task) died with UNABLE_TO_ACQUIRE_MEMORY building the
+      // LongHashedRelation (the sf60 probe's find). The join is now
+      // key-repartitioned to a count-sized partition number targeting
+      // ~1.5 M build keys/task (the sf30-proven density; same sizing
+      // discipline as [[LlmOps.gramStream]]), skipped when the session
+      // default already gives that density — the ≤ sf30 plans are
+      // byte-identical to the round-12 proven ones. The sizing count is
+      // parquet-metadata-only. Both sides repartition on their join key
+      // with the SAME count, so EnsureRequirements inserts no further
+      // exchange and the hint still plans the hash build on orders.
+      val defParts = spark.sessionState.conf.numShufflePartitions
+      val nOrders = Tables.orders(spark, sfDir).count()
+      val nparts = math.min(4096, (nOrders / 1500000L).toInt + 1)
+      val (liK, oK) =
+        if (nparts * 4 > defParts * 5)
+          (li.repartition(nparts, col("l_orderkey")),
+            o.repartition(nparts, col("o_orderkey")))
+        else (li, o)
+      liK.join(oK.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_returnflag"), (g("ms") - g("mo")).as("busdays"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"),
