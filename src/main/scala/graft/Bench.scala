@@ -396,7 +396,7 @@ object Bench {
     val phaseRef: Option[Map[String, Double]] =
       if (results.isEmpty || sfToken(sfDir).isEmpty) None
       else Seq("bench_full_latest.json", "BENCH_sf0.1.json", "BENCH_sf1.json",
-        "BENCH_sf3.json", "BENCH_sf10.json", "BENCH_sf30.json")
+        "BENCH_sf3.json", "BENCH_sf10.json", "BENCH_sf30.json", "BENCH_sf60.json")
         .iterator.flatMap(parseRecord(_))
         .find { case (sf, qs) => qs.nonEmpty && sfToken(sf) == sfToken(sfDir) }
         .map(_._2)
