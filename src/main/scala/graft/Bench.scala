@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * the driver's 2000-char tail window (round 1 proved a 73-entry per-query
   * map overflows it and fails to parse, BENCH_r01.json `parsed: null`;
   * BENCH_r02–05 confirm the window is exactly 2000 chars), so it carries
-  * the suite total plus only the 24 slowest queries and the 12-entry
-  * isolated re-run map (~1.5 KB). The FULL
+  * the suite total plus an adaptively-sized slowest-queries prefix
+  * (24 entries when the budget allows, fewer once the always-on
+  * isolated_detail map claims its bytes) and the 12-entry
+  * isolated re-run map. The FULL
   * per-query map — which the round-5 verdict needs for cross-round
   * regression diffs — goes to `bench_full_latest.json` at the repo root,
   * a TRACKED file committed with each round, plus `target/bench_full.json`
@@ -287,7 +289,12 @@ object Bench {
         sys.env.get("SPARK_GRAFT_ISOLATE_RUNS").map { s =>
           val n = s.trim.toIntOption.getOrElse(
             sys.error(s"SPARK_GRAFT_ISOLATE_RUNS must be an integer, got '$s'"))
-          math.max(1, n)
+          // <= 0 fails as loudly as a malformed string (round-13 advice:
+          // the old max(1, n) clamp turned a typo like -3 into a silent
+          // 1-sample series, gutting the best-of-3 instrument)
+          if (n <= 0)
+            sys.error(s"SPARK_GRAFT_ISOLATE_RUNS must be >= 1, got $n")
+          n
         }.getOrElse(3)
       else 1
     // Explicit --isolate of a COUNT-PRUNABLE query consumes through the
@@ -419,7 +426,7 @@ object Bench {
       (s""","phase_factor":${r3(med)},"regressions":$regDetail""",
         s""","phase_factor":${r3(med)},"n_regressions":${regs.size},"regressions":$regNames""")
     }.getOrElse(("", ""))
-    val slowest = results.sortBy(-_._2).take(24)
+    val slowestAll = results.sortBy(-_._2)
     // Distinct: a query whose warm AND measured isolate runs both die (e.g.
     // a dead SparkContext) appends its name twice — one broken query must
     // read as one error, not two, or cross-round "errors":N diffs lie.
@@ -443,15 +450,19 @@ object Bench {
     val isoJson = isoJsonWith(isoConsumeMapJson)
     val isoJsonStdout =
       if (explicitIsolate.isDefined) isoJson else isoJsonWith("\"count\"")
-    // per-run (wall, cpu) detail for explicit --isolate runs — the n=3
-    // min/median/cpu instrument the heavy-tail BASELINE entries cite.
+    // per-run (wall, cpu) detail for EVERY record that has isolates — the
+    // n=3 min/median/cpu instrument the heavy-tail BASELINE entries cite.
     // `series_index` makes each sample's position in ONE JVM's run series
     // explicit (round-12 verdict task 5: same-code sf30 CPU ramped
     // 7066 → 3173 → 2139 across one JVM's three runs — JIT/GC warmup, not
     // a regression; cross-round isolate diffs must compare like positions).
     // Index 0 is the unrecorded warm run, so recorded samples start at 1.
+    // Round 14 (round-13 verdict task 4): auto-isolation's single-run
+    // samples carry the detail too — a driver record's `isolated` map now
+    // self-qualifies each sample as series position 1, instead of leaving
+    // the BASELINE.md protocol satisfiable only by manual --isolate runs.
     val detailJson =
-      if (!explicitIsolate.isDefined || isolatedDetail.isEmpty) ""
+      if (isolatedDetail.isEmpty) ""
       else s""","isolated_detail":${isolatedDetail.map { case (k, runs) =>
         "\"" + k + "\":{\"series_index\":[" + runs.indices.map(_ + 1).mkString(",") +
           "],\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
@@ -485,8 +496,17 @@ object Bench {
         java.nio.file.Files.write(p, full.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonStdout,"queries":${toJson(slowest)}$isoJsonStdout$detailJson$matJsonStdout,"sf":"$sfDir"}""")
+    // The driver reads this line from a 2000-char stdout TAIL window: a
+    // line longer than that loses its HEAD ("metric","value", errors) and
+    // the round record fails to parse. isolated_detail now rides on every
+    // record (verdict task 4), so the slowest-queries map yields bytes
+    // adaptively — the largest prefix of the sorted slow set that keeps
+    // the line under budget. The FILE record always carries all queries.
+    def stdoutLine(nSlow: Int) =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonStdout,"queries":${toJson(slowestAll.take(nSlow))}$isoJsonStdout$detailJson$matJsonStdout,"sf":"$sfDir"}"""
+    val line = Seq(24, 16, 12, 8, 4, 0).map(stdoutLine)
+      .find(_.length <= 1950).getOrElse(stdoutLine(0))
+    println(line)
     spark.stop()
   }
 }

@@ -555,11 +555,37 @@ object Graft {
     // join key with the same count, so no further exchange is inserted
     // and the hint still builds on r.
     val defParts = idx.sparkSession.sessionState.conf.numShufflePartitions
-    val rRows = Option(idx.agg(sum(col("__t").cast(LongType) + 1L)).head.get(0))
+    // Σ(__t + 1) priced WITHOUT executing the tile fan-out (round-13
+    // advice: the previous probe aggregated over `idx`, which ran the
+    // full srpBuckets crossJoin plus BOTH row_number/count windows
+    // eagerly at DataFrame-construction time — three computations of the
+    // pipeline for one scalar). For a bucket of m rows in blockSize-B
+    // tiles (g = ⌈m/B⌉), Σ over its rows of (⌊i/B⌋ + 1) is the closed
+    // form B·g·(g−1)/2 + (m − (g−1)·B)·g, so one groupBy(bucket).count()
+    // over the bucket assignment — no windows, no fan-out — prices the
+    // build side exactly. Every product term is even where halved, so
+    // integer DIV is exact.
+    val bsz = blockSize.toLong
+    val rRows = Option(bk.groupBy(col("bucket")).agg(count(lit(1)).as("__m"))
+        .selectExpr(s"__m", s"CAST((__m - 1) DIV $bsz AS BIGINT) + 1 AS __g")
+        .selectExpr(
+          s"sum($bsz * __g * (__g - 1) DIV 2 + (__m - (__g - 1) * $bsz) * __g) AS r")
+        .head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val nparts = math.min(4096, (rRows / 400000L).toInt + 1)
+    // Repartition whenever the count-sized number exceeds the session
+    // default. Round 13 shipped a `nparts * 4 > defParts * 5` hysteresis
+    // (trip point 40 at the bench session's 32) that SKIPPED the sf30
+    // case (nparts = 38) its own record attributed to the sizing fix —
+    // the tracked sf30 830.1 ladder therefore ran the pair join at the
+    // session's 32 partitions, and the 103.6 → 88.7 srp_lsh delta was
+    // box phase + the fresher page cache, not this code path (PERF.md
+    // round-14 reconciliation). nparts > defParts makes the discipline
+    // actually engage at every super-default size; at-or-below default
+    // the plan is untouched, keeping the small-sf PlanSpec pins and the
+    // gate plans byte-identical.
     val (lK, rK) =
-      if (nparts * 4 > defParts * 5)
+      if (nparts > defParts)
         (l.repartition(nparts, col("bucket"), col("__p"), col("__q")),
           r.repartition(nparts, col("bucket"), col("__p"), col("__q")))
       else (l, r)

@@ -214,6 +214,26 @@ object GraphOps {
       // shares attribute ids with the edge subtree it joins (self-join
       // ambiguity guard).
       val nodes = deg.select(col("src").as("v")).crossJoin(broadcast(nRow))
+      // Round 14 (verdict task 2 — the fixed-partition probe applied to
+      // the iteration family): the contribution aggregate below is the
+      // one per-iteration structure whose per-task state grows with the
+      // graph at a fixed partition count (its hash map holds
+      // nodes/partitions (dst, sum) entries; every other piece is either
+      // a spillable SMJ sort or node-scale checkpoint state, and the
+      // round-12 StageProbe showed what its sort-fallback costs: 39 GB
+      // memory-spill per iteration when the map outgrew its pool share).
+      // Size it from the node-domain bound — copurchase node ids are
+      // part keys, so the part table's footer row count (metadata-only,
+      // no fact scan) bounds distinct dst exactly — at the same ~1.5 M
+      // keys/task target as the wedge aggregate. Below the trip point
+      // the un-numbered repartition(dst) is kept verbatim: it stays
+      // AQE-coalescible and the ≤ sf60 proven plans are untouched
+      // (6 M part keys at sf30 → nparts 5 ≪ 32; the explicit count
+      // engages around sf700 at defParts 32, and on a 1000-executor
+      // session with defParts in the thousands, proportionally later).
+      val defParts = spark.sessionState.conf.numShufflePartitions
+      val nodeBound = Tables.part(spark, sfDir).count()
+      val contribParts = math.min(4096, (nodeBound / 1500000L).toInt + 1)
       var pr = nodes.select(col("v"), expr("1000000000000 div n").as("pr"))
       for (_ <- 1 to 3) {
         // Materialize the NODE-scale rank vector between iterations
@@ -255,10 +275,13 @@ object GraphOps {
         // bytes (two longs, lz4) and zero spill — the 100 TB trade too,
         // since sort-fallback per map task is exactly what kills a
         // fixed-partition PageRank at cluster scale.
-        val contrib = dir
-          .join(share, dir("src") === share("__sv"))
-          .select(col("dst"), col("__share").as("c"))
-          .repartition(col("dst"))
+        val contrib = {
+          val joined = dir
+            .join(share, dir("src") === share("__sv"))
+            .select(col("dst"), col("__share").as("c"))
+          if (contribParts > defParts) joined.repartition(contribParts, col("dst"))
+          else joined.repartition(col("dst"))
+        }
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("cv"), col("s"))

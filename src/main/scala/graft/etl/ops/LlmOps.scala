@@ -65,17 +65,22 @@ object LlmOps {
     * spaces/`!`/`?` only, so Spark's and DuckDB's string semantics cannot
     * diverge), with one doc planted TWICE so a 3-copy group exercises the
     * count. The gate row is ≥ 3 groups at every sf, and min/max doc_id pin
-    * which side of the union won. Scale: the plant is O(1) rows; the
-    * groupBy still carries (md5-sized norm key, id) only. */
+    * which side of the union won. The twin offsets are 10¹²-scale
+    * (round-13 advice: the original +1e6/+2e6 offsets collided with real
+    * doc_ids once the corpus passed 1 M documents — sf60 has 3 M — which
+    * broke the min/max forensics above that scale; 10¹² is beyond any
+    * plausible sf on a 2⁶³ id space, so the pins now hold at EVERY rung).
+    * Scale: the plant is O(1) rows; the groupBy still carries
+    * (md5-sized norm key, id) only. */
   private val qllmDedupNorm = QueryDef(
     "qllm_dedup_norm",
     build = (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       val plantA = docs.filter(col("doc_id") < 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat(lit("  "), col("text"), lit(" !!")).as("text"))
       val plantB = docs.filter(col("doc_id") < 1)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000000L).as("doc_id"),
           concat(lit("?? "), col("text")).as("text"))
       docs.unionAll(plantA).unionAll(plantB)
         .groupBy(snorm(col("text")).as("norm"))
@@ -87,9 +92,9 @@ object LlmOps {
     },
     oracle = Some(
       "WITH corpus AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 1000000 AS doc_id, '  ' || text || ' !!' AS text " +
+        "UNION ALL SELECT doc_id + 1000000000000 AS doc_id, '  ' || text || ' !!' AS text " +
         "FROM documents WHERE doc_id < 3 " +
-        "UNION ALL SELECT doc_id + 2000000 AS doc_id, '?? ' || text AS text " +
+        "UNION ALL SELECT doc_id + 2000000000000 AS doc_id, '?? ' || text AS text " +
         "FROM documents WHERE doc_id < 1) " +
         s"SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc, count(*) AS n_copies, " +
         s"md5($dnormSql) AS norm_md5 FROM corpus GROUP BY $dnormSql " +

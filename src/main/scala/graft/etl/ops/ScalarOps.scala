@@ -361,8 +361,15 @@ object ScalarOps {
       val defParts = spark.sessionState.conf.numShufflePartitions
       val nOrders = Tables.orders(spark, sfDir).count()
       val nparts = math.min(4096, (nOrders / 1500000L).toInt + 1)
+      // Trip point is nparts > defParts, NOT a ≥ 25% hysteresis (round-14
+      // reconciliation): both sides repartition on the join key with the
+      // same count, so the exchange REPLACES the join's own shuffle —
+      // a 10%-bigger partition number costs nothing extra here, unlike
+      // the post-join aggregate repartition in GraphOps.qgraphJaccard
+      // where a barely-bigger count adds a whole second exchange and the
+      // 25% hysteresis is the measured-right guard.
       val (liK, oK) =
-        if (nparts * 4 > defParts * 5)
+        if (nparts > defParts)
           (li.repartition(nparts, col("l_orderkey")),
             o.repartition(nparts, col("o_orderkey")))
         else (li, o)

@@ -100,10 +100,13 @@ class LlmSpec extends SparkFixture {
     assert(rows.length >= 3, s"expected >= 3 planted groups, got ${rows.length}")
     val byMin = rows.map(r => r.getAs[Long]("min_doc") ->
       (r.getAs[Long]("max_doc"), r.getAs[Long]("n_copies"))).toMap
-    // doc 0 planted twice (plantA +1000000, plantB +2000000) => 3 copies
-    assert(byMin(0L) == ((2000000L, 3L)), s"group 0: ${byMin(0L)}")
-    assert(byMin(1L) == ((1000001L, 2L)), s"group 1: ${byMin(1L)}")
-    assert(byMin(2L) == ((1000002L, 2L)), s"group 2: ${byMin(2L)}")
+    // doc 0 planted twice (plantA +1e12, plantB +2e12) => 3 copies; the
+    // 10^12 offsets sit beyond any plausible corpus size (round-13
+    // advice: +1e6/+2e6 collided with real doc_ids from ~sf20 up), so
+    // these exact triples hold at every rung, not just below 1 M docs
+    assert(byMin(0L) == ((2000000000000L, 3L)), s"group 0: ${byMin(0L)}")
+    assert(byMin(1L) == ((1000000000001L, 2L)), s"group 1: ${byMin(1L)}")
+    assert(byMin(2L) == ((1000000000002L, 2L)), s"group 2: ${byMin(2L)}")
   }
 
   test("shared normalizer collapses case/whitespace/punct variants to one key") {

@@ -71,4 +71,46 @@ class RegistrySpec extends SparkFixture {
   test("entry() returns the flagship with rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // ---- D15/D16 preflight lints as BUILD gates (round-13 verdict task 5:
+  // scripts/preflight.py only ran when a round remembered to invoke it, so
+  // a planted 0-row or driver-hostile-typed query could land between
+  // rounds; these two tests make `sbt test` itself the gate). The
+  // EMPTY_BY_DESIGN exemption set is PARSED out of preflight.py so the two
+  // replicas cannot drift apart silently.
+
+  private def preflightEmptyByDesign: Set[String] = {
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/preflight.py")), "UTF-8")
+    val body = py.split("EMPTY_BY_DESIGN = \\{")(1).split("\\}")(0)
+    "\"(q[a-z0-9_]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+  }
+
+  test("D16 gate lint: every declared query emits >= 1 row at the gate sf") {
+    val exempt = preflightEmptyByDesign
+    val empty = Registry.all.filterNot(q => exempt(q.name))
+      .filter(q => q.build(spark, sfSmall).count() == 0L).map(_.name)
+    assert(empty.isEmpty,
+      s"0 rows at gate sf (vacuous oracle pass) — fix the query or tag " +
+        s"EMPTY_BY_DESIGN in scripts/preflight.py: $empty")
+  }
+
+  test("D15 driver-compat lint: oracle-compared outputs carry no decimal/array/tz-timestamp columns") {
+    import org.apache.spark.sql.types._
+    // The driver hashes via pandas: Decimal objects vs float64 hash-
+    // mismatch, list cells crash its lexsort, and Spark's TimestampType
+    // lands in parquet as tz-aware (isAdjustedToUTC) while DuckDB emits
+    // naive — TIMESTAMP_NTZ, DATE, strings and integer/double widths are
+    // the safe surface (SURVEY §2.1 D15).
+    def hostile(dt: DataType): Boolean = dt match {
+      case _: DecimalType | _: ArrayType | _: TimestampType => true
+      case _ => false
+    }
+    val bad = Registry.all.filter(_.oracle.nonEmpty).flatMap { q =>
+      val cols = q.build(spark, sfSmall).schema.fields
+        .filter(f => hostile(f.dataType)).map(f => s"${f.name}:${f.dataType.sql}")
+      if (cols.isEmpty) None else Some(s"${q.name} -> ${cols.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"driver-hostile column types: $bad")
+  }
 }
