@@ -216,10 +216,26 @@ object Bench {
     // CPU number even when the wall band would hide it.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Driver-JVM GC seconds alongside wall/CPU (round-13 verdict task 3's
+    // instrument): the sf60 in-suite-vs-isolate premium was adjudicated to
+    // first-execution warmup — post-suite SAME-JVM re-runs landed at or
+    // BELOW the fresh-JVM clean isolates (srp_lsh 309.2 vs 327.6, assoc
+    // 19.6 vs 25.1) despite 221 queries of heap history, which falsifies
+    // cache/unpersist hygiene as the mechanism — and the per-run GC share
+    // makes that attribution visible in every future record instead of
+    // needing a dedicated probe session (local mode: executors live in
+    // this JVM, so collector time here IS the run's GC bill).
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
               consume: org.apache.spark.sql.DataFrame => Unit = _.count())
-        : (Double, Double) = {
+        : (Double, Double, Double) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val g0 = gcMillis
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch {
@@ -229,10 +245,11 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      val dg = (gcMillis - g0) / 1e3
       spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
         if (!before.contains(rddId)) rdd.unpersist(blocking = false)
       }
-      (dt, dc)
+      (dt, dc, dg)
     }
     // Isolation pass (round-7 verdict item 3): suite-attributed times
     // absorb whatever warmup/box noise lands on a query's slot, so every
@@ -250,10 +267,15 @@ object Bench {
         Some(keys.split(",").toSeq.filter(SparkEntry.queries.contains))
       case _ => None
     }
+    // per-suite-slot GC seconds, FILE record only (the warmup-vs-hygiene
+    // attribution instrument — see the gcMillis note above)
+    val suiteGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = explicitIsolate match {
       case Some(_) => Seq.empty
       case None => SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timed(name, fn)._1
+        val (w, _, g) = timed(name, fn)
+        suiteGc(name) = g
+        name -> w
       }
     }
     // 12 auto-isolated entries (round-8 verdict item 5: wide enough that a
@@ -316,7 +338,7 @@ object Bench {
       if (isoConsumeName(name) == "noop")
         (df => df.write.mode("overwrite").format("noop").save())
       else (df => { df.count(); () })
-    val isolatedDetail: Seq[(String, Seq[(Double, Double)])] =
+    val isolatedDetail: Seq[(String, Seq[(Double, Double, Double)])] =
       isolateKeys.sorted.flatMap { name =>
         if (spark.sparkContext.isStopped) None
         else {
@@ -466,7 +488,8 @@ object Bench {
       else s""","isolated_detail":${isolatedDetail.map { case (k, runs) =>
         "\"" + k + "\":{\"series_index\":[" + runs.indices.map(_ + 1).mkString(",") +
           "],\"wall\":[" + runs.map(r => r3(r._1)).mkString(",") +
-          "],\"cpu\":[" + runs.map(r => r3(r._2)).mkString(",") + "]}"
+          "],\"cpu\":[" + runs.map(r => r3(r._2)).mkString(",") +
+          "],\"gc\":[" + runs.map(r => r3(r._3)).mkString(",") + "]}"
       }.mkString("{", ",", "}")}"""
     // The FILE record carries the full materialized map (73 keys as of
     // round 11 — countPrunable is the source of truth); the
@@ -480,8 +503,11 @@ object Bench {
       else s""","n_materialized":${materialized.size},"materialized_total":${r3(
           materialized.map(_._2).sum)},"materialized_top8":${toJson(
           materialized.sortBy(-_._2).take(8))}"""
+    val gcJson =
+      if (suiteGc.isEmpty) ""
+      else s""","queries_gc":${toJson(suiteGc.toSeq)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonFile,"queries":${toJson(results)}$isoJson$detailJson$matJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonFile,"queries":${toJson(results)}$isoJson$detailJson$gcJson$matJson,"sf":"$sfDir"}"""
     // target/ copy for local iteration; the repo-root copy is tracked so the
     // driver's round-end commit preserves all per-query times for the judge.
     // An --isolate run skips the suite (results is empty) and must NOT
