@@ -492,11 +492,45 @@ object Graft {
 
   def srpCandidates(vectors: DataFrame, id: Column, vec: Column,
       planes: DataFrame, threshold: Double,
-      blockSize: Int = 1024): DataFrame = {
-    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+      blockSize: Int = 0): DataFrame = {
+    require(blockSize >= 0,
+      s"blockSize must be >= 0 (0 = corpus-scaled), got $blockSize")
     val v = vectors.select(id.as("vec_id"), vec.as("__v"))
     val bk = srpBuckets(vectors, id, vec, planes)
     val withEmb = v.join(bk, "vec_id")
+    // Bucket-mass frame: one ≤-row-per-bucket aggregate that drives BOTH
+    // the corpus-scaled tile size and the exact build-row pricing below.
+    // localCheckpoint: it is read by up to two scalar actions plus
+    // nothing at execution time, and without the cut each read would
+    // recompute the srpBuckets crossJoin.
+    val bucketCounts = bk.groupBy(col("bucket")).agg(count(lit(1)).as("__m"))
+      .localCheckpoint()
+    // Corpus-scaled tile size (round 14). The tiled join's shuffle
+    // replicates each row of a g-tile bucket ~g/2× per side, so at FIXED
+    // blockSize the pair exchange's bytes grow QUADRATICALLY with the
+    // dominant cluster (g = m/blockSize and SRP bits cannot split a tight
+    // cluster): measured 27 GB of transient spill at sf60 (m ≈ 300 k,
+    // g ≈ 293), projecting to ~65 GB at sf100 — shuffle capacity burned
+    // to materialize replication, while the pair WORK (bucket-local CPU)
+    // is the declared contract. Scaling the tile to the dominant bucket —
+    // blockSize = 2^k in [1024, 16384] with m_max/blockSize ≈ 64 — keeps
+    // the fan-out bounded at ~64 copies/row at ANY scale (shuffle bytes
+    // ~linear in corpus), while the per-bucket task count g²/2 ≈ 2048
+    // still spreads across a 1000-executor cluster and per-task pair work
+    // is capped by blockSize² (≤ 16384² ≈ 2.7e8 pairs ≈ tens of seconds
+    // at the 16 k cap, only reached when m_max ≥ 1 M). Explicit callers
+    // (tests pinning tile-boundary behavior) pass blockSize > 0 and keep
+    // exact control; ≤ 64 k-vector dominant buckets stay at 1024, so
+    // every plan at-or-below sf10 is unchanged.
+    val bsz: Long =
+      if (blockSize > 0) blockSize.toLong
+      else {
+        val mmax = Option(bucketCounts.agg(max(col("__m"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        var b = 1024L
+        while (b < 16384L && b * 64L < mmax) b <<= 1
+        b
+      }
     // Tiled within-bucket self-join. A plain join on `bucket` puts a
     // bucket's ENTIRE m²/2 pair enumeration in one task — and SRP sign
     // bits cannot split a tight embedding cluster, so on clustered
@@ -519,8 +553,8 @@ object Graft {
       // the left side's fan-out stops there
       .withColumn("__tmax",
         floor((count(lit(1)).over(Window.partitionBy(col("bucket"))) - 1L)
-          / lit(blockSize.toLong)).cast(IntegerType))
-      .withColumn("__t", floor(col("__i") / lit(blockSize.toLong)).cast(IntegerType))
+          / lit(bsz)).cast(IntegerType))
+      .withColumn("__t", floor(col("__i") / lit(bsz)).cast(IntegerType))
     // ids are ordered within the bucket, so vec_a < vec_b implies
     // tile_a <= tile_b: the left row fans out to tiles [t, tmax], the
     // right row to tile pairs [0, t] — every ordered tile pair (p <= q)
@@ -559,20 +593,31 @@ object Graft {
     // advice: the previous probe aggregated over `idx`, which ran the
     // full srpBuckets crossJoin plus BOTH row_number/count windows
     // eagerly at DataFrame-construction time — three computations of the
-    // pipeline for one scalar). For a bucket of m rows in blockSize-B
-    // tiles (g = ⌈m/B⌉), Σ over its rows of (⌊i/B⌋ + 1) is the closed
-    // form B·g·(g−1)/2 + (m − (g−1)·B)·g, so one groupBy(bucket).count()
-    // over the bucket assignment — no windows, no fan-out — prices the
-    // build side exactly. Every product term is even where halved, so
-    // integer DIV is exact.
-    val bsz = blockSize.toLong
-    val rRows = Option(bk.groupBy(col("bucket")).agg(count(lit(1)).as("__m"))
+    // pipeline for one scalar). For a bucket of m rows in B-sized tiles
+    // (g = ⌈m/B⌉), Σ over its rows of (⌊i/B⌋ + 1) is the closed form
+    // B·g·(g−1)/2 + (m − (g−1)·B)·g, so the checkpointed bucket-mass
+    // frame — no windows, no fan-out — prices the build side exactly.
+    // Every product term is even where halved, so integer DIV is exact.
+    val rRows = Option(bucketCounts
         .selectExpr(s"__m", s"CAST((__m - 1) DIV $bsz AS BIGINT) + 1 AS __g")
         .selectExpr(
           s"sum($bsz * __g * (__g - 1) DIV 2 + (__m - (__g - 1) * $bsz) * __g) AS r")
         .head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val nparts = math.min(4096, (rRows / 400000L).toInt + 1)
+    // Partition count from the per-task PAIR budget, not a row budget
+    // (round-14 A/B at sf60): each replicated build row meets ~bsz probe
+    // rows, so per-task work is rows × bsz — a fixed 400 k-row target
+    // that was right at blockSize 1024 (≈ 410 M pairs/task, the
+    // sf30-proven density) under-partitions 8× once the corpus-scaled
+    // tile grows to 8192: measured 554 s at sf60 (32 coarse partitions,
+    // long stragglers) vs 327.6 with the pair-budget shape. rRows × bsz
+    // is the exact pair-probe count, so dividing by the 4.1e8 budget
+    // reproduces the proven granularity at EVERY tile size (sf60:
+    // ~5.5 M build rows × 8192 / 4.1e8 → ~110 partitions — the same
+    // ~110 the round-13 row target produced at bsz 1024). Build memory
+    // per task only shrinks under bigger tiles (fewer rows, same 264 B
+    // each), so the OOM guarantee is untouched.
+    val nparts = math.min(4096L, rRows * bsz / 409600000L + 1L).toInt
     // Repartition whenever the count-sized number exceeds the session
     // default. Round 13 shipped a `nparts * 4 > defParts * 5` hysteresis
     // (trip point 40 at the bench session's 32) that SKIPPED the sf30
