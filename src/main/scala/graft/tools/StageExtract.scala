@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.etl.ExtractFixtures
+
+/** Pre-stages the derived extract fixtures for one sf directory — the
+  * rung-staging step the scale ladder does before timing anything, split
+  * out of the bench so a disk-bound box can sequence it explicitly
+  * (PERF.md round 13: sf60 staging peaks at ~26 GB of transient shuffle
+  * ON TOP of the staged extract, and the first sf60 attempt filled the
+  * disk mid-staging inside the suite run; at sf100 the transient is the
+  * binding constraint, so staging runs FIRST, copurchase — the hungriest
+  * transient — while the disk is emptiest, and each step logs free
+  * space so the ladder script can abort before the box wedges).
+  *
+  *   java -cp target/scala-2.13/classes:/opt/spark/jars/\* \
+  *     graft.tools.StageExtract /tmp/graft_sf100 [step ...]
+  *
+  * Steps default to all; naming a subset stages just those (order kept).
+  * SPARK_GRAFT_STAGE_CODEC overrides spark.io.compression.codec for the
+  * STAGING session only (zstd ≈ 1.5× smaller shuffle transients than the
+  * lz4 default — the staged parquet/csv outputs are byte-identical
+  * either way, parquet codecs are a separate setting, so timed sessions
+  * never see a difference).
+  */
+object StageExtract {
+  /** Staging shuffles (the pair-distinct inside copurchase edges, the
+    * groupBy(orderkey) collect_set feeding it) carry data that grows with
+    * the rung, so a partition count pinned to the thread count is the
+    * exact fixed-partition defect the sf60 probe convicted twice — and it
+    * reproduced here: the first sf100 staging attempt died in the
+    * adjacency shuffle with UNABLE_TO_ACQUIRE_MEMORY at 32 partitions.
+    * Size reduce partitions from the fixture's on-disk bytes instead
+    * (~64 MB of source parquet per reduce task, the same
+    * bytes-per-task discipline maxPartitionBytes applies to scans),
+    * never below the thread count, capped at 1024. At the proven ≤ sf30
+    * rungs the clamp floors at the thread count, so re-staging those is
+    * byte-identical to the old `partitions = cpus` behavior. */
+  def sizedShufflePartitions(sfDir: String, cpus: Int): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length()
+    val fixtureBytes = bytes(new java.io.File(sfDir))
+    math.max(cpus, math.min(1024, (fixtureBytes / (64L << 20)).toInt)).toInt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val parts = sys.env.get("SPARK_GRAFT_STAGE_PARTS").map(_.toInt)
+      .getOrElse(sizedShufflePartitions(sfDir, cpus.toInt))
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.buffer.pageSize", "16m")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_STAGE_CODEC")
+      .foreach(c => b.config("spark.io.compression.codec", c))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[stage] sfDir=$sfDir cpus=$cpus shufflePartitions=$parts")
+    val steps: Seq[(String, () => Any)] = Seq(
+      "copurchase" -> (() => ExtractFixtures.copurchaseAdjacency(spark, sfDir)),
+      "bucketed" -> (() => ExtractFixtures.bucketedOrdersLineitem(spark, sfDir)),
+      "years" -> (() => {
+        ExtractFixtures.ordersByYear(spark, sfDir)
+        ExtractFixtures.ordersByYearCompact(spark, sfDir)
+      }),
+      "evolved" -> (() => ExtractFixtures.ordersEvolved(spark, sfDir)),
+      "documents" -> (() => {
+        ExtractFixtures.documentsJson(spark, sfDir)
+        ExtractFixtures.documentsText(spark, sfDir)
+      }),
+      "csvjson" -> (() => {
+        ExtractFixtures.customerCsv(spark, sfDir)
+        ExtractFixtures.eventsDailyCsv(spark, sfDir)
+        ExtractFixtures.eventsDailyJson(spark, sfDir)
+      }),
+      "media" -> (() => ExtractFixtures.mediaBmp(spark, sfDir)),
+      "orc" -> (() => ExtractFixtures.supplierOrc(spark, sfDir)))
+    steps.filter(s => only.isEmpty || only(s._1)).foreach { case (n, f) =>
+      val t0 = System.nanoTime()
+      f()
+      println(f"[stage] $n done in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"free=${new java.io.File("/tmp").getUsableSpace / 1e9}%.1f GB")
+    }
+    spark.stop()
+  }
+}
