@@ -348,10 +348,35 @@ object ExtractFixtures {
     * CLUSTERED BY … LOCATION instead of rewriting it. */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String): (String, String) = {
     val tag = pathTag(sfDir)
+    // one shared count → one shared bucket count: orders and lineitem MUST
+    // agree or the co-located join grows an exchange. Sized from lineitem
+    // (the wide side — its per-bucket sort is the binding write cost); the
+    // parquet metadata count only runs when the fixture is actually
+    // (re)written, never on marker re-attach.
+    val shared = () => factBucketsFor(Tables.lineitem(spark, sfDir).count())
     (ensureBucketed(spark, sfDir, s"graft_orders_bkt_$tag", "orders_bucketed",
-       Tables.orders(spark, sfDir), Tables.ordersSchema, "o_orderkey"),
+       Tables.orders(spark, sfDir), Tables.ordersSchema, "o_orderkey",
+       dynamicBuckets = Some(shared)),
      ensureBucketed(spark, sfDir, s"graft_lineitem_bkt_$tag", "lineitem_bucketed",
-       Tables.lineitem(spark, sfDir), Tables.lineitemSchema, "l_orderkey"))
+       Tables.lineitem(spark, sfDir), Tables.lineitemSchema, "l_orderkey",
+       dynamicBuckets = Some(shared)))
+  }
+
+  /** Bucket count for the orders⋈lineitem sorted-bucketed pair. A fixed 8
+    * buckets means each bucketed WRITE task sorts rows ∝ scale — the same
+    * fixed-partition defect class the sf60 probe convicted in the
+    * SHUFFLE_HASH builds, and at sf100 the ~600 M-row lineitem put ~75 M
+    * wide rows through each of 8 write-side sorts and died with a heap
+    * OOM (stage_sf100_b, round 14). Target ~45 M lineitem rows per bucket
+    * — the volume the sf60 rung (360 M rows / 8 buckets) is MEASURED to
+    * stage and query cleanly — rounded up to a multiple of [[Buckets]] so
+    * every rung through sf60 keeps exactly 8 (plans byte-identical to the
+    * tracked ladder records), capped at 256 like [[adjBucketsFor]]. */
+  def factBucketsFor(lineitemRows: Long): Int = {
+    val targetRowsPerBucket = 45L * 1000 * 1000
+    val needed = ((lineitemRows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+    if (needed <= Buckets) Buckets
+    else math.min(256, ((needed + Buckets - 1) / Buckets) * Buckets)
   }
 
   private def ensureBucketed(

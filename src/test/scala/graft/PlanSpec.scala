@@ -637,6 +637,23 @@ class PlanSpec extends SparkFixture {
       .forall(b => b % AdjBuckets == 0))
   }
 
+  test("factBucketsFor: orders/lineitem buckets grow with scale, floor 8, cap 256") {
+    import graft.etl.ExtractFixtures.{factBucketsFor, Buckets}
+    // everything through sf60 (360 M lineitem rows / 45 M target = 8
+    // needed) keeps the 8-bucket floor — the tracked ladder records and
+    // the PlanSpec "8 out of 8" bucket-selection pin are unchanged there
+    assert(factBucketsFor(0) == Buckets)
+    assert(factBucketsFor(6L * 1000 * 1000) == Buckets)       // sf1
+    assert(factBucketsFor(360L * 1000 * 1000) == Buckets)     // sf60
+    // sf100 (~600 M rows → 14 needed) rounds up to 16: ~37.5 M rows per
+    // write-task sort, inside the sf60-proven per-task envelope (the 8-
+    // bucket layout put ~75 M wide rows through each sort and heap-OOM'd)
+    assert(factBucketsFor(600L * 1000 * 1000) == 16)
+    assert(factBucketsFor(100L * 1000 * 1000 * 1000) == 256)
+    assert((1L to 2000L).map(m => factBucketsFor(m * 1000 * 1000))
+      .forall(b => b % Buckets == 0))
+  }
+
   test("qgraph_pagerank: iterations scan the bucketed adjacency table, no edge-scale heap block") {
     // Round 10 replaced the edge-scale MEMORY_AND_DISK_SER localCheckpoint
     // (which serialized to ~17 GB at sf30 and could not fit a 16 GB JVM —
