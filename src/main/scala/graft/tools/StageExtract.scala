@@ -55,11 +55,28 @@ object StageExtract {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.buffer.pageSize", "16m")
+      // 8m, NOT 16m: G1 regions top out at 32 MB, so 16 MB sorter pages
+      // are humongous allocations — at sf100 the bucketed-write sorts
+      // allocate thousands of them while zstd/lz4 JNI streams hold the
+      // GCLocker, and the JVM throws heap OOM with free heap ("Retried
+      // waiting for GCLocker too often allocating 2097154 words",
+      // stage_sf100_b/_c). Half-region pages never go humongous; pair
+      // with -XX:G1HeapRegionSize=32m on the staging JVM.
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_PAGE", "8m"))
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_STAGE_CODEC")
       .foreach(c => b.config("spark.io.compression.codec", c))
+    // extra session confs, "k=v;k=v" — the disk-bound rungs trade the
+    // staging JVM's heap against sort-spill bytes (e.g. a high
+    // spark.memory.fraction keeps the sf100 lineitem bucketed-write sort
+    // in memory where the box's disk cannot hold a second spilled copy)
+    sys.env.get("SPARK_GRAFT_STAGE_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[stage] sfDir=$sfDir cpus=$cpus shufflePartitions=$parts")
