@@ -168,6 +168,15 @@ object Bench {
     // are one-time setup, not query cost — without this a fresh
     // environment charges qscan_csv/qscan_json/qsink_partitioned ~2.7 s
     // of fixture writing on their first (= the measured) run.
+    // SPARK_GRAFT_SKIP_STAGING=1 skips the block for disk-bound rung
+    // isolates of extract-free queries (qllm_srp_lsh at sf100 needs the
+    // embeddings fixture and ~60 GB of shuffle headroom; materializing
+    // the ~40 GB staged extract first would eat exactly that headroom
+    // for tables the query never opens). Deliberately fail-loud: if an
+    // isolated query DOES read a missing extract it errors and is
+    // counted in "errors"/"failed" — a skipped staging can never
+    // silently produce a fast number for a query that needed it.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_STAGING").exists(_ == "1")) {
     graft.etl.ExtractFixtures.customerCsv(spark, sfDir)
     graft.etl.ExtractFixtures.documentsJson(spark, sfDir)
     graft.etl.ExtractFixtures.ordersByYear(spark, sfDir)
@@ -188,6 +197,7 @@ object Bench {
     // fixture — on a fresh sfDir its one-time write was being attributed
     // to qjoin_bucketed (measured 13.9 s at sf1, ~20× its steady-state)
     graft.etl.ExtractFixtures.bucketedOrdersLineitem(spark, sfDir)
+    }
     // A failed query must NEVER read as a fast one: failures are counted
     // and named in the JSON line so the driver's bench doubles as a smoke
     // gate — a regression that breaks a query shows up as "errors":N, not
@@ -267,16 +277,34 @@ object Bench {
         Some(keys.split(",").toSeq.filter(SparkEntry.queries.contains))
       case _ => None
     }
+    // SPARK_GRAFT_SKIP_KEYS: comma-listed queries excluded from a SUITE
+    // run (and its materialized/auto-isolate passes), recorded in the
+    // JSON as "skipped" so the record self-declares its reduced surface —
+    // a record with a skip list must never diff as a full-suite total.
+    // Exists for disk-contract-bound rungs: at sf100 on this box the one
+    // output-quadratic-by-contract key's shuffle spill exceeds the free
+    // disk left beside the staged extract (PERF.md round-13 addendum
+    // sizes the envelope), so the rung's suite record runs without it and
+    // the key gets its own cleared-disk isolate record instead. A name
+    // not in the registry fails loudly before any timed work — a typo
+    // must not silently skip nothing.
+    val skipKeys: Set[String] = sys.env.get("SPARK_GRAFT_SKIP_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    skipKeys.filterNot(SparkEntry.queries.contains).foreach { k =>
+      sys.error(s"SPARK_GRAFT_SKIP_KEYS names unknown query '$k'")
+    }
     // per-suite-slot GC seconds, FILE record only (the warmup-vs-hygiene
     // attribution instrument — see the gcMillis note above)
     val suiteGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = explicitIsolate match {
       case Some(_) => Seq.empty
-      case None => SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (w, _, g) = timed(name, fn)
-        suiteGc(name) = g
-        name -> w
-      }
+      case None => SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => skipKeys.contains(q._1)).map { case (name, fn) =>
+          val (w, _, g) = timed(name, fn)
+          suiteGc(name) = g
+          name -> w
+        }
     }
     // 12 auto-isolated entries (round-8 verdict item 5: wide enough that a
     // cross-round like-for-like table of the slow set needs no manual runs)
@@ -369,7 +397,7 @@ object Bench {
     val materializeFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val materialized: Seq[(String, Double)] =
       if (explicitIsolate.isDefined) Seq.empty
-      else Bench.countPrunable.toSeq.sorted.flatMap { name =>
+      else Bench.countPrunable.toSeq.sorted.filterNot(skipKeys.contains).flatMap { name =>
         if (spark.sparkContext.isStopped || !SparkEntry.queries.contains(name)) None
         else {
           val failedBefore = failed.size
@@ -454,6 +482,11 @@ object Bench {
     // read as one error, not two, or cross-round "errors":N diffs lie.
     val errJson = s""","errors":${failed.distinct.size},"failed":${failed.distinct.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // a suite record with skipped keys must carry the list (see skipKeys)
+    val skipJson =
+      if (skipKeys.isEmpty || explicitIsolate.isDefined) ""
+      else s""","skipped":${skipKeys.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val matFailJson =
       if (materializeFailed.isEmpty) ""
       else s""","materialize_failed":${materializeFailed.distinct.sorted
@@ -507,7 +540,7 @@ object Bench {
       if (suiteGc.isEmpty) ""
       else s""","queries_gc":${toJson(suiteGc.toSeq)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonFile,"queries":${toJson(results)}$isoJson$detailJson$gcJson$matJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$skipJson$matFailJson$phaseJsonFile,"queries":${toJson(results)}$isoJson$detailJson$gcJson$matJson,"sf":"$sfDir"}"""
     // target/ copy for local iteration; the repo-root copy is tracked so the
     // driver's round-end commit preserves all per-query times for the judge.
     // An --isolate run skips the suite (results is empty) and must NOT
@@ -529,7 +562,7 @@ object Bench {
     // adaptively — the largest prefix of the sorted slow set that keeps
     // the line under budget. The FILE record always carries all queries.
     def stdoutLine(nSlow: Int) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$matFailJson$phaseJsonStdout,"queries":${toJson(slowestAll.take(nSlow))}$isoJsonStdout$detailJson$matJsonStdout,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errJson$skipJson$matFailJson$phaseJsonStdout,"queries":${toJson(slowestAll.take(nSlow))}$isoJsonStdout$detailJson$matJsonStdout,"sf":"$sfDir"}"""
     val line = Seq(24, 16, 12, 8, 4, 0).map(stdoutLine)
       .find(_.length <= 1950).getOrElse(stdoutLine(0))
     println(line)
