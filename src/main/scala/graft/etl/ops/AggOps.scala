@@ -2,6 +2,7 @@ package graft.etl.ops
 
 import graft.etl.{QueryDef, Tables}
 import graft.etl.Dets._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,6 +27,68 @@ import org.apache.spark.sql.types._
   * collecting values.
   */
 object AggOps {
+
+  /** Round 14 (guide §2.5): positional picks off a value census WITHOUT a
+    * census-wide running-sum window. The exact-median/quantile queries
+    * (qagg_percentile, qagg_wquantile, qagg_mad) all need "the smallest
+    * value whose cumulative count/weight reaches a target" per group —
+    * the old form computed ONE running-sum window PARTITIONED BY the
+    * group over the whole census, i.e. |groups| serial tasks each
+    * sorting the full per-group census (parallelism 3–8 forever,
+    * whatever the scale). The qjoin_range_binned prefix algebra splits
+    * that: per-(group, bin) partial sums roll up map-side; bin prefix
+    * sums ride ONE window over the ≤ domain/binDiv-row bin frame
+    * (metadata scale); each target's crossing bin is found there; and
+    * only the crossing bins' census rows (broadcast-joined) pay a
+    * within-bin running sum. cum(v) = binPrefix(<bin) + withinBin(≤v) is
+    * the same exact integer sum, so every pick is bit-identical to the
+    * census-wide window's.
+    *
+    * `census` must carry (part, v: Long, c: Long) under the given column
+    * names (callers map decimals to scaled longs — exact bijections —
+    * and checkpoint the census if they reuse it). `targets` maps a tag to
+    * the integer target expression T, written against the group total as
+    * `col("__tot")` in exact integer arithmetic (e.g.
+    * `expr("(__tot * 25 + 99) div 100")`); a pick is min v with cum ≥ T. Groups
+    * whose T exceeds tot yield NO row for that tag (callers coalesce,
+    * matching the census-window form where the conditional min is null).
+    * Returns (part, __q tag, __pick, __tot). */
+  private def binnedPicks(census: DataFrame, partC: String, vC: String,
+      cC: String, binDiv: Long, targets: Seq[(Int, Column)])
+      : DataFrame = {
+    val bin = expr(s"$vC div $binDiv")
+    val bins = census.groupBy(col(partC), bin.as("__b"))
+      .agg(sum(col(cC)).as("__bw"))
+    val bw = Window.partitionBy(col(partC)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bpre = bins
+      .withColumn("__bcum", sum(col("__bw")).over(bw))
+      .withColumn("__tot", sum(col("__bw")).over(Window.partitionBy(col(partC))))
+    val marks = bpre
+      .select(col(partC), col("__b"), col("__bcum"), col("__bw"), col("__tot"),
+        explode(array(targets.map { case (q, t) =>
+          struct(lit(q).as("q"), t.as("T")) }: _*)).as("__t"))
+      .select(col(partC), col("__b"), col("__bcum"), col("__bw"), col("__tot"),
+        col("__t.q").as("__q"), col("__t.T").as("__T"))
+      .filter(col("__bcum") >= col("__T"))
+      .groupBy(col(partC), col("__q"))
+      .agg(min_by(struct(col("__b").as("qb"),
+        (col("__bcum") - col("__bw")).as("off"),
+        col("__T").as("T"), col("__tot").as("tot")), col("__b")).as("m"))
+      .select(col(partC).as("__mp"), col("__q"), col("m.qb").as("__qb"),
+        col("m.off").as("__off"), col("m.T").as("__T"), col("m.tot").as("__tot"))
+    val cand = census.join(broadcast(marks),
+      census(partC) === col("__mp") && bin === col("__qb"))
+      .select(census(partC), col("__q"), col(vC), col(cC),
+        col("__off"), col("__T"), col("__tot"))
+    val wcw = Window.partitionBy(col(partC), col("__q")).orderBy(col(vC))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand
+      .withColumn("__cum", col("__off") + sum(col(cC)).over(wcw))
+      .filter(col("__cum") >= col("__T"))
+      .groupBy(col(partC), col("__q"))
+      .agg(min(col(vC)).as("__pick"), max(col("__tot")).as("__tot"))
+  }
 
   private val qaggPricing = QueryDef(
     "qagg_pricing",
@@ -221,19 +284,35 @@ object AggOps {
   private val qaggPercentile = QueryDef(
     "qagg_percentile",
     build = (spark, sfDir) => {
-      val s = Tables.orders(spark, sfDir).select(
-        col("o_orderstatus").as("st"),
-        col("o_totalprice").cast(DecimalType(12, 4)).as("v"))
-      val vc = s.groupBy(col("st"), col("v")).agg(count(lit(1)).as("cnt"))
-      val n = vc.groupBy(col("st")).agg(sum(col("cnt")).as("n"))
-      val cw = Window.partitionBy(col("st")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vc.withColumn("cum", sum(col("cnt")).over(cw)).join(broadcast(n), "st")
-      val picks = cum.groupBy(col("st"), col("n")).agg(
-        min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("v"))).as("m1"),
-        min(when(col("cum") >= expr("n div 2 + 1"), col("v"))).as("m2"),
-        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 1"), col("v"))).as("vk"),
-        min(when(col("cum") >= expr("(9 * (n - 1)) div 10 + 2"), col("v"))).as("vk1"))
+      // Round 14 (guide §2.5): the per-status running-sum window over the
+      // whole (status, price) census — |statuses| = 3 serial sort tasks at
+      // any scale — is replaced by the binnedPicks prefix algebra (see the
+      // helper scaladoc): positions are identical exact integer cumulative
+      // counts, n is the same Σcnt, so every pick is bit-identical. The
+      // price maps to its scale-4 integer (exact bijection, the
+      // qagg_wquantile pattern) so bins and ordering ride plain longs.
+      val vc = Tables.orders(spark, sfDir).select(
+          col("o_orderstatus").as("st"),
+          (col("o_totalprice").cast(DecimalType(12, 4)) * lit(10000))
+            .cast(LongType).as("pi"))
+        .groupBy(col("st"), col("pi")).agg(count(lit(1)).as("cnt"))
+        // binnedPicks reads the census twice (bin rollup + crossing-bin
+        // probe) — materialize the domain-bounded frame once (qagg_mad vc
+        // precedent) instead of re-running the fact aggregate
+        .localCheckpoint()
+      val bp = binnedPicks(vc, "st", "pi", "cnt", 10000000L, Seq(
+        (1, expr("(__tot - 1) div 2 + 1")),
+        (2, expr("__tot div 2 + 1")),
+        (3, expr("(9 * (__tot - 1)) div 10 + 1")),
+        (4, expr("(9 * (__tot - 1)) div 10 + 2"))))
+      def dec(c: Column): Column =
+        (c.cast(DecimalType(38, 4)) / lit(10000)).cast(DecimalType(12, 4))
+      val picks = bp.groupBy(col("st")).agg(
+        max(col("__tot")).as("n"),
+        dec(min(when(col("__q") === 1, col("__pick")))).as("m1"),
+        dec(min(when(col("__q") === 2, col("__pick")))).as("m2"),
+        dec(min(when(col("__q") === 3, col("__pick")))).as("vk"),
+        dec(min(when(col("__q") === 4, col("__pick")))).as("vk1"))
       picks.select(
           col("st").as("o_orderstatus"),
           decStr(((col("m1") + col("m2")) * lit(BigDecimal("0.5")))
@@ -861,32 +940,48 @@ object AggOps {
       // group on the scale-4 integer (exact bijection with the
       // DECIMAL(12,4) price), reconstruct the decimal at census scale:
       // the fact-scale aggregate hashes/compares plain longs
+      //
+      // Round 14 (guide §2.5 — a 3-partition window is a parallelism-3
+      // sort however big the census): the old form ran ONE running-sum
+      // window PARTITIONED BY flag over the whole (flag, price) census —
+      // |flags| = 3 serial tasks sorting the full distinct-price frame
+      // each, a fixed-parallelism stage that dominates the query at every
+      // scale (sf0.1 materialized: 3.0 s, window ≈ half). The prefix
+      // algebra of qjoin_range_binned replaces it: per-(flag, $100-bin)
+      // partial weights roll up map-side; ONE metadata-scale window over
+      // ≤ ~1.1 k bins/flag yields bin prefix sums and totals; each
+      // quantile's crossing BIN is found on that tiny frame; and only the
+      // crossing bins' census rows (broadcast-joined, ≤ |flags|·3 bins)
+      // pay a within-bin running sum. cum(p) = binPrefix(<bin) +
+      // withinBin(≤p) is the same exact integer sum, so each wq pick is
+      // bit-identical; total_weight is the same Σcw. The census is
+      // localCheckpointed — it feeds the bin rollup AND the crossing-bin
+      // probe (domain-bounded rows, the qagg_mad vc precedent).
       val vw = Tables.lineitem(spark, sfDir)
         .select(col("l_returnflag").as("flag"),
           (d124(col("l_extendedprice")) * lit(10000)).cast(LongType).as("pi"),
           d124(col("l_quantity")).cast(LongType).as("w"))
         .groupBy(col("flag"), col("pi"))
         .agg(sum(col("w")).as("cw"))
-        .select(col("flag"),
-          (col("pi").cast(DecimalType(38, 4)) / lit(10000))
-            .cast(DecimalType(12, 4)).as("price"),
-          col("cw"))
-      val cum = Window.partitionBy(col("flag")).orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy(col("flag"))
-      val frame = vw
-        .withColumn("cum", sum(col("cw")).over(cum))
-        .withColumn("tot", sum(col("cw")).over(tot))
-      frame.groupBy(col("flag"))
+        .localCheckpoint()
+      // cum·100 ≥ tot·q  ⟺  cum ≥ ⌈tot·q/100⌉ over integers — the
+      // binnedPicks target form. $100 bins (pi div 10^6): the bin frame
+      // is ≤ ~1.1 k rows per flag at ANY scale (price-domain-bound).
+      val picks = binnedPicks(vw, "flag", "pi", "cw", 1000000L,
+        Seq(25, 50, 75).map(q => (q, expr(s"(__tot * $q + 99) div 100"))))
+      picks.groupBy(col("flag"))
         .agg(
-          max(col("tot")).as("total_weight"),
-          min(when(col("cum") * 100 >= col("tot") * 25, col("price"))).as("wq25"),
-          min(when(col("cum") * 100 >= col("tot") * 50, col("price"))).as("wq50"),
-          min(when(col("cum") * 100 >= col("tot") * 75, col("price"))).as("wq75"))
+          max(col("__tot")).as("total_weight"),
+          min(when(col("__q") === 25, col("__pick"))).as("q25i"),
+          min(when(col("__q") === 50, col("__pick"))).as("q50i"),
+          min(when(col("__q") === 75, col("__pick"))).as("q75i"))
         .select(col("flag"), col("total_weight"),
-          decStr(col("wq25")).as("w_p25"),
-          decStr(col("wq50")).as("w_median"),
-          decStr(col("wq75")).as("w_p75"))
+          decStr((col("q25i").cast(DecimalType(38, 4)) / lit(10000))
+            .cast(DecimalType(12, 4))).as("w_p25"),
+          decStr((col("q50i").cast(DecimalType(38, 4)) / lit(10000))
+            .cast(DecimalType(12, 4))).as("w_median"),
+          decStr((col("q75i").cast(DecimalType(38, 4)) / lit(10000))
+            .cast(DecimalType(12, 4))).as("w_p75"))
         .orderBy(col("flag"))
     },
     oracle = Some(

@@ -213,7 +213,18 @@ object GraphOps {
       // frame below renames through fresh aliases so the rank table never
       // shares attribute ids with the edge subtree it joins (self-join
       // ambiguity guard).
-      val nodes = deg.select(col("src").as("v")).crossJoin(broadcast(nRow))
+      // Round 14 (guide §2.4 — remove shuffles outright): `deg` rides
+      // INSIDE the checkpointed rank frame (v, deg, pr) instead of being
+      // re-joined to it every iteration. The old per-iteration
+      // share = pr ⋈ deg was a node-scale SMJ (two exchanges + two sorts
+      // per iteration, ×3); carrying the 8-byte deg column through the
+      // node-scale checkpoint costs ~|V|·8 bytes of checkpoint state and
+      // deletes that join wholesale — the share projection is now
+      // map-side arithmetic on the checkpoint scan. Integer math is
+      // unchanged (same deg values, same `pr div deg`), so ranks stay
+      // bit-exact vs the oracle.
+      val nodes = deg.select(col("src").as("v"), col("deg"))
+        .crossJoin(broadcast(nRow))
       // Round 14 (verdict task 2 — the fixed-partition probe applied to
       // the iteration family): the contribution aggregate below is the
       // one per-iteration structure whose per-task state grows with the
@@ -234,7 +245,8 @@ object GraphOps {
       val defParts = spark.sessionState.conf.numShufflePartitions
       val nodeBound = Tables.part(spark, sfDir).count()
       val contribParts = math.min(4096, (nodeBound / 1500000L).toInt + 1)
-      var pr = nodes.select(col("v"), expr("1000000000000 div n").as("pr"))
+      var pr = nodes.select(col("v"), col("deg"),
+        expr("1000000000000 div n").as("pr"))
       for (_ <- 1 to 3) {
         // Materialize the NODE-scale rank vector between iterations
         // (serialized spillable, like every iteration-state checkpoint
@@ -251,13 +263,13 @@ object GraphOps {
         // loop does.
         pr = ckptEdges(pr)
         // per-node outgoing share (pr div deg) is resolved NODE-side — a
-        // node-scale join of the rank table to deg — instead of carrying
-        // deg on every edge row: the edge frame stays two longs wide and
-        // the only data moving per iteration are rank-scale rows plus
-        // the unavoidable (dst, contribution) aggregate shuffle.
+        // map-side projection over the checkpointed (v, deg, pr) frame
+        // (deg rides in the checkpoint; see the `nodes` note above) —
+        // instead of carrying deg on every edge row: the edge frame stays
+        // two longs wide and the only data moving per iteration are
+        // rank-scale rows plus the unavoidable (dst, contribution)
+        // aggregate shuffle.
         val share = pr
-          .join(deg.select(col("src").as("__dv"), col("deg")),
-            col("v") === col("__dv"))
           .select(col("v").as("__sv"), expr("pr div deg").as("__share"))
         // The contribution aggregate shuffles RAW (dst, share) pairs —
         // the explicit repartition(dst) puts both the partial and final
@@ -288,11 +300,12 @@ object GraphOps {
         pr = nodes
           .join(contrib, col("v") === col("cv"), "left")
           .select(
-            col("v"),
+            col("v"), col("deg"),
             (expr("(15 * (1000000000000 div n)) div 100") +
               expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
       }
-      pr.orderBy(col("pr").desc, col("v")).limit(20)
+      pr.select(col("v"), col("pr"))
+        .orderBy(col("pr").desc, col("v")).limit(20)
     },
     oracle = Some {
       def iter(prev: String, out: String): String =
@@ -348,10 +361,22 @@ object GraphOps {
       // (the 9b premium), and halving the scans halves it. Each edge
       // contributes exactly two exploded rows, so n_edges = count/2
       // exactly and per-endpoint counts are identical to the unionAll.
-      def summary(ecur: DataFrame, round: Int): DataFrame =
-        ecur.select(explode(array(col("src"), col("dst"))).as("v"))
-          .agg(count_distinct(col("v")).as("n_nodes"),
-            (count(lit(1)) / 2).cast("bigint").as("n_edges"))
+      // Round 14 (guide §1.2): the census reads the per-round DEGREE frame
+      // instead of re-exploding the edge frame through a count_distinct
+      // (whose distinct+plain aggregate pair Expands the exploded rows ×2
+      // — 4 rows per edge through the aggregate at every scale). Over a
+      // degree frame: n_nodes = row count (each endpoint appears exactly
+      // once), n_edges = Σdeg / 2 (each edge contributes 2 to Σdeg) —
+      // exact integer identities, same BIGINT outputs. The degree frame
+      // is the SAME aggregate the next peel's keep-set needs, so one
+      // node-scale checkpoint per round serves both consumers (the old
+      // shape also evaluated the keep subtree twice — once per broadcast
+      // endpoint semi-join).
+      // coalesce: a fully-peeled (empty) round must report 0 edges, and
+      // sum over an empty frame is null where the old count(*) was 0
+      def summaryOfDeg(degr: DataFrame, round: Int): DataFrame =
+        degr.agg(count(lit(1)).as("n_nodes"),
+          (coalesce(sum(col("deg")), lit(0L)) / 2).cast("bigint").as("n_edges"))
           .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
       // round 0 reads the STAGED PARQUET directly — the staged edge
       // table is already a serialized columnar materialization, and
@@ -371,20 +396,30 @@ object GraphOps {
       val adj = spark.table(
         graft.etl.ExtractFixtures.copurchaseAdjacency(spark, sfDir))
       var ecur = edges(spark, sfDir)
-      var out = Seq(adj
+      def degreeOf(e: DataFrame): DataFrame =
+        e.select(explode(array(col("src"), col("dst"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val census = scala.collection.mutable.ArrayBuffer(adj
         .agg(count_distinct(col("src")).as("n_nodes"),
           (count(lit(1)) / 2).cast("bigint").as("n_edges"))
         .select(lit(0).as("round"), col("n_nodes"), col("n_edges")))
       for (r <- 1 to 3) {
-        val keep = (if (r == 1)
+        // one node-scale degree frame per round over the PRE-peel frame:
+        // round 1 rides the bucketed adjacency (count-per-src IS the
+        // degree, bucket-local — the round-11 shape); later rounds
+        // explode the checkpointed peeled frame once. localCheckpoint
+        // because up to three consumers read it (the round-(r−1) census
+        // and the two keep broadcasts — the old shape re-ran the
+        // aggregate per consumer).
+        val degr = (if (r == 1)
           adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
             .select(col("src").as("v"), col("deg"))
-        else
-          ecur.select(explode(array(col("src"), col("dst"))).as("v"))
-            .groupBy(col("v"))
-            .agg(count(lit(1)).as("deg")))
-          .filter(col("deg") >= k)
-          .select(col("v"))
+        else degreeOf(ecur))
+          .localCheckpoint()
+        // degr covers the round-(r−1) frame; round 0's census above comes
+        // off the adjacency directly, so only r ≥ 2 reuses it
+        if (r >= 2) census += summaryOfDeg(degr, r - 1)
+        val keep = degr.filter(col("deg") >= k).select(col("v"))
         // the surviving-node set shrinks every peel and at k = 100 is a
         // small hub set — BROADCAST it so both endpoint semi-joins run
         // map-side and the edge frame never shuffles (for a low k where
@@ -394,9 +429,9 @@ object GraphOps {
           .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
           .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")))
-        out = out :+ summary(ecur, r)
       }
-      out.reduce(_ unionAll _).orderBy(col("round"))
+      census += summaryOfDeg(degreeOf(ecur), 3)
+      census.reduce(_ unionAll _).orderBy(col("round"))
     },
     oracle = Some {
       def peel(prev: String, out: String): String =
@@ -441,16 +476,29 @@ object GraphOps {
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val d = ckptEdges(
-        es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
-      var lbl = d.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl"))
+      // Round 14 (guide §2.4): SELF-LOOPS collapse each unrolled round to
+      // ONE join + ONE aggregate. The old round referenced the label frame
+      // TWICE (neighbour join + the least-merge left join), so the 4
+      // unrolled rounds duplicated every upstream subtree 2^4 ways — the
+      // static plan carried 98 Exchanges / 60 SortMergeJoins (runtime
+      // ReusedExchange papered over some, but planning, codegen and the
+      // un-reused sorts were all real). With a (v, v) row per node in the
+      // relation, min-over-in-neighbours ∪ {self} IS the whole update:
+      //   new_lbl(v) = min{ lbl(u) : (u,v) ∈ d ∪ selfloops }
+      //             = least(lbl(v), min over neighbours)   — identical.
+      // Every node has its self-loop, so the groupBy covers every node and
+      // the old left-join's coalesce is vacuous. One label reference per
+      // round → plan growth is LINEAR in rounds (4 joins + 4 aggregates).
+      val dd = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+      val d = ckptEdges(dd.unionAll(
+        dd.select(col("src"), col("src").as("dst")).distinct()))
+      var lbl = d.filter(col("src") === col("dst"))
+        .select(col("src").as("v"), col("src").as("lbl"))
       for (_ <- 1 to 4) {
-        val nm = d.join(lbl, d("src") === lbl("v"))
+        lbl = d.join(lbl, d("src") === lbl("v"))
           .select(col("dst").as("v2"), col("lbl"))
-          .groupBy(col("v2")).agg(min(col("lbl")).as("nm"))
-        lbl = lbl.join(nm, col("v") === col("v2"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+          .groupBy(col("v2")).agg(min(col("lbl")).as("lbl"))
+          .select(col("v2").as("v"), col("lbl"))
       }
       lbl.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("comp_size"))
@@ -497,7 +545,12 @@ object GraphOps {
         .select(col("src"), col("dst"))
       val d = ckptEdges(
         es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
+      // deg feeds THREE consumers (the wedge-count sizing probe below and
+      // the two final degree joins); it is NODE-scale, so localCheckpoint
+      // it once (the pagerank deg treatment) instead of re-running the
+      // degree aggregate per consumer.
       val deg = d.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       // TILED wedge enumeration (the qllm_srp_lsh cluster-collapse fix
       // applied to graph hubs): a plain self-join keyed on the shared
       // neighbor puts a hub's ENTIRE C(deg, 2) pair enumeration in one
@@ -563,8 +616,18 @@ object GraphOps {
         .filter(col("n_common") >= 3)
         .select(shiftright(col("__pk"), 32).as("a"),
           col("__pk").bitwiseAND(lit(4294967295L)).as("b"), col("n_common"))
-      common
-        .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      // Round 14 (guide §3): the top-100 cut moves BEFORE the two degree
+      // joins — the ordering key (n_common desc, a, b) is a total order
+      // (pairs are unique) that never looks at deg, so TakeOrdered over
+      // the pair aggregate picks the identical 100 rows and the degree
+      // joins become 100-row-build broadcast probes over the checkpointed
+      // node-scale deg frame, instead of two pair-scale SortMergeJoins
+      // that shuffled deg (node-scale) and the full ≥3-common pair set
+      // just to throw away everything but 100 rows.
+      val top = common.orderBy(col("n_common").desc, col("a"), col("b"))
+        .limit(100)
+      broadcast(broadcast(top)
+        .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a"))
         .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
         .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
           (col("n_common").cast(DoubleType) /
@@ -614,17 +677,31 @@ object GraphOps {
         .join(broadcast(small.withColumnRenamed("p_partkey", "src")), Seq("src"))
         .join(broadcast(small.withColumnRenamed("p_partkey", "dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val d = ckptEdges(
-        es.unionAll(es.select(col("dst").as("src"), col("src").as("dst"))))
-      var dist = d.select(col("src").as("v")).distinct()
-        .select(col("v"),
-          when(col("v") % 100 === 0, 0L).otherwise(999L).as("dist"))
+      // Round 14 (guide §2.4): the qgraph_cc self-loop collapse applied to
+      // the relaxation rounds — each round is ONE join + ONE min-aggregate
+      // instead of join + aggregate + least-merge left join, and the dist
+      // frame is referenced ONCE per round so the 3 unrolled rounds grow
+      // the plan linearly (the old double reference duplicated upstream
+      // subtrees 2^3 ways: 48 Exchanges / 28 SMJs in the static plan).
+      // A self-loop row relaxes at +0 (src = dst identifies it — the
+      // canonical src < dst edge set has no real self edges), so
+      //   new_dist(v) = min{ dist(u) + (u = v ? 0 : 1) : (u,v) ∈ d ∪ self }
+      //              = least(dist(v), min over neighbours + 1) — identical
+      // (unreached neighbours relax to 999 + 1, which the min against the
+      // self row's 999 discards, exactly like the old least/coalesce).
+      val dd = es.unionAll(es.select(col("dst").as("src"), col("src").as("dst")))
+      val d = ckptEdges(dd.unionAll(
+        dd.select(col("src"), col("src").as("dst")).distinct()))
+      var dist = d.filter(col("src") === col("dst"))
+        .select(col("src").as("v"),
+          when(col("src") % 100 === 0, 0L).otherwise(999L).as("dist"))
       for (_ <- 1 to 3) {
-        val nm = d.join(dist, d("src") === dist("v"))
-          .select(col("dst").as("v2"), (col("dist") + 1L).as("nd"))
-          .groupBy(col("v2")).agg(min(col("nd")).as("nm"))
-        dist = dist.join(nm, col("v") === col("v2"), "left")
-          .select(col("v"), least(col("dist"), coalesce(col("nm"), col("dist"))).as("dist"))
+        dist = d.join(dist, d("src") === dist("v"))
+          .select(col("dst").as("v2"),
+            when(d("src") === d("dst"), col("dist"))
+              .otherwise(col("dist") + 1L).as("nd"))
+          .groupBy(col("v2")).agg(min(col("nd")).as("dist"))
+          .select(col("v2").as("v"), col("dist"))
       }
       dist.select(when(col("dist") >= 999L, -1L).otherwise(col("dist")).as("dist"))
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))

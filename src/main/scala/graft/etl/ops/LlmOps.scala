@@ -2372,12 +2372,21 @@ object LlmOps {
           .agg(sum(least(col("ca"), col("cb"))).as(out))
       val gc1 = gramCounts(1)
       val gc2 = gramCounts(2)
-      def lens(gc: DataFrame, out: String): DataFrame =
-        gc.groupBy(col("doc_id")).agg(sum(col("c")).as(out))
-          .withColumnRenamed("doc_id", "doc_a")
+      // Round 14 (guide §1.2 — don't compute things you can project): the
+      // reference length Σc over a doc's gram MULTISET is just its gram
+      // COUNT — size(w) for 1-grams, size(w)−1 for 2-grams — so both lens
+      // frames are narrow projections of `docs` (same ≥ n gram-existence
+      // filter as gramCounts, so the inner joins keep/drop identical
+      // pairs), not a second explode + (doc, gram) aggregate per arm.
+      // Two full gram aggregates (and their exchanges) disappear; the
+      // sums are identical by definition of a multiset count.
+      def lens(n: Int, out: String): DataFrame =
+        docs.filter(size(col("w")) >= n)
+          .select(col("doc_id").as("doc_a"),
+            (size(col("w")) - lit(n - 1)).cast(LongType).as(out))
       pairs
-        .join(lens(gc1, "len1"), Seq("doc_a"))
-        .join(lens(gc2, "len2"), Seq("doc_a"))
+        .join(lens(1, "len1"), Seq("doc_a"))
+        .join(lens(2, "len2"), Seq("doc_a"))
         .join(clipped(gc1, "c1"), Seq("doc_a", "doc_b"), "left")
         .join(clipped(gc2, "c2"), Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"),
