@@ -56,6 +56,13 @@ object AggOps {
   private def binnedPicks(census: DataFrame, partC: String, vC: String,
       cC: String, binDiv: Long, targets: Seq[(Int, Column)])
       : DataFrame = {
+    // Scale contract (round-14 advice): binDiv must be positive, and sized
+    // so (a) the bin frame is domain-bounded (≤ v-domain/binDiv rows per
+    // part — that frame rides ONE window) and (b) a single bin's census
+    // rows (≤ binDiv distinct values) fit the broadcast/window path. A
+    // too-small binDiv stays CORRECT (the algebra is exact either way) but
+    // silently degrades back to a census-wide window.
+    require(binDiv > 0, s"binnedPicks binDiv must be > 0, got $binDiv")
     val bin = expr(s"$vC div $binDiv")
     val bins = census.groupBy(col(partC), bin.as("__b"))
       .agg(sum(col(cC)).as("__bw"))
@@ -297,9 +304,14 @@ object AggOps {
             .cast(LongType).as("pi"))
         .groupBy(col("st"), col("pi")).agg(count(lit(1)).as("cnt"))
         // binnedPicks reads the census twice (bin rollup + crossing-bin
-        // probe) — materialize the domain-bounded frame once (qagg_mad vc
-        // precedent) instead of re-running the fact aggregate
-        .localCheckpoint()
+        // probe) — materialize the frame once instead of re-running the
+        // fact aggregate. SERIALIZED level (round-14 advice): distinct
+        // (status, o_totalprice) is near ROW-scale until the cent domain
+        // saturates (~6e7 pi values × 3 statuses), so the default
+        // deserialized checkpoint would unroll tens of millions of row
+        // objects at large sf — the exact heap shape ckptEdges documents.
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val bp = binnedPicks(vc, "st", "pi", "cnt", 10000000L, Seq(
         (1, expr("(__tot - 1) div 2 + 1")),
         (2, expr("__tot div 2 + 1")),
@@ -963,7 +975,10 @@ object AggOps {
           d124(col("l_quantity")).cast(LongType).as("w"))
         .groupBy(col("flag"), col("pi"))
         .agg(sum(col("w")).as("cw"))
-        .localCheckpoint()
+        // serialized level like the qagg_percentile census: distinct
+        // (flag, price) is near row-scale until the cent domain saturates
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // cum·100 ≥ tot·q  ⟺  cum ≥ ⌈tot·q/100⌉ over integers — the
       // binnedPicks target form. $100 bins (pi div 10^6): the bin frame
       // is ≤ ~1.1 k rows per flag at ANY scale (price-domain-bound).
@@ -1222,24 +1237,70 @@ object AggOps {
   private val qaggAssoc = QueryDef(
     "qagg_assoc",
     build = (spark, sfDir) => {
-      val sets = Tables.events(spark, sfDir)
+      // Round 15 (guide §1.2/§2.3 — the r14 verdict's top untouched cost,
+      // 25.1 s clean isolate at sf60): the old shape consumed the per-user
+      // collect_set frame THREE times (pair explode, singles explode,
+      // total) with no materialization, so the fact scan + users-scale
+      // shuffle + set aggregate ran three times per query; and its
+      // aggregation state was an array-of-strings per user. The event-type
+      // domain is tiny (a census-scale DICTIONARY, ≤ a few dozen types at
+      // any sf), so a user's type-set packs into ONE long BITMASK:
+      //   - dict: distinct types, lexicographically indexed (row_number
+      //     over ≤|types| rows — one metadata-scale window task);
+      //   - ONE users-scale aggregate bit_or(1L << idx) replaces
+      //     collect_set — 8-byte fixed-width state, order-independent;
+      //   - the mask HISTOGRAM (≤ 2^|types| rows) is checkpointed and
+      //     every readout (pairs, singles, total) is a metadata-scale
+      //     sum over it: n_ab = Σ cnt over masks with both bits, n_t =
+      //     Σ cnt over masks with bit t, n_total = Σ cnt — exactly the
+      //     distinct-user counts the set shape produced (a user
+      //     contributes to pair (a,b) iff both bits are in its mask iff
+      //     {a,b} ⊆ its set), in exact integer arithmetic.
+      // dict idx is monotone in the type name, so __ia < __ib ⟺
+      // type_a < type_b — the same pair orientation and ordering.
+      val ev = Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"))
+      val dict = ev.select(col("event_type")).distinct()
+        .withColumn("__i",
+          row_number().over(Window.orderBy(col("event_type"))) - 1)
+        // fail-loud bitmask-width guard: shiftleft on a LONG silently
+        // WRAPS past bit 63 (1L << 64 == 1L), which would corrupt masks
+        // if the type domain ever outgrew a long — assert_true returns
+        // NULL (keeping every row) while the domain fits and throws the
+        // moment it doesn't, so the shape can never silently mis-count
+        .filter(expr("assert_true(__i <= 62, " +
+          "'qagg_assoc: >63 event types - bitmask shape invalid')").isNull)
+        // dict feeds FOUR broadcast consumers (mask join, singles, both
+        // pair sides); materialize the ≤|types|-row frame once so the
+        // distinct-over-events scan runs exactly once
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val hist = ev.join(broadcast(dict), "event_type")
         .groupBy(col("user_id"))
-        .agg(collect_set(col("event_type")).as("ts"))
-      val pairs = sets
-        .select(explode(expr(
-          "flatten(transform(ts, x -> " +
-            "transform(filter(ts, y -> y > x), y -> struct(x AS type_a, y AS type_b))))"))
-          .as("p"))
-        .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
-        .agg(count(lit(1)).as("n_ab"))
-      val singles = sets.select(explode(col("ts")).as("t"))
-        .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-      val total = sets.agg(count(lit(1)).as("n_total"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), __i))").as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+        // ≤ 2^|types| rows, three consumers below — materialize once so
+        // the users-scale aggregate runs exactly once
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val bitOf = expr("shiftleft(CAST(1 AS BIGINT), __i)")
+      val singles = hist.crossJoin(broadcast(dict))
+        .filter(col("m").bitwiseAND(bitOf) =!= 0)
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).cast(LongType).as("n_t"))
+      val total = hist.agg(sum(col("cnt")).cast(LongType).as("n_total"))
+      val da = dict.select(col("event_type").as("type_a"), col("__i").as("__ia"))
+      val db = dict.select(col("event_type").as("type_b"), col("__i").as("__ib"))
+      val pairs = hist.crossJoin(broadcast(da.crossJoin(db)
+          .filter(col("__ia") < col("__ib"))))
+        .filter(col("m").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), __ia)")) =!= 0 &&
+          col("m").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), __ib)")) =!= 0)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(col("cnt")).cast(LongType).as("n_ab"))
       val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
       pairs
-        .join(broadcast(singles.select(col("t").as("type_a"), col("n_t").as("n_a"))), "type_a")
-        .join(broadcast(singles.select(col("t").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .join(broadcast(singles.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
         .crossJoin(broadcast(total))
         .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
           (d(col("n_ab")) / d(col("n_a"))).as("conf_ab"),

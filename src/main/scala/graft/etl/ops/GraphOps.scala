@@ -425,10 +425,17 @@ object GraphOps {
         // map-side and the edge frame never shuffles (for a low k where
         // keep ≈ all nodes, the shuffled semi-join would be the right
         // shape instead; k is the declared contract here)
-        ecur = ckptEdges(ecur
+        val peeled = ecur
           .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
           .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")))
+          .select(col("src"), col("dst"))
+        // Round 15 (round-14 verdict task 4): the FINAL round's peeled
+        // frame has exactly ONE consumer — the closing census below — so
+        // its eager edge-scale checkpoint was pure overhead (serialize +
+        // write + re-read of the whole round-3 frame to serve one pass);
+        // rounds with a next peel keep it (the next round's degree
+        // aggregate AND its two keep broadcasts re-read the frame).
+        ecur = if (r < 3) ckptEdges(peeled) else peeled
       }
       census += summaryOfDeg(degreeOf(ecur), 3)
       census.reduce(_ unionAll _).orderBy(col("round"))

@@ -606,6 +606,32 @@ class EdgeCaseSpec extends SparkFixture {
     }
   }
 
+  test("assoc: bitmask histogram counts equal the naive distinct-pair self-join") {
+    // round-15 internals pin: qagg_assoc now packs each user's type-set
+    // into a long bitmask and reads every count off a ≤2^|types|-row mask
+    // histogram; this checks the whole (n_ab, n_a, n_b) surface against
+    // the direct oracle-shaped reference on the tiny fixture
+    val out = graft.etl.Registry.byName("qagg_assoc").build(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ut = spark.read.parquet(s"$sfTiny/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+    val refPairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val refSingles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == refPairs.keySet,
+      s"pair sets differ: ${out.keySet} vs ${refPairs.keySet}")
+    for ((k @ (ta, tb), (nab, na, nb)) <- out) {
+      assert(nab == refPairs(k), s"n_ab($k): $nab vs ${refPairs(k)}")
+      assert(na == refSingles(ta) && nb == refSingles(tb), s"singles($k)")
+    }
+  }
+
   test("benford digit fractions are a distribution over plausible leading digits") {
     val rows = graft.etl.Registry.byName("qagg_benford").build(spark, sfTiny).collect()
     assert(rows.nonEmpty)
