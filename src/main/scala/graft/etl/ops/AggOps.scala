@@ -97,6 +97,24 @@ object AggOps {
       .agg(min(col(vC)).as("__pick"), max(col("__tot")).as("__tot"))
   }
 
+  /** Census checkpoint with a SIZE-GATED storage level (round-15, closing
+    * the round-14 advice): the value censuses here are bounded by
+    * min(input rows, value domain), so below `serGateRows` input rows the
+    * default deserialized level is kept — serialized storage measurably
+    * costs ~15 % per pass at sf0.1 (5-run noop A/B: wquantile 1.47 → 1.74,
+    * percentile 0.93 → 1.10) for zero benefit at that heap footprint —
+    * while above it the census approaches row scale and MUST be
+    * serialized/spillable (a 6·10⁷-row deserialized census is the
+    * heap-OOM shape ckptEdges' scaladoc documents). `inputRows` comes from
+    * the fact table's parquet metadata count — a footer-statistics job,
+    * no data scan. 3·10⁷ rows ≈ a few GB deserialized at ~100 B/row: well
+    * inside a 16 GB driver-JVM heap below the gate, not above it. */
+  private def ckptCensus(df: DataFrame, inputRows: Long): DataFrame =
+    if (inputRows > 30000000L)
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint()
+
   private val qaggPricing = QueryDef(
     "qagg_pricing",
     build = (spark, sfDir) => {
@@ -298,20 +316,15 @@ object AggOps {
       // counts, n is the same Σcnt, so every pick is bit-identical. The
       // price maps to its scale-4 integer (exact bijection, the
       // qagg_wquantile pattern) so bins and ordering ride plain longs.
-      val vc = Tables.orders(spark, sfDir).select(
+      // binnedPicks reads the census twice (bin rollup + crossing-bin
+      // probe) — materialize the frame once instead of re-running the
+      // fact aggregate; storage level size-gated (ckptCensus scaladoc)
+      val vc = ckptCensus(Tables.orders(spark, sfDir).select(
           col("o_orderstatus").as("st"),
           (col("o_totalprice").cast(DecimalType(12, 4)) * lit(10000))
             .cast(LongType).as("pi"))
-        .groupBy(col("st"), col("pi")).agg(count(lit(1)).as("cnt"))
-        // binnedPicks reads the census twice (bin rollup + crossing-bin
-        // probe) — materialize the frame once instead of re-running the
-        // fact aggregate. SERIALIZED level (round-14 advice): distinct
-        // (status, o_totalprice) is near ROW-scale until the cent domain
-        // saturates (~6e7 pi values × 3 statuses), so the default
-        // deserialized checkpoint would unroll tens of millions of row
-        // objects at large sf — the exact heap shape ckptEdges documents.
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .groupBy(col("st"), col("pi")).agg(count(lit(1)).as("cnt")),
+        Tables.orders(spark, sfDir).count())
       val bp = binnedPicks(vc, "st", "pi", "cnt", 10000000L, Seq(
         (1, expr("(__tot - 1) div 2 + 1")),
         (2, expr("__tot div 2 + 1")),
@@ -969,16 +982,16 @@ object AggOps {
       // bit-identical; total_weight is the same Σcw. The census is
       // localCheckpointed — it feeds the bin rollup AND the crossing-bin
       // probe (domain-bounded rows, the qagg_mad vc precedent).
-      val vw = Tables.lineitem(spark, sfDir)
+      // storage level size-gated like the qagg_percentile census: distinct
+      // (flag, price) is near row-scale until the cent domain saturates
+      // (ckptCensus scaladoc — serialized only above the row gate)
+      val vw = ckptCensus(Tables.lineitem(spark, sfDir)
         .select(col("l_returnflag").as("flag"),
           (d124(col("l_extendedprice")) * lit(10000)).cast(LongType).as("pi"),
           d124(col("l_quantity")).cast(LongType).as("w"))
         .groupBy(col("flag"), col("pi"))
-        .agg(sum(col("w")).as("cw"))
-        // serialized level like the qagg_percentile census: distinct
-        // (flag, price) is near row-scale until the cent domain saturates
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .agg(sum(col("w")).as("cw")),
+        Tables.lineitem(spark, sfDir).count())
       // cum·100 ≥ tot·q  ⟺  cum ≥ ⌈tot·q/100⌉ over integers — the
       // binnedPicks target form. $100 bins (pi div 10^6): the bin frame
       // is ≤ ~1.1 k rows per flag at ANY scale (price-domain-bound).
