@@ -320,6 +320,14 @@ object Bench {
     val skipKeys: Set[String] = sys.env.get("SPARK_GRAFT_SKIP_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // SPARK_GRAFT_SUITE_ONLY=1: run the suite pass alone — no auto-isolate
+    // re-runs, no materializing re-bench. For wall-clock-bound rungs
+    // (sf100: the instrument passes re-execute ~80 of the heaviest plans
+    // and would double a multi-hour record). Self-declaring: the JSON
+    // simply carries no isolated/materialized maps, so a suite-only record
+    // can never be mistaken for one with instrument passes. The suite
+    // `queries` map — the cross-round comparison surface — is complete.
+    val suiteOnly = sys.env.get("SPARK_GRAFT_SUITE_ONLY").exists(_ == "1")
     skipKeys.filterNot(SparkEntry.queries.contains).foreach { k =>
       sys.error(s"SPARK_GRAFT_SKIP_KEYS names unknown query '$k'")
     }
@@ -339,7 +347,8 @@ object Bench {
     // 12 auto-isolated entries (round-8 verdict item 5: wide enough that a
     // cross-round like-for-like table of the slow set needs no manual runs)
     val isolateKeys: Seq[String] = explicitIsolate.getOrElse(
-      results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(12).map(_._1))
+      if (suiteOnly) Seq.empty
+      else results.filterNot(r => failed.contains(r._1)).sortBy(-_._2).take(12).map(_._1))
     // A failed isolate must never read as a fast one: the interrupted sf10
     // run recorded 0.03-s "isolated" entries for queries whose re-run died
     // with the SparkContext (each count() failed instantly), which would
@@ -431,7 +440,7 @@ object Bench {
     val materializeFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (explicitIsolate.isEmpty) cleanerGc()
     val materialized: Seq[(String, Double)] =
-      if (explicitIsolate.isDefined) Seq.empty
+      if (explicitIsolate.isDefined || suiteOnly) Seq.empty
       else Bench.countPrunable.toSeq.sorted.filterNot(skipKeys.contains).flatMap { name =>
         if (spark.sparkContext.isStopped || !SparkEntry.queries.contains(name)) None
         else {
@@ -518,11 +527,13 @@ object Bench {
     // read as one error, not two, or cross-round "errors":N diffs lie.
     val errJson = s""","errors":${failed.distinct.size},"failed":${failed.distinct.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    // a suite record with skipped keys must carry the list (see skipKeys)
+    // a suite record with skipped keys must carry the list (see skipKeys),
+    // and a suite-only record must say so explicitly
     val skipJson =
-      if (skipKeys.isEmpty || explicitIsolate.isDefined) ""
-      else s""","skipped":${skipKeys.toSeq.sorted
-          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      (if (skipKeys.isEmpty || explicitIsolate.isDefined) ""
+       else s""","skipped":${skipKeys.toSeq.sorted
+           .map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
+        (if (suiteOnly && explicitIsolate.isEmpty) ""","suite_only":true""" else "")
     val matFailJson =
       if (materializeFailed.isEmpty) ""
       else s""","materialize_failed":${materializeFailed.distinct.sorted

@@ -65,6 +65,11 @@ object StageExtract {
       .config("spark.buffer.pageSize",
         sys.env.getOrElse("SPARK_GRAFT_STAGE_PAGE", "8m"))
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // drive the weak-ref cleaner aggressively: staging JVMs are big-heap
+      // and shuffle-heavy, so finished shuffles' files otherwise outlive
+      // their step and stack up against the disk budget (see the step-loop
+      // note below)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_STAGE_CODEC")
       .foreach(c => b.config("spark.io.compression.codec", c))
@@ -102,6 +107,15 @@ object StageExtract {
     steps.filter(s => only.isEmpty || only(s._1)).foreach { case (n, f) =>
       val t0 = System.nanoTime()
       f()
+      // Shuffle files from a finished step are deleted by the weak-ref
+      // ContextCleaner, which never runs in a big-heap JVM that never
+      // GCs — measured: 33 GB of DEAD shuffle files from completed
+      // extracts sat under /tmp while the sf100 lineitem bucketed write
+      // ran the box out of disk (round 15; the bench-side round-15 fix is
+      // the same mechanism). An explicit GC after each step frees them
+      // before the next step's transient peak; the 60 s periodicGC conf
+      // set on this session covers the two-shuffle steps internally.
+      System.gc()
       println(f"[stage] $n done in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
         f"free=${new java.io.File("/tmp").getUsableSpace / 1e9}%.1f GB")
     }
