@@ -35,10 +35,18 @@ case "$STEP" in
       graft.Bench --isolate qllm_srp_lsh
     ;;
   stage)
-    # copurchase while disk is emptiest; zstd staging transients; heap
-    # tuned per the StageExtract scaladoc (sub-humongous sorter pages)
+    # copurchase while disk is emptiest; zstd staging transients AND zstd
+    # parquet output (~35% smaller staged tables — the suite's shuffle
+    # headroom comes out of the same disk). Heap 48g: the sf100
+    # direction-doubled adjacency write heap-OOMs a 20g JVM (round 15,
+    # rung_stage.log) — staging is a one-time infra JVM, sized to the box;
+    # the BENCH contract JVM stays at its own default. Do NOT raise
+    # spark.memory.fraction instead: 0.75 at 64g let the bucketed-write
+    # sorters grow multi-GB pointer arrays and OOM'd where default-fraction
+    # 48g survived (round 15, rung_stage3.log).
     SPARK_GRAFT_STAGE_CODEC=zstd \
-      $JAVA_BASE -Xmx20g -XX:G1HeapRegionSize=32m \
+      SPARK_GRAFT_STAGE_CONF="spark.sql.parquet.compression.codec=zstd" \
+      $JAVA_BASE -Xmx48g -XX:G1HeapRegionSize=32m \
       graft.tools.StageExtract $SF_DIR
     ;;
   isolate)
@@ -46,12 +54,16 @@ case "$STEP" in
       graft.Bench --isolate qgraph_pagerank,qgraph_kcore,qgraph_jaccard,qgraph_bfs,qjoin_star,qjoin_band_auto,qagg_assoc,qagg_wquantile,qdate_busday,qwin_gapfill,qwin_pareto,qllm_dupfrac,qllm_novelty,qllm_surprisal,qllm_bigram_lm
     ;;
   suite)
-    # default lz4 shuffle keeps the rung comparable to every other
-    # ladder row; pass CODEC=zstd only if the lz4 attempt dies on disk
-    # (and say so in the PERF.md row — codec is part of the instrument)
+    # zstd shuffle: with the staged extract resident, the box leaves only
+    # ~20 GB of shuffle headroom and the round-15 lz4 staging attempt died
+    # on disk — codec is part of the instrument and the record's PERF.md
+    # row says so. SUITE_ONLY skips the auto-isolate/materializing passes
+    # (they re-run ~80 of the heaviest plans — hours at sf100); the JSON
+    # self-declares "suite_only":true. Unset CODEC/SUITE_ONLY to override.
     SPARK_GRAFT_SKIP_KEYS=qllm_srp_lsh \
+      SPARK_GRAFT_SUITE_ONLY=${SUITE_ONLY:-1} \
       $JAVA_BASE -Xmx16g -XX:G1HeapRegionSize=32m \
-      ${CODEC:+-Dspark.io.compression.codec=$CODEC} \
+      -Dspark.io.compression.codec=${CODEC:-zstd} \
       graft.Bench
     ;;
   *) echo "unknown step $STEP" >&2; exit 2 ;;
